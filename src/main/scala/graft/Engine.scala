@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table plumbing shared by every query entry point.
+  *
+  * Scale notes (100 TB design intent): all table loads go through
+  * [[Engine.table]] so a future move from loose parquet files to a
+  * partitioned/bucketed catalog is a one-line change. Sessions created
+  * here pin `spark.sql.shuffle.partitions` to the local core count and
+  * enable AQE (runtime coalescing + skew-join splitting), which is what
+  * a 1000-executor deployment would run with too.
+  */
+object Engine {
+
+  /** All driver-provided test tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one TESTDATA table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}
