@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-pipeline operator surface over the `documents` table: generator
+  * top-k, exact/MinHash/SimHash/n-gram dedup, language ID, quality
+  * scoring, token accounting, fingerprinting. Oracle SQL is assembled
+  * from the SAME constants as the Catalyst expressions
+  * (TextFunctions.sql*), so both engines replay identical semantics.
+  */
+object TextOps {
+
+  private val MinhashK = 16
+  private val BandRows = 4
+
+  /** Generator + top-k O2: explode tokens -> count -> top 20
+    * (the reference's "Top 10 compétences" dashboard shape,
+    * PLAN_REALISATION.md:484-486). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(explode(tokens($"text")).as("word"))
+      .where(length($"word") > 3)
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+      .limit(20)
+  }
+
+  private val q15Sql =
+    s"""WITH w AS (SELECT unnest(${sqlTokenSetAll("text")}) AS word FROM documents)
+        SELECT word, count(*) AS cnt FROM w WHERE length(word) > 3
+        GROUP BY word ORDER BY cnt DESC, word LIMIT 20"""
+
+  /** All tokens (with duplicates) — q15 counts occurrences, not types. */
+  private def sqlTokenSetAll(e: String): String =
+    s"list_filter(string_split_regex(lower($e), '[^a-z]+'), x -> len(x) > 0)"
+
+  /** Exact dedup by content digest (hash-groupBy; one shuffle). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("digest"))
+
+  private val q16Sql =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY 1"""
+
+  /** MinHash signatures (k=16) per document. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(table(s, dir, "documents"), "doc_id", "text", MinhashK)
+      .orderBy(col("doc_id"))
+
+  private val q17Sql = {
+    val ms = (0 until MinhashK).map(i => sqlMinhash("toks", i)).mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks FROM documents)
+        SELECT doc_id, [$ms] AS sig FROM t ORDER BY doc_id"""
+  }
+
+  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.4. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+        MinhashK, BandRows, 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q18Sql = {
+    val ms = (0 until MinhashK).map(i => sqlMinhash("toks", i)).mkString(",\n  ")
+    val nBands = MinhashK / BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (1 to BandRows).map(r => s"sig[${b * BandRows + r}]").mkString(", ")
+      s"SELECT id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id AS id, ${sqlTokenSet("text")} AS toks FROM documents),
+        sig AS (SELECT id, [$ms] AS sig FROM t),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.id < b.id)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+            round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                  len(list_distinct(ta.toks || tb.toks)), 6) AS jaccard
+          FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
+        WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
+  }
+
+  private val SimhashBits = 32
+
+  /** SimHash (32-bit) per document. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", SimhashBits)
+      .orderBy(col("id"))
+
+  private val q19Sql = {
+    val votes = (0 until SimhashBits).map { j =>
+      s"sum(CASE WHEN (h & ${1L << j}) > 0 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n  ")
+    val assemble = (0 until SimhashBits).map { j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest(${sqlTokenSet("text")}) AS tok
+                     FROM documents),
+        h AS (SELECT id, ${sqlTokenHash("tok")} AS h FROM tok),
+        v AS (SELECT id, $votes FROM h GROUP BY id)
+        SELECT id, CAST($assemble AS BIGINT) AS simhash FROM v ORDER BY id"""
+  }
+
+  /** Word-3-gram Jaccard near-dup pairs within a first-token block. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        try_element_at(tokens(col("text")), lit(1)), 3, 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q20Sql =
+    s"""WITH t AS (SELECT doc_id AS id, ${sqlTokenSetAll("text")} AS toks FROM documents),
+        s AS (SELECT id, toks[1] AS block,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                ELSE [] END AS sh
+              FROM t)
+        SELECT block, id_a, id_b, jaccard FROM (
+          SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+          FROM s a JOIN s b ON a.block = b.block AND a.id < b.id) x
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** Language ID: marker-word argmax heuristic. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = TextAnalysis.langScores($"text")
+    table(s, dir, "documents")
+      .select($"doc_id" +: TextAnalysis.langId($"text").as("pred_lang") +:
+        scores.map { case (n, c) => c.as(n) }: _*)
+      .orderBy($"doc_id")
+  }
+
+  private val q21Sql = {
+    val pad = s"(' ' || lower(text) || ' ')"
+    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val sum = ms.map(m => TextFunctions.sqlOccurrences(pad, m)).mkString(" + ")
+      s"($sum) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val total = langs.map(l => s"score_$l").mkString(" + ")
+    // Reverse-order CASE replicates the fold's first-listed-wins ties.
+    val cases = langs.tail.reverse.map { l =>
+      val earlier = langs.takeWhile(_ != l).map(x => s"score_$x")
+      s"WHEN score_$l > greatest(${earlier.mkString(", ")}) THEN '$l'"
+    }.mkString("\n  ")
+    s"""WITH sc AS (SELECT doc_id, $scoreExprs FROM documents)
+        SELECT doc_id,
+          CASE WHEN ($total) = 0 THEN 'und'
+          $cases
+          ELSE '${langs.head}' END AS pred_lang,
+          ${langs.map(l => s"score_$l").mkString(", ")}
+        FROM sc ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: token counts, distinct ratio, stopword ratio. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q22Sql = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenSetAll("text")} AS toks FROM documents),
+        u AS (SELECT doc_id, toks, list_distinct(toks) AS tset,
+                     len(toks) AS n FROM t)
+        SELECT doc_id,
+          n::BIGINT AS n_tokens,
+          round(length(array_to_string(toks, ''))::DOUBLE / n, 4) AS avg_token_len,
+          round(len(tset)::DOUBLE / n, 4) AS distinct_ratio,
+          round(len(list_intersect(tset, $stop))::DOUBLE /
+                greatest(len(tset)::DOUBLE, 1.0), 4) AS stopword_type_ratio,
+          round(least(n::DOUBLE / 100.0, 1.0) * (len(tset)::DOUBLE / n), 4) AS quality
+        FROM u ORDER BY doc_id"""
+  }
+
+  /** Token accounting: whitespace tokens, BPE-ish pieces, chars. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q23Sql =
+    """SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+         AS bpe_pieces,
+       length(text)::BIGINT AS n_chars
+       FROM documents ORDER BY doc_id"""
+
+  /** Canonical-text fingerprints. */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q24Sql = {
+    val norm = TextFunctions.sqlNormalize("text")
+    s"""SELECT doc_id, md5($norm) AS fp, substring(md5($norm), 1, 4) AS fp_band,
+        length($norm)::BIGINT AS norm_len
+        FROM documents ORDER BY doc_id"""
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q15_explode_topk", q15 _, Some(q15Sql)),
+    Q("q16_exact_dedup", q16 _, Some(q16Sql)),
+    Q("q17_minhash_sig", q17 _, Some(q17Sql)),
+    Q("q18_minhash_lsh_pairs", q18 _, Some(q18Sql)),
+    Q("q19_simhash", q19 _, Some(q19Sql)),
+    Q("q20_ngram_jaccard", q20 _, Some(q20Sql)),
+    Q("q21_langid", q21 _, Some(q21Sql)),
+    Q("q22_quality_score", q22 _, Some(q22Sql)),
+    Q("q23_token_stats", q23 _, Some(q23Sql)),
+    Q("q24_fingerprint", q24 _, Some(q24Sql)))
+}

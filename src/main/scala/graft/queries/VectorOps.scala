@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Engine.table
+import graft.operators.SimilaritySearch
+
+/** Similarity-search surface over the `embeddings` table: brute-force
+  * cosine top-k (baseline) and IVF-style bucketed top-k (scale path).
+  * Both engines compute the dot product as an identical left-to-right
+  * DOUBLE fold, so rounded similarities hash-match exactly.
+  */
+object VectorOps {
+
+  private val QueryIds: Seq[Long] = 0L until 10L
+  private def queryIdList = QueryIds.mkString("(", ", ", ")")
+
+  /** SQL fragment: left-fold dot product of DOUBLE[] exprs a . b. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Brute-force exact cosine top-5 for 10 query vectors. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.bruteForceTopK(
+      table(s, dir, "embeddings"), "vec_id", "embedding", QueryIds, 5)
+      .select("query_id", "cand_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+
+  private val q25Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id IN $queryIdList),
+        sc AS (SELECT query_id, c.vec_id AS cand_id,
+                 round(${sqlDot("qv", "c.v")} /
+                       (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})), 6)
+                   AS cos_sim
+               FROM q CROSS JOIN e c WHERE c.vec_id <> query_id)
+        SELECT query_id, cand_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+          FROM sc) x
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** IVF-style bucketed cosine top-3 (search only the query's cluster). */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.bucketedTopK(
+      table(s, dir, "embeddings"), "vec_id", "embedding", "label", QueryIds, 3)
+      .select("query_id", "bucket", "cand_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+
+  private val q26Sql =
+    s"""WITH e AS (SELECT vec_id, label::BIGINT AS bucket, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, bucket AS q_bucket, v AS qv FROM e
+              WHERE vec_id IN $queryIdList),
+        sc AS (SELECT query_id, c.bucket AS bucket, c.vec_id AS cand_id,
+                 round(${sqlDot("qv", "c.v")} /
+                       (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})), 6)
+                   AS cos_sim
+               FROM q JOIN e c ON c.bucket = q.q_bucket
+               WHERE c.vec_id <> query_id)
+        SELECT query_id, bucket, cand_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+          FROM sc) x
+        WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  val all: Seq[Q] = Seq(
+    Q("q25_cosine_topk", q25 _, Some(q25Sql)),
+    Q("q26_cosine_bucketed", q26 _, Some(q26Sql)))
+}
