@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the latest right row with
+  * `rightOrd <= leftOrd` within the same key — an operator Spark lacks
+  * natively (SPARK-22947).
+  *
+  * Implementation is the union+carry-forward form, not a range join:
+  * both sides are tagged and unioned, sorted within each key by
+  * (ord, side) with right-before-left on ties, and the right payload is
+  * carried forward with `last(_, ignoreNulls)` over an unbounded-
+  * preceding row frame. Cost at 100 TB: ONE shuffle of (left ∪ right)
+  * on the key + a per-partition sort — no O(left × right) range
+  * explosion, no broadcast requirement, and skewed keys split under
+  * AQE. This is the same plan shape Flink/Kappa pipelines use for
+  * temporal joins.
+  *
+  * Right rows must be unique per (key, rightOrd) — pre-aggregate ties
+  * upstream (e.g. max_by) or carried values are nondeterministic.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftOrd: String, rightOrd: String, rightPayload: Seq[String]): DataFrame = {
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rp = right.select(rStruct.as("__rp")).schema("__rp").dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lp = left.select(lStruct.as("__lp")).schema("__lp").dataType
+
+    val r2 = right.select(
+      col(key).as("__k"), col(rightOrd).as("__ord"), lit(0).as("__side"),
+      rStruct.as("__rp"), lit(null).cast(lp).as("__lp"))
+    val l2 = left.select(
+      col(key).as("__k"), col(leftOrd).as("__ord"), lit(1).as("__side"),
+      lit(null).cast(rp).as("__rp"), lStruct.as("__lp"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ord"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = r2.unionByName(l2)
+      .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val leftCols = left.columns.map(c => col(s"__lp.$c"))
+    val matchCols = rightPayload.map(c => col(s"__match.$c"))
+    carried.select(leftCols ++ matchCols: _*)
+  }
+}

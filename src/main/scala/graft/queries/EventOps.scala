@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.operators.AsOfJoin
+import graft.streaming.StreamingIngest
+
+/** Event-stream operator surface over the `events` table: event-time
+  * bucketing, sessionization (gaps-and-islands), backward as-of join,
+  * and a real Structured-Streaming windowed aggregation.
+  *
+  * Timestamps are ns-precision in the parquet; every output reduces
+  * them to BIGINT epoch seconds so both engines hash identically.
+  */
+object EventOps {
+
+  /** events.ts arrives as ns-since-epoch LONG (nanosAsLong); reduce to
+    * epoch seconds with exact integer division (`div`) — no float drift
+    * at second boundaries on either engine. */
+  private def epochSec(colName: String): Column = expr(s"$colName div 1000000000")
+
+  /** Event-time bucketing: per (hour, type) counts and value sums —
+    * the dashboard "offers per day" trend shape (PLAN_REALISATION.md:481). */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sec = epochSec("ts")
+    table(s, dir, "events")
+      .groupBy(
+        (sec - pmod(sec, lit(3600L))).as("hour_epoch"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum($"value"), 2).as("sum_val"),
+        round(avg($"value"), 4).as("avg_val"))
+      .orderBy($"hour_epoch", $"event_type")
+  }
+
+  private val q27Sql =
+    """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
+                    FROM events)
+       SELECT sec - sec % 3600 AS hour_epoch,
+       event_type, count(*) AS cnt,
+       round(sum(value), 2) AS sum_val, round(avg(value), 4) AS avg_val
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Sessionization: a 30-minute inactivity gap starts a new session
+    * (gaps-and-islands via lag + running sum; one shuffle on user_id). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", $"event_id", epochSec("ts").as("sec"))
+    val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    ev
+      .withColumn("prev_sec", lag($"sec", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"sec").as("start_sec"),
+        (max($"sec") - min($"sec")).as("dur_sec"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  private val q28Sql =
+    """WITH e AS (SELECT user_id, event_id,
+                  epoch_ns(ts) // 1000000000 AS sec FROM events),
+       g AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                              OR sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       s AS (SELECT *, CAST(sum(ns) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+       SELECT user_id, session_id, count(*) AS n_events,
+              min(sec) AS start_sec, max(sec) - min(sec) AS dur_sec
+       FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Backward as-of join: each purchase matched to the user's latest
+    * click at-or-before it (custom operator; DuckDB replays it with a
+    * native ASOF LEFT JOIN). */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", epochSec("ts").as("sec"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"sec")
+    // unique right rows per (key, ord): keep the max click id per second
+    val clicks = ev.where($"event_type" === "click")
+      .groupBy($"user_id", $"sec".as("click_sec"))
+      .agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"click_sec", $"click_id")
+    AsOfJoin.backward(purchases, clicks, "user_id", "sec", "click_sec",
+        Seq("click_id", "click_sec"))
+      .select($"event_id", $"user_id", $"sec",
+        $"click_id", $"click_sec",
+        ($"sec" - $"click_sec").as("gap_sec"))
+      .orderBy($"event_id")
+  }
+
+  private val q29Sql =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_ns(ts) // 1000000000 AS sec FROM events),
+       p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, sec AS click_sec, max(event_id) AS click_id
+             FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+       SELECT p.event_id, p.user_id, p.sec, c.click_id, c.click_sec,
+              p.sec - c.click_sec AS gap_sec
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND c.click_sec <= p.sec
+       ORDER BY p.event_id"""
+
+  /** Structured-Streaming event-time windowed aggregation (real
+    * MicroBatchExecution over the parquet source, AvailableNow). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    StreamingIngest.windowedEventCounts(s, dir)
+      .orderBy(col("day_epoch"), col("event_type"))
+
+  private val q30Sql =
+    """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
+                    FROM events)
+       SELECT sec - sec % 86400 AS day_epoch,
+       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val all: Seq[Q] = Seq(
+    Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
+    Q("q28_sessionize", q28 _, Some(q28Sql)),
+    Q("q29_asof_join", q29 _, Some(q29Sql)),
+    Q("q30_stream_window_agg", q30 _, Some(q30Sql)))
+}
