@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private def families: Seq[Q] =
-    Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all
+    Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++ DomainOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.matching
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offer <-> CV matching — the project's namesake capability, declared
+  * but absent in the reference (spark/batch/matching.py does not exist;
+  * the DAG skips it — matching_dag.py:50-57). Built from its spec:
+  *
+  *  - weights (PLAN_REALISATION.md:338-345): skills 40%, location 20%,
+  *    salary 20%, experience 20%;
+  *  - output table agg_matching_scores(job_id, candidate_id,
+  *    match_score, skill_match_pct, salary_match_pct,
+  *    location_match_pct, calculated_at) (NEXT_STEPS.md:182-192).
+  *
+  * Component definitions (spec gives only the weights; these rules are
+  * ours, unit-tested against the FIXTURES §4 oracle cases):
+  *  - skill_match_pct: |offer skills ∩ cv skills| / |cv skills| (on
+  *    competence-ids; 0 when the CV lists none);
+  *  - location_match_pct: 1.0 iff offer localisation_id ==
+  *    localisation_souhaitee_id;
+  *  - salary_match_pct: 1.0 when the offer range reaches the desired
+  *    salary (salaire_souhaite <= salary_max); otherwise
+  *    salary_max / salaire_souhaite clamped to [0,1]; 0 when unknown;
+  *  - experience_match_pct: 1.0 when the CV's years fall in the band of
+  *    the offer's niveau_experience (Débutant 0-2, Intermédiaire 3-5,
+  *    Senior 5+; "Non spécifié" matches everyone), else linear decay by
+  *    distance-to-band over 5 years.
+  *
+  * Scale design: the naive form is a cross join (offers x CVs = the
+  * 100 TB killer). We block on candidate sector OR desired location —
+  * two equi-joins unioned and de-duplicated, each shuffling only on its
+  * block key; scoring is pure Column math after the join.
+  */
+object Matching {
+
+  private def expBand(level: Column): (Column, Column) = (
+    when(level === "Débutant", 0).when(level === "Intermédiaire", 3)
+      .when(level === "Senior", 5).otherwise(0),
+    when(level === "Débutant", 2).when(level === "Intermédiaire", 5)
+      .when(level === "Senior", 100).otherwise(100))
+
+  def skillMatchPct(offerSkills: Column, cvSkills: Column): Column =
+    when(cvSkills.isNull || size(cvSkills) === 0, 0.0)
+      .otherwise(
+        size(array_intersect(coalesce(offerSkills, array().cast("array<string>")), cvSkills))
+          .cast("double") / size(cvSkills).cast("double"))
+
+  def locationMatchPct(offerLoc: Column, cvLoc: Column): Column =
+    when(offerLoc.isNotNull && offerLoc === cvLoc, 1.0).otherwise(0.0)
+
+  def salaryMatchPct(offerMax: Column, desired: Column): Column =
+    when(desired.isNull || desired <= 0, 0.0)
+      .when(offerMax.isNull, 0.0)
+      .when(offerMax >= desired, 1.0)
+      .otherwise(offerMax.cast("double") / desired.cast("double"))
+
+  def experienceMatchPct(level: Column, years: Column): Column = {
+    val (lo, hi) = expBand(level)
+    val dist = when(years < lo, lo - years).when(years > hi, years - hi).otherwise(0)
+    when(years.isNull, 0.0)
+      .when(level === "Non spécifié" || level.isNull, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - dist.cast("double") / 5.0))
+  }
+
+  /** Score all blocked offer x CV pairs -> agg_matching_scores rows.
+    *
+    * `offers` needs: offre_id, localisation_id, secteur_id,
+    * competences_ids, salaire_max, niveau_experience.
+    * `cvs` needs: cv_id, localisation_souhaitee_id, secteur_souhaite_id,
+    * competences_ids, salaire_souhaite, annees_experience.
+    */
+  def score(offers: DataFrame, cvs: DataFrame,
+      clock: Option[java.sql.Timestamp] = None): DataFrame = {
+    val o = offers.select(
+      col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
+      col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
+      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level"))
+    val c = cvs.select(
+      col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
+      col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
+      col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years"))
+
+    // blocked candidate generation: sector block ∪ location block
+    val bySector = o.join(c, col("o_sect") === col("c_sect"))
+    val byLocation = o.join(c, col("o_loc") === col("c_loc"))
+    val candidates = bySector.unionByName(byLocation)
+      .dropDuplicates("job_id", "candidate_id")
+
+    val skillPct = skillMatchPct(col("o_comp"), col("c_comp"))
+    val locPct = locationMatchPct(col("o_loc"), col("c_loc"))
+    val salPct = salaryMatchPct(col("o_sal_max"), col("c_sal"))
+    val expPct = experienceMatchPct(col("o_level"), col("c_years"))
+
+    candidates.select(
+      col("job_id"), col("candidate_id"),
+      round(skillPct * 0.4 + locPct * 0.2 + salPct * 0.2 + expPct * 0.2, 6)
+        .as("match_score"),
+      round(skillPct, 6).as("skill_match_pct"),
+      round(salPct, 6).as("salary_match_pct"),
+      round(locPct, 6).as("location_match_pct"),
+      graft.stages.Stages.processedAt(clock).as("calculated_at"))
+  }
+
+  /** Top-k offers per candidate (dashboard "Top 20 offres-CVs"). */
+  def topKPerCandidate(scores: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("candidate_id"))
+      .orderBy(col("match_score").desc, col("job_id"))
+    scores.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** The streaming-ingest transform chain (consume_jobs.py:105-139),
+  * shared verbatim between the Kafka stream and the file-based test
+  * source — parse, flatten, derive date parts, cleanse, impute.
+  * All pure projections: stateless, append-mode, shuffle-free.
+  */
+object IngestTransform {
+
+  /** Kafka key/value decode + fixed-schema JSON parse (S2+S3). Fields
+    * not in the declared 17-field schema are silently dropped. */
+  def parseKafka(raw: DataFrame): DataFrame =
+    raw
+      .selectExpr("CAST(key AS STRING) AS kafka_key", "CAST(value AS STRING) AS json_value")
+      .select(col("kafka_key"),
+        from_json(col("json_value"), Schemas.jobOfferRaw).as("job_data"))
+      .select(col("kafka_key"), col("job_data.*"))
+
+  /** Same parse for a value-only JSON-lines source (offline tests). */
+  def parseJsonValue(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value"), Schemas.jobOfferRaw).as("job_data"))
+      .select(col("job_data.*"))
+
+  private def cleanWs(c: Column): Column = regexp_replace(c, "\\s+", " ")
+
+  /** Derived columns + cleansing (consume_jobs.py:116-139). */
+  def enrich(parsed: DataFrame,
+      clock: Option[java.sql.Timestamp] = None): DataFrame =
+    parsed
+      .withColumn("scraped_date", to_date(col("scraped_at")))
+      .withColumn("scraped_year", year(col("scraped_date")))
+      .withColumn("scraped_month", month(col("scraped_date")))
+      .withColumn("scraped_day", dayofmonth(col("scraped_date")))
+      .withColumn("processed_at", graft.stages.Stages.processedAt(clock))
+      .withColumn("salary_amount", col("salary.amount"))
+      .withColumn("salary_currency", col("salary.currency"))
+      .withColumn("salary_period", col("salary.period"))
+      .withColumn("title", cleanWs(col("title")))
+      .withColumn("company", cleanWs(col("company")))
+      .withColumn("location", cleanWs(col("location")))
+      .withColumn("contract_type",
+        when(col("contract_type").isNull, "Non spécifié").otherwise(col("contract_type")))
+      .withColumn("experience_level",
+        when(col("experience_level").isNull, "Non spécifié").otherwise(col("experience_level")))
+      .withColumn("industry",
+        when(col("industry").isNull, "Autre").otherwise(col("industry")))
+}

@@ -1,0 +1,169 @@
+package graft.textkit
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+import scala.util.matching.Regex
+
+/** HTML field extraction — the reference's parse stage UDF cascade
+  * (parse_jobs.py:41-299, F1-F7).
+  *
+  * The reference uses BeautifulSoup CSS selectors; offline we implement
+  * the same selector CASCADES over a small regex-based tag extractor
+  * (first tag whose class attribute contains the selector's class
+  * token, inner text with tags stripped). Fallback chains, length
+  * guards and default values match the reference exactly.
+  */
+object HtmlExtract {
+
+  /** Inner text of the first element of `tag` whose class contains
+    * `cls` (cls == null: any `tag`). */
+  private def tagText(html: String, tag: String, cls: String): Option[String] = {
+    val pat =
+      if (cls == null)
+        s"""(?is)<$tag\\b[^>]*>(.*?)</$tag>""".r
+      else
+        s"""(?is)<$tag\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</$tag>""".r
+    pat.findFirstMatchIn(html).map(m => stripTags(m.group(1)))
+  }
+
+  /** Any-tag variant: first element with a class containing `cls`. */
+  private def classText(html: String, cls: String): Option[String] =
+    s"""(?is)<(\\w+)\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</\\1>""".r
+      .findFirstMatchIn(html).map(m => stripTags(m.group(2)))
+
+  def stripTags(html: String): String =
+    html.replaceAll("(?is)<script.*?</script>", " ")
+      .replaceAll("(?is)<style.*?</style>", " ")
+      .replaceAll("(?s)<[^>]+>", " ")
+      .replaceAll("\\s+", " ").trim
+
+  private def nonEmpty(o: Option[String], minLen: Int): Option[String] =
+    o.map(_.trim).filter(_.length > minLen)
+
+  /** F1: title cascade (parse_jobs.py:50-66). */
+  def extractTitle(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val candidates = Seq(
+      () => tagText(html, "h1", "job-title"),
+      () => tagText(html, "h1", "title"),
+      () => classText(html, "offer-title"),
+      () => tagText(html, "h1", null),
+      () => classText(html, "title"),
+      () => classText(html, "job"),
+      () => tagText(html, "title", null))
+    candidates.view.map(f => nonEmpty(f(), 5)).collectFirst { case Some(t) => t }.orNull
+  }
+
+  /** F2: company cascade + text patterns; default
+    * "Entreprise confidentielle" (parse_jobs.py:83-112). */
+  def extractCompany(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val selectors = Seq("company-name", "employer", "company", "organization", "firm", "enterprise")
+    val bySel = selectors.view.map(c => nonEmpty(classText(html, c), 2))
+      .collectFirst { case Some(t) => t }
+    bySel.getOrElse {
+      val text = stripTags(html)
+      val pats = Seq(
+        """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
+        """([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
+      pats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim))
+        .collectFirst { case c if c.length > 2 => c }
+        .getOrElse("Entreprise confidentielle")
+    }
+  }
+
+  /** F3: description cascade; fallback = page text sans chrome tags,
+    * truncated to 2000 chars (parse_jobs.py:124-144). */
+  def extractDescription(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val selectors = Seq("job-description", "description", "offer-description",
+      "job-content", "position-description", "content", "main-content")
+    val bySel = selectors.view.map(c => nonEmpty(classText(html, c), 50))
+      .collectFirst { case Some(t) => t }
+    bySel.getOrElse {
+      val cleaned = html
+        .replaceAll("(?is)<(script|style|nav|header|footer|aside)\\b.*?</\\1>", " ")
+      val text = stripTags(cleaned)
+      if (text.length > 100) text.take(2000) else null
+    }
+  }
+
+  /** F4: requirements selectors joined; fallback bullet-list items,
+    * max 10 (parse_jobs.py:161-186). */
+  def extractRequirements(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val selectors = Seq("requirements", "qualifications", "skills", "competences",
+      "job-requirements", "profile", "requirement", "skill", "competence")
+    val hits = selectors.flatMap(c => classText(html, c)).map(_.trim).filter(_.length > 10)
+    if (hits.nonEmpty) hits.distinct.mkString(" ")
+    else {
+      val text = classText(html, "description").orElse(classText(html, "content"))
+        .getOrElse(stripTags(html))
+      val items = """[•\-\*]\s*([^\n•\-\*]+)""".r
+        .findAllMatchIn(text).map(_.group(1).trim).toSeq
+      if (items.nonEmpty) items.take(10).mkString(" ") else null
+    }
+  }
+
+  /** Ivorian city list (parse_jobs.py:217-221). */
+  val ciCities: Seq[String] = Seq(
+    "Abidjan", "Bouaké", "Daloa", "Yamoussoukro", "San-Pédro",
+    "Korhogo", "Man", "Gagnoa", "Divo", "Soubré", "Côte d'Ivoire", "Ivory Coast")
+
+  /** F5: location cascade; city scan; default "Côte d'Ivoire"
+    * (parse_jobs.py:203-230). */
+  def extractLocation(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val selectors = Seq("location", "place", "city", "address")
+    val bySel = selectors.view.map(c => nonEmpty(classText(html, c), 2))
+      .collectFirst { case Some(t) => t }
+    bySel.getOrElse {
+      val textLo = stripTags(html).toLowerCase
+      ciCities.find(c => textLo.contains(c.toLowerCase)).getOrElse("Côte d'Ivoire")
+    }
+  }
+
+  /** F6: salary selector cascade; FCFA/€/$ regex fallback
+    * (parse_jobs.py:242-265). */
+  def extractSalaryText(html: String): String = {
+    if (html == null || html.isEmpty) return null
+    val selectors = Seq("salary", "remuneration", "compensation", "pay", "remun")
+    val bySel = selectors.view.map(c => nonEmpty(classText(html, c), 0))
+      .collectFirst { case Some(t) => t }
+    bySel.getOrElse {
+      val text = stripTags(html)
+      val pats: Seq[Regex] = Seq(
+        """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:FCFA|CFA|XOF|francs?|€|\$)""".r,
+        """(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,]*)""".r,
+        """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:par|/)\s*(?:mois|month|an|year)""".r)
+      pats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim)).headOption.orNull
+    }
+  }
+
+  /** F7: contract-type keyword table; default "Non spécifié"
+    * (parse_jobs.py:282-299). */
+  val contractKeywords: Seq[(String, Seq[String])] = Seq(
+    "CDI" -> Seq("cdi", "contrat à durée indéterminée", "permanent", "durable"),
+    "CDD" -> Seq("cdd", "contrat à durée déterminée", "temporaire", "intérim"),
+    "Stage" -> Seq("stage", "internship", "formation", "apprentissage"),
+    "Freelance" -> Seq("freelance", "indépendant", "consultant", "prestataire"),
+    "Alternance" -> Seq("alternance", "apprentissage", "contrat pro"),
+    "Mission" -> Seq("mission", "projet", "contractuel"))
+
+  def extractContractType(html: String): String = {
+    if (html == null || html.isEmpty) return "Non spécifié"
+    val lo = html.toLowerCase
+    contractKeywords.collectFirst {
+      case (ct, kws) if kws.exists(lo.contains) => ct
+    }.getOrElse("Non spécifié")
+  }
+
+  val titleUdf: UserDefinedFunction = udf(extractTitle _)
+  val companyUdf: UserDefinedFunction = udf(extractCompany _)
+  val descriptionUdf: UserDefinedFunction = udf(extractDescription _)
+  val requirementsUdf: UserDefinedFunction = udf(extractRequirements _)
+  val locationUdf: UserDefinedFunction = udf(extractLocation _)
+  val salaryTextUdf: UserDefinedFunction = udf(extractSalaryText _)
+  val contractTypeUdf: UserDefinedFunction = udf(extractContractType _)
+}

@@ -1,0 +1,179 @@
+package graft.textkit
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Skill extraction, categorization and confidence scoring — the
+  * reference's parse-stage catalog (parse_jobs.py:302-352, F8), the NLP
+  * stage's category catalog + regex patterns (extract_skills.py:61-197,
+  * F15 — the optional spaCy pass degrades to catalog-only, which is the
+  * deterministic subset we implement, per extract_skills.py:49-58),
+  * category classification (extract_skills.py:200-242, F16) and
+  * confidence scoring (extract_skills.py:245-263, F17).
+  *
+  * All pure Column expressions. Python `str.title()` semantics (first
+  * letter of every alphabetic run uppercased: "node.js" -> "Node.Js")
+  * are precomputed over the static catalogs at class-load time, so the
+  * runtime plan only does substring checks + literal lookups.
+  */
+object Skills {
+
+  /** Python str.title() reimplementation, applied to catalog constants. */
+  def pythonTitle(s: String): String = {
+    val sb = new StringBuilder
+    var prevAlpha = false
+    for (ch <- s) {
+      val isAlpha = ch.isLetter
+      sb.append(if (isAlpha && !prevAlpha) ch.toUpper else if (isAlpha) ch.toLower else ch)
+      prevAlpha = isAlpha
+    }
+    sb.toString
+  }
+
+  /** Parse-stage flat skill catalog (parse_jobs.py:309-339), in order. */
+  val parseCatalog: Seq[String] = Seq(
+    "python", "java", "javascript", "typescript", "c#", "c++", "php", "ruby",
+    "go", "rust", "scala", "kotlin", "swift", "r", "matlab", "sas",
+    "html", "css", "react", "vue", "angular", "node.js", "express",
+    "django", "flask", "spring", "laravel", "symfony", ".net",
+    "sql", "mysql", "postgresql", "mongodb", "redis", "elasticsearch",
+    "oracle", "sqlite", "cassandra", "hbase",
+    "hadoop", "spark", "kafka", "hive", "pig", "flume", "sqoop",
+    "airflow", "presto", "druid",
+    "aws", "azure", "gcp", "docker", "kubernetes", "terraform",
+    "jenkins", "gitlab", "github", "bitbucket",
+    "tableau", "power bi", "qlik", "looker", "excel", "sap",
+    "spss", "stata", "r studio",
+    "agile", "scrum", "kanban", "devops", "ci/cd", "tdd", "bdd",
+    "management", "leadership", "communication", "teamwork", "problem solving")
+
+  /** F8: substring-detect catalog skills in free text, Title-cased,
+    * first-occurrence order, de-duplicated. */
+  def extractSkills(text: Column): Column = {
+    val lo = lower(coalesce(text, lit("")))
+    val hits = array(parseCatalog.map(s =>
+      when(lo.contains(s), lit(pythonTitle(s))).otherwise(lit(null).cast("string"))): _*)
+    array_distinct(filter(hits, h => h.isNotNull))
+  }
+
+  /** NLP-stage catalog: canonical category -> variant substrings
+    * (extract_skills.py:76-128), in order. Detected names are the
+    * category with '_' -> ' ' then title-case ("machine_learning" ->
+    * "Machine Learning"). */
+  val nlpCatalog: Seq[(String, Seq[String])] = Seq(
+    "python" -> Seq("python", "py", "pandas", "numpy", "django", "flask", "fastapi"),
+    "java" -> Seq("java", "spring", "hibernate", "maven", "gradle"),
+    "javascript" -> Seq("javascript", "js", "node.js", "react", "vue", "angular", "typescript"),
+    "csharp" -> Seq("c#", ".net", "asp.net", "entity framework"),
+    "php" -> Seq("php", "laravel", "symfony", "wordpress"),
+    "ruby" -> Seq("ruby", "rails", "ror"),
+    "go" -> Seq("go", "golang"),
+    "rust" -> Seq("rust"),
+    "scala" -> Seq("scala", "akka"),
+    "kotlin" -> Seq("kotlin", "android"),
+    "swift" -> Seq("swift", "ios"),
+    "r" -> Seq("r", "rstudio", "shiny"),
+    "matlab" -> Seq("matlab"),
+    "sas" -> Seq("sas"),
+    "sql" -> Seq("sql", "mysql", "postgresql", "oracle", "sqlite", "tsql"),
+    "nosql" -> Seq("mongodb", "cassandra", "redis", "elasticsearch", "dynamodb"),
+    "bigdata" -> Seq("hadoop", "spark", "kafka", "hive", "pig", "flume", "sqoop"),
+    "aws" -> Seq("aws", "ec2", "s3", "lambda", "rds", "cloudformation"),
+    "azure" -> Seq("azure", "blob storage", "azure functions"),
+    "gcp" -> Seq("gcp", "google cloud", "bigquery", "cloud storage"),
+    "docker" -> Seq("docker", "container", "kubernetes", "k8s"),
+    "terraform" -> Seq("terraform", "infrastructure as code"),
+    "jenkins" -> Seq("jenkins", "ci/cd", "gitlab ci", "github actions"),
+    "linux" -> Seq("linux", "bash", "shell", "ubuntu", "centos"),
+    "tableau" -> Seq("tableau", "tableau desktop", "tableau server"),
+    "powerbi" -> Seq("power bi", "powerbi", "dax"),
+    "qlik" -> Seq("qlik", "qlikview", "qliksense"),
+    "excel" -> Seq("excel", "vba", "macros"),
+    "sap" -> Seq("sap", "sap hana", "abap"),
+    "agile" -> Seq("agile", "scrum", "kanban", "sprint"),
+    "devops" -> Seq("devops", "ci/cd", "continuous integration"),
+    "tdd" -> Seq("tdd", "test driven development"),
+    "bdd" -> Seq("bdd", "behavior driven development"),
+    "frontend" -> Seq("html", "css", "bootstrap", "tailwind", "sass"),
+    "backend" -> Seq("api", "rest", "graphql", "microservices", "soap"),
+    "machine_learning" -> Seq("machine learning", "ml", "tensorflow", "pytorch", "scikit-learn"),
+    "deep_learning" -> Seq("deep learning", "neural networks", "cnn", "rnn"),
+    "data_science" -> Seq("data science", "statistics", "probability", "data analysis"))
+
+  /** Extra regex patterns of the NLP stage (extract_skills.py:149-160);
+    * run against the CLEANED text exactly as the reference does (so
+    * patterns whose glyphs the cleaning strips, like c\+\+, can only
+    * match via their plain alternates — bug-compatible). Matched group
+    * with '.' removed, Title-cased. */
+  val nlpPatterns: Seq[String] = Seq(
+    "\\b(c\\+\\+|cpp)\\b", "\\b(react\\.js|reactjs)\\b", "\\b(node\\.js|nodejs)\\b",
+    "\\b(express\\.js|expressjs)\\b", "\\b(jquery)\\b", "\\b(bootstrap)\\b",
+    "\\b(tailwind)\\b", "\\b(sass|scss)\\b", "\\b(webpack)\\b", "\\b(gulp|grunt)\\b")
+
+  /** F15 (deterministic subset): catalog + regex detection over text
+    * cleaned the reference's way (unicode non-word -> space, collapse). */
+  def extractSkillsNlp(text: Column): Column = {
+    val guardEmpty = text.isNull || length(trim(text)) < 10
+    val clean = regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "(?U)[^\\w\\s]", " "),
+      "\\s+", " ")
+    val catalogHits = nlpCatalog.map { case (cat, variants) =>
+      val name = pythonTitle(cat.replace('_', ' '))
+      when(variants.map(v => clean.contains(v)).reduce(_ || _), lit(name))
+        .otherwise(lit(null).cast("string"))
+    }
+    val patternHits = nlpPatterns.map { p =>
+      val hit = nullif(regexp_extract(clean, p, 1), lit(""))
+      // '.' removal is a no-op post-cleaning but kept for fidelity
+      when(hit.isNotNull, initcap(regexp_replace(hit, "\\.", "")))
+        .otherwise(lit(null).cast("string"))
+    }
+    val all = array((catalogHits ++ patternHits): _*)
+    when(guardEmpty, array().cast("array<string>"))
+      .otherwise(array_distinct(filter(all, h => h.isNotNull)))
+  }
+
+  /** F16 category catalog (extract_skills.py:207-236), in order. */
+  val categoryCatalog: Seq[(String, Seq[String])] = Seq(
+    "Programmation" -> Seq("python", "java", "javascript", "csharp", "php", "ruby",
+      "go", "rust", "scala", "kotlin", "swift", "r", "matlab", "sas", "c++", "cpp"),
+    "Base de Données" -> Seq("sql", "nosql", "mysql", "postgresql", "mongodb",
+      "redis", "elasticsearch"),
+    "Big Data" -> Seq("hadoop", "spark", "kafka", "hive", "bigquery", "data science"),
+    "Cloud" -> Seq("aws", "azure", "gcp", "docker", "kubernetes", "terraform"),
+    "DevOps" -> Seq("jenkins", "linux", "bash", "ci/cd", "devops"),
+    "BI & Analytics" -> Seq("tableau", "powerbi", "qlik", "excel", "sap"),
+    "Web" -> Seq("html", "css", "react", "vue", "angular", "bootstrap", "tailwind"),
+    "IA & ML" -> Seq("machine learning", "deep learning", "tensorflow", "pytorch"),
+    "Méthodologies" -> Seq("agile", "scrum", "kanban", "tdd", "bdd"))
+
+  /** F16: first category (in catalog order) with a substring hit;
+    * "Technique" otherwise; "Autre" for null/empty input. */
+  def classifySkillCategory(skill: Column): Column = {
+    val lo = lower(skill)
+    val chain = categoryCatalog.reverse.foldLeft(lit("Technique")) {
+      case (fallback, (cat, keys)) =>
+        when(keys.map(k => lo.contains(k)).reduce(_ || _), lit(cat)).otherwise(fallback)
+    }
+    when(skill.isNull || length(skill) === 0, lit("Autre")).otherwise(chain)
+  }
+
+  /** Substring occurrence count (Python str.count: non-overlapping). */
+  private def substrCount(hay: Column, needle: Column): Column =
+    when(length(needle) === 0, 0)
+      .otherwise(((length(hay) - length(replace(hay, needle, lit("")))) / length(needle))
+        .cast("int"))
+
+  /** F17 confidence: min(0.9, 0.6 + 0.1*freq) + 0.1 when a skills-list
+    * marker word appears in context; 0.5 for missing inputs. */
+  def skillConfidence(skill: Column, context: Column): Column = {
+    val lo = lower(skill)
+    val ctx = lower(context)
+    val freq = substrCount(ctx, lo).cast("double")
+    val base = least(lit(0.9), lit(0.6) + freq * 0.1)
+    val bonus = when(Seq("compétences", "skills", "technologies", "outils")
+      .map(w => ctx.contains(w)).reduce(_ || _), 0.1).otherwise(0.0)
+    when(skill.isNull || length(skill) === 0 || context.isNull || length(context) === 0,
+      0.5).otherwise(base + bonus)
+  }
+}

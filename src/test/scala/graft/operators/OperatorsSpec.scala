@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+class OperatorsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("AsOfJoin.backward picks latest right row at or before left ord") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 8L, "c-early"), (1L, 15L, "c-mid"), (2L, 9L, "c-late"))
+      .toDF("k", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload", "rts"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).getAs[String]("payload") == "c-early") // ts=10 -> rts=8
+    assert(out(1).getAs[String]("payload") == "c-mid") // ts=20 -> rts=15
+    assert(out(2).isNullAt(out(2).fieldIndex("payload"))) // ts=5 has no prior
+  }
+
+  test("AsOfJoin tie at equal ord: right row visible to left row") {
+    val left = Seq((1L, 10L, "p")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "same-ts")).toDF("k", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+    assert(out.first().getAs[String]("payload") == "same-ts")
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "text")
+    val out = Dedup.exact(df, "id", "text").orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds identical and near-identical docs, skips distinct") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different content about spark dataframes and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs equal, unrelated docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text", 32)
+      .orderBy("id").select("simhash").as[Long].collect()
+    assert(sh(0) == sh(1))
+    assert(sh(0) != sh(2))
+  }
+
+  test("ngram jaccard pairs within block") {
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster during wide transformations"),
+      (2L, "spark shuffles data across the cluster during wide operations"),
+      (3L, "spark is entirely different and unrelated text corpus material"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", lit("b"), 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force cosine topk returns self-similar neighbors first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = SimilaritySearch.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), 2)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("language id picks the marker-dominant language") {
+    val df = Seq(
+      "the cat and the dog is in the house of the king",
+      "le chat et la maison et les gens le jour",
+      "der hund und die katze ist der beste",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "fr", "de", "und"))
+  }
+}
