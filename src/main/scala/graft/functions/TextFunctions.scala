@@ -39,11 +39,17 @@ object TextFunctions {
   /** Token hash reduced into the MinHash ring [0, P). */
   def tokenHashMod(c: Column): Column = pmod(tokenHash(c), lit(HashP))
 
-  /** MinHash signature (k permutations) of a distinct-token array. */
+  /** MinHash signature (k permutations) of a distinct-token array. The
+    * md5 token hash is computed ONCE per token, then each permutation
+    * is two integer ops over the hashed array — not k md5 passes. */
   def minhashSignature(toks: Column, k: Int): Column =
+    minhashFromHashes(transform(toks, t => tokenHashMod(t)), k)
+
+  /** Signature from an already-hashed (mod-P) token array. */
+  def minhashFromHashes(hashedMod: Column, k: Int): Column =
     array((0 until k).map { i =>
       val (a, b) = hashParams(i)
-      array_min(transform(toks, t => pmod(lit(a) * tokenHashMod(t) + lit(b), lit(HashP))))
+      array_min(transform(hashedMod, h => pmod(lit(a) * h + lit(b), lit(HashP))))
     }: _*)
 
   /** Word n-gram shingles of a token array (space-joined). Guarded for
@@ -91,6 +97,12 @@ object TextFunctions {
   def sqlMinhash(toksE: String, i: Int): String = {
     val (a, b) = hashParams(i)
     s"list_min(list_transform($toksE, x -> ($a * ${sqlTokenHashMod("x")} + $b) % $HashP))"
+  }
+
+  /** SQL: MinHash element i over an already-hashed (mod-P) array expr. */
+  def sqlMinhashFromHashes(hashedE: String, i: Int): String = {
+    val (a, b) = hashParams(i)
+    s"list_min(list_transform($hashedE, h -> ($a * h + $b) % $HashP))"
   }
 
   /** SQL: occurrence count of literal `marker` (single-quote-safe). */

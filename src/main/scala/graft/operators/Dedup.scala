@@ -42,10 +42,19 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
-    val toks = df.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
-    val sigs = toks.select(col("id"), minhashSignature(col("toks"), k).as("sig"))
+    // hash each distinct token ONCE; signatures and the verification
+    // Jaccard both work over the int64 hashes (md5 60-bit: collisions
+    // are negligible, and the SQL oracle hashes identically). Kept
+    // sorted so the verification uses the codegen'd merge-walk Jaccard.
+    val toks = df.select(col(idCol).as("id"),
+      sort_array(transform(tokenSet(col(textCol)), t => tokenHashMod(t))).as("toks"))
+    val sigs = toks.select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
     val nBands = k / bandsOf
-    // (band index, band key) buckets; one shuffle co-locates candidates.
+    // One shuffle on (band index, band key) with NARROW rows (ids +
+    // key only); candidate de-dup is a hash aggregate with map-side
+    // partial combine; verification joins the token arrays back via
+    // explicit broadcast (the per-doc side is tiny relative to the
+    // pair set) so no second shuffle touches the wide arrays.
     val bands = sigs.select(
       col("id"),
       posexplode(array((0 until nBands).map { b =>
@@ -58,30 +67,27 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
+      .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 6).as("jaccard"))
+        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
-    * portable 60-bit token hash; bit set iff more tokens vote 1 than 0).
-    * Explode + hash-aggregate: partial sums combine map-side, so the
-    * shuffle carries one row per (doc, bit-vector), not per token. */
+    * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
+    * i.e. 2*ones > n). Entirely per-row — token hashes are bound once
+    * as a column, each bit is a filter-count over that array; zero
+    * shuffles, pipelines into the scan. (An explode + partial-agg
+    * variant would only win for documents too wide for one row.) */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits <= 60, "token hash provides 60 usable bits")
-    val perTok = df.select(col(idCol).as("id"),
-      explode(tokenSet(col(textCol))).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val votes = (0 until bits).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) > 0, 1).otherwise(-1)).as(s"v$j")
-    }
-    perTok.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
+    df.select(col(idCol).as("id"),
+        transform(tokenSet(col(textCol)), t => tokenHash(t)).as("h"))
+      .where(size(col("h")) > 0)
       .select(col("id"),
-        (0 until bits).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        graft.functions.SimHashExpr.simhashFromHashes(col("h"), bits).as("simhash"))
   }
 
   /** Word n-gram Jaccard near-dup pairs inside a caller-chosen blocking
@@ -89,16 +95,24 @@ object Dedup {
     * reference's collect_list-then-O(n^2)-UDF dedup, deduplicate.py:236-270). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, n: Int, threshold: Double): DataFrame = {
-    val prepped = df.select(
-      col(idCol).as("id"),
-      blockKey.as("block"),
-      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+    // staged projections bind each intermediate as a column: the token
+    // array is computed once per row, NOT re-evaluated by every
+    // element_at inside the shingle lambda (higher-order lambdas do not
+    // share subexpressions); shingles are md5-hashed to int64 and kept
+    // sorted so the per-pair Jaccard is the codegen'd merge walk
+    val prepped = df
+      .select(col(idCol).as("id"), blockKey.as("block"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("block"), shingles(col("toks"), n).as("shs"))
+      .select(col("id"), col("block"),
+        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh"))
     val a = prepped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(graft.functions.ArrayOps.sortedJaccard(col("sh_a"), col("sh_b")), 6)
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }

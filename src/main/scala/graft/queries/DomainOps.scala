@@ -27,16 +27,22 @@ object DomainOps {
     * self-join + native Jaccard scoring (the dedup engine's join form). */
   private def q31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // normalize ONCE per row (map stage), join on the block, score
+    // cheap array ops per pair — the shape that survives 100x data
     val c = table(s, dir, "customer").select(
-      $"c_custkey", $"c_name", $"c_mktsegment", $"c_nationkey")
-    val a = c.select($"c_custkey".as("k1"), $"c_name".as("n1"),
-      $"c_mktsegment".as("s1"), $"c_nationkey".as("nk"))
-    val b = c.select($"c_custkey".as("k2"), $"c_name".as("n2"),
-      $"c_mktsegment".as("s2"), $"c_nationkey".as("nkb"))
+      $"c_custkey", $"c_nationkey",
+      Normalize.simTokensHashed($"c_name").as("toks"),
+      Normalize.normText($"c_mktsegment").as("segn"),
+      Normalize.normText($"c_nationkey".cast("string")).as("locn"),
+      Normalize.simOk($"c_name", $"c_mktsegment", $"c_nationkey".cast("string")).as("ok"))
+    val a = c.select($"c_custkey".as("k1"), $"c_nationkey".as("nk"),
+      $"toks".as("toks1"), $"segn".as("segn1"), $"locn".as("locn1"), $"ok".as("ok1"))
+    val b = c.select($"c_custkey".as("k2"), $"c_nationkey".as("nkb"),
+      $"toks".as("toks2"), $"segn".as("segn2"), $"locn".as("locn2"), $"ok".as("ok2"))
     a.join(b, $"nk" === $"nkb" && $"k1" < $"k2")
-      .withColumn("score", round(Normalize.similarityScore(
-        $"n1", $"s1", $"nk".cast("string"),
-        $"n2", $"s2", $"nkb".cast("string")), 6))
+      .withColumn("score", round(Normalize.similarityScorePrepped(
+        $"toks1", $"segn1", $"locn1", $"ok1",
+        $"toks2", $"segn2", $"locn2", $"ok2"), 6))
       .where($"score" >= 0.5)
       .select($"nk".cast("long").as("nationkey"), $"k1", $"k2", $"score")
       .orderBy($"nationkey", $"k1", $"k2")

@@ -69,13 +69,15 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
 
   private val q18Sql = {
-    val ms = (0 until MinhashK).map(i => sqlMinhash("toks", i)).mkString(",\n  ")
+    val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
     val nBands = MinhashK / BandRows
     val bandSelects = (0 until nBands).map { b =>
       val key = (1 to BandRows).map(r => s"sig[${b * BandRows + r}]").mkString(", ")
       s"SELECT id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id AS id, ${sqlTokenSet("text")} AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id AS id,
+          list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")}) AS toks
+          FROM documents),
         sig AS (SELECT id, [$ms] AS sig FROM t),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -123,8 +125,10 @@ object TextOps {
     s"""WITH t AS (SELECT doc_id AS id, ${sqlTokenSetAll("text")} AS toks FROM documents),
         s AS (SELECT id, toks[1] AS block,
                 CASE WHEN len(toks) >= 3 THEN
-                  list_distinct(list_transform(range(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  list_distinct(list_transform(
+                    list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                    g -> ${sqlTokenHash("g")}))
                 ELSE [] END AS sh
               FROM t)
         SELECT block, id_a, id_b, jaccard FROM (

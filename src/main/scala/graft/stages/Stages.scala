@@ -153,18 +153,28 @@ object Deduplicate {
     .withColumn("normalized_company", Normalize.normText(col("company")))
     .withColumn("normalized_location", Normalize.normText(col("location")))
 
-  /** Similar same-key pairs (job_id_1 < job_id_2, score >= threshold). */
+  /** Similar same-key pairs (job_id_1 < job_id_2, score >= threshold).
+    * Normalization happens once per row (reusing prepare()'s normalized
+    * columns); the per-pair work after the blocked self-join is only
+    * array intersection + string equality. */
   def duplicatePairs(prepared: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val a = prepared.select(
-      col("similarity_key"), col("job_id").as("job_id_1"),
-      col("title").as("t1"), col("company").as("c1"), col("location").as("l1"))
-    val b = prepared.select(
-      col("similarity_key"), col("job_id").as("job_id_2"),
-      col("title").as("t2"), col("company").as("c2"), col("location").as("l2"))
+    val toks = sort_array(transform(
+      array_distinct(filter(split(col("normalized_title"), " "), w => length(w) > 0)),
+      t => graft.functions.TextFunctions.tokenHash(t)))
+    val side = prepared.select(
+      col("similarity_key"), col("job_id"),
+      toks.as("toks"), col("normalized_company").as("cn"),
+      col("normalized_location").as("ln"),
+      Normalize.simOk(col("title"), col("company"), col("location")).as("ok"))
+    val a = side.select(col("similarity_key"), col("job_id").as("job_id_1"),
+      col("toks").as("toks1"), col("cn").as("cn1"), col("ln").as("ln1"), col("ok").as("ok1"))
+    val b = side.select(col("similarity_key"), col("job_id").as("job_id_2"),
+      col("toks").as("toks2"), col("cn").as("cn2"), col("ln").as("ln2"), col("ok").as("ok2"))
     a.join(b, Seq("similarity_key"))
       .where(col("job_id_1") < col("job_id_2"))
-      .withColumn("similarity_score", Normalize.similarityScore(
-        col("t1"), col("c1"), col("l1"), col("t2"), col("c2"), col("l2")))
+      .withColumn("similarity_score", Normalize.similarityScorePrepped(
+        col("toks1"), col("cn1"), col("ln1"), col("ok1"),
+        col("toks2"), col("cn2"), col("ln2"), col("ok2")))
       .where(col("similarity_score") >= threshold)
       .select("similarity_key", "job_id_1", "job_id_2", "similarity_score")
   }

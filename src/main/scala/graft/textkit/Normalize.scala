@@ -62,6 +62,40 @@ object Normalize {
       .otherwise(titleScore * 0.5 + companyScore * 0.3 + locationScore * 0.2)
   }
 
+  /** Pair scoring over PRE-normalized columns — the join-friendly form:
+    * normalize + hash once per row in the map stage, score cheap
+    * primitive ops per pair. Semantically identical to
+    * [[similarityScore]] (which normalizes inline and is fine for
+    * single-row use); at scale the per-pair cost of re-running regex
+    * tokenization dominates a blocked self-join, so the dedup engine
+    * uses this form.
+    *
+    * `tToksX` = [[simTokensHashed]] output (sorted distinct int64);
+    * `okX` = all three raw fields non-null and non-empty. */
+  def similarityScorePrepped(
+      tToksA: Column, cNormA: Column, lNormA: Column, okA: Column,
+      tToksB: Column, cNormB: Column, lNormB: Column, okB: Column): Column = {
+    val titleScore = graft.functions.ArrayOps.sortedJaccard(tToksA, tToksB)
+    when(!okA || !okB, 0.0)
+      .otherwise(titleScore * 0.5 +
+        when(cNormA === cNormB, 1.0).otherwise(0.0) * 0.3 +
+        when(lNormA === lNormB, 1.0).otherwise(0.0) * 0.2)
+  }
+
+  /** Distinct-token set for the prepped scorer. */
+  def simTokens(c: Column): Column = array_distinct(normTokens(c))
+
+  /** Sorted md5-hashed distinct token set — jaccard-equivalent to the
+    * string set (60-bit hashes; collisions negligible), primitive-typed
+    * for the merge-walk intersection. */
+  def simTokensHashed(c: Column): Column =
+    sort_array(transform(simTokens(c), t => graft.functions.TextFunctions.tokenHash(t)))
+
+  /** Non-empty guard matching similarityScore's all-fields-present check. */
+  def simOk(t: Column, c: Column, l: Column): Column =
+    !(t.isNull || length(t) === 0 || c.isNull || length(c) === 0 ||
+      l.isNull || length(l) === 0)
+
   /** Dedup blocking key (F11). */
   def similarityKey(title: Column, company: Column, location: Column): Column = {
     val parts = concat(
