@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque BINARY columns with typed metadata; decode /
+  * feature-extract / resize / frame-sample run as BATCHED partition
+  * functions.
+  *
+  * The Spark-side plumbing here is real and tested — schema, binaryFile
+  * ingestion, deterministic batch shape, partition sizing — while the
+  * actual media codecs are STUBBED behind [[MediaCodec]] (this
+  * container ships no image/audio libraries). Swap in a real codec
+  * implementation and nothing else changes.
+  *
+  * Scale notes: payload rows are orders of magnitude wider than
+  * relational rows, so operators here (a) never shuffle payload bytes —
+  * all transforms are per-partition map functions; (b) repartition by
+  * range on the id BEFORE heavy decode so skewed file sizes spread
+  * across executors; (c) emit fixed-size feature vectors, after which
+  * the data re-enters the columnar fast path.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source_path", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Pluggable codec boundary. Implementations MUST be deterministic
+    * pure functions of the payload bytes. */
+  trait MediaCodec extends Serializable {
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]]
+  }
+
+  /** STUB codec — a deterministic fake standing in for real image/audio
+    * decoding (no media libraries in this environment). Features are a
+    * seeded hash fold of the payload so tests get stable, content-
+    * sensitive vectors; resize/frame ops slice bytes deterministically. */
+  object StubCodec extends MediaCodec {
+    override def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var acc = 1125899906842597L // seed
+      var i = 0
+      while (i < bytes.length) {
+        acc = acc * 31 + bytes(i)
+        out(i % dim) += (acc % 1000L) / 1000.0f
+        i += 1
+      }
+      out
+    }
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h))
+    override def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
+      bytes.grouped(1024).zipWithIndex.collect {
+        case (frame, i) if i % everyNth == 0 => frame
+      }.toSeq
+  }
+
+  /** Ingest a directory of files as a media table (Spark's binaryFile
+    * source: content + length + path, no decode at scan time). */
+  def readBinaryDir(spark: SparkSession, path: String, kind: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(kind).as("kind"),
+        col("content").as("bytes"),
+        struct(
+          col("path").as("source_path"),
+          col("length").as("n_bytes"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Batched feature extraction: range-partition on id (spread skewed
+    * payload sizes), then decode per-partition in fixed-size batches —
+    * the JVM analogue of mapInPandas with a bounded batch, keeping peak
+    * memory at batchSize payloads per task. */
+  def extractFeatures(media: DataFrame, codec: MediaCodec, dim: Int,
+      numPartitions: Int = 0, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val balanced = media.select("media_id", "kind", "bytes")
+      .repartitionByRange(parts, col("media_id"))
+    val rows = balanced.queryExecution.toRdd.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { ir =>
+          val id = ir.getLong(0)
+          val kind = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
+          val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
+          Row(id, kind, codec.decodeFeatures(kind, bytes, dim))
+        }
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** Deterministic frame sampling: one output row per kept frame,
+    * exploded per-partition (no payload shuffle). */
+  def sampleFrames(media: DataFrame, codec: MediaCodec, everyNth: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val rows = media.select("media_id", "bytes").queryExecution.toRdd.mapPartitions { iter =>
+      iter.flatMap { ir =>
+        val id = ir.getLong(0)
+        val bytes = if (ir.isNullAt(1)) Array.emptyByteArray else ir.getBinary(1)
+        codec.sampleFrames(bytes, everyNth).zipWithIndex.map {
+          case (frame, i) => Row(id, i, frame)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -326,6 +326,25 @@ object Relational {
          AS days_to_2002
        FROM orders ORDER BY o_orderkey"""
 
+  /** SQL text interface (the engine's spark.sql surface): one dialect-
+    * portable statement executed verbatim by BOTH engines. */
+  private val q34Text =
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS cnt
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name"""
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation").foreach { t =>
+      table(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(q34Text)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -340,5 +359,6 @@ object Relational {
     Q("q11_conditional_agg", q11 _, Some(q11Sql)),
     Q("q12_grouped_collect", q12 _, Some(q12Sql)),
     Q("q13_string_funcs", q13 _, Some(q13Sql)),
-    Q("q14_date_funcs", q14 _, Some(q14Sql)))
+    Q("q14_date_funcs", q14 _, Some(q14Sql)),
+    Q("q34_sql_interface", q34 _, Some(q34Text)))
 }

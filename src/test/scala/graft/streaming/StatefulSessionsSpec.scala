@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+import StatefulSessions._
+
+class StatefulSessionsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def runOnce(tmp: String): Unit = {
+    val stream = spark.readStream
+      .schema("user_id LONG, sec LONG, value DOUBLE")
+      .parquet(s"$tmp/in").as[Event]
+    val q = sessionize(stream, gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state").toString
+    // batch 1: user 1 has two events 10s apart, then a 2000s-gap event
+    Seq(Event(1L, 100L, 1.0), Event(1L, 110L, 2.0), Event(1L, 2200L, 5.0),
+      Event(2L, 50L, 1.0))
+      .toDF().coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+    runOnce(tmp)
+    val closed1 = spark.read.parquet(s"$tmp/out").as[ClosedSession].collect()
+    // user 1's first session (100-110, 2 events, sum 3.0) closed by the
+    // 2200 event; the 2200 session and user 2's stay open in state
+    assert(closed1.toSeq == Seq(ClosedSession(1L, 100L, 110L, 2L, 3.0)))
+
+    // batch 2: recovery from checkpoint — a late event for user 2
+    // beyond the gap closes the session held in the state store
+    Seq(Event(2L, 99999L, 9.0)).toDF().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    runOnce(tmp)
+    val closed2 = spark.read.parquet(s"$tmp/out").as[ClosedSession].collect()
+    assert(closed2.toSet == Set(
+      ClosedSession(1L, 100L, 110L, 2L, 3.0),
+      ClosedSession(2L, 50L, 50L, 1L, 1.0)))
+  }
+}
