@@ -345,6 +345,24 @@ object Relational {
     s.sql(q34Text)
   }
 
+  /** Aggregation A3: global scalar aggregate, no grouping
+    * (parse_jobs.py:462-463, extract_skills.py:359-365). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders").agg(
+      count(lit(1)).as("n_orders"),
+      round(avg($"o_totalprice"), 2).as("avg_price"),
+      round(sum($"o_totalprice"), 2).as("total_price"),
+      countDistinct($"o_custkey").as("n_customers"))
+  }
+
+  private val q36Sql =
+    """SELECT count(*) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(DISTINCT o_custkey) AS n_customers
+       FROM orders"""
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -360,5 +378,6 @@ object Relational {
     Q("q12_grouped_collect", q12 _, Some(q12Sql)),
     Q("q13_string_funcs", q13 _, Some(q13Sql)),
     Q("q14_date_funcs", q14 _, Some(q14Sql)),
-    Q("q34_sql_interface", q34 _, Some(q34Text)))
+    Q("q34_sql_interface", q34 _, Some(q34Text)),
+    Q("q36_global_agg", q36 _, Some(q36Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Engine.table
 import graft.operators.SimilaritySearch
@@ -65,7 +66,36 @@ object VectorOps {
           FROM sc) x
         WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  /** Embedding-cosine near-duplicate pairs: same-bucket self-join,
+    * cosine >= threshold — the vector-space analogue of MinHash dedup
+    * (one shuffle on the coarse bucket; no global n^2). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings").select(
+      $"vec_id", $"label".cast("long").as("bucket"), $"embedding")
+    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("va"))
+    val b = e.select($"vec_id".as("id_b"), $"bucket".as("bucketb"), $"embedding".as("vb"))
+    a.join(b, $"bucket" === $"bucketb" && $"id_a" < $"id_b")
+      .withColumn("cos_sim",
+        round(SimilaritySearch.cosine($"va", $"vb"), 6))
+      .where($"cos_sim" >= 0.95)
+      .select($"bucket", $"id_a", $"id_b", $"cos_sim")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q35Sql =
+    s"""WITH e AS (SELECT vec_id, label::BIGINT AS bucket, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT bucket, id_a, id_b, cos_sim FROM (
+          SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+            round(${sqlDot("a.v", "b.v")} /
+                  (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})), 6)
+              AS cos_sim
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
+        WHERE cos_sim >= 0.95 ORDER BY id_a, id_b"""
+
   val all: Seq[Q] = Seq(
     Q("q25_cosine_topk", q25 _, Some(q25Sql)),
-    Q("q26_cosine_bucketed", q26 _, Some(q26Sql)))
+    Q("q26_cosine_bucketed", q26 _, Some(q26Sql)),
+    Q("q35_embedding_neardup", q35 _, Some(q35Sql)))
 }
