@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two numeric arrays as a strict LEFT FOLD in DOUBLE —
+  * custom Catalyst expression with codegen.
+  *
+  * Replaces `aggregate(zip_with(a, b, _*_), 0.0, _+_)`: the
+  * higher-order form allocates a zipped array and walks interpreted
+  * lambdas per element, which in ANN scoring runs once per candidate
+  * PAIR. The fold order (((0 + a0*b0) + a1*b1) + ...) is exactly the
+  * DuckDB oracle's `list_reduce`, so similarities stay bit-identical.
+  * Elements are widened to double before multiplying; inputs of
+  * unequal length fold over the shorter prefix.
+  */
+case class DotProductFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val leftFloat = elemType(left) == FloatType
+    val rightFloat = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += ${get(a, left)} * ${get(b, right)};
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFold =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpr {
+  def dotProduct(a: Column, b: Column): Column =
+    GraftShim.column(DotProductFold(GraftShim.expression(a), GraftShim.expression(b)))
+}

@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Left-fold dot product of two float-array columns, in DOUBLE. */
+  /** Left-fold dot product in DOUBLE (codegen'd custom expression; the
+    * fold order matches the SQL oracle's list_reduce exactly). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpr.dotProduct(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine from a pair dot product and per-ROW precomputed norms —
+    * norms are map-stage work; only one dot product runs per pair. */
+  private def cosinePrepped(d: Column, normA: Column, normB: Column): Column =
+    d / (normA * normB)
 
   /** Exact top-k neighbors for each query vector (query ids drawn from
     * the corpus itself). Ranks on the rounded similarity with id
@@ -36,13 +40,16 @@ object SimilaritySearch {
       queryIds: Seq[Long], k: Int): DataFrame = {
     val q = corpus
       .where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"))
     val scored = corpus
-      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+        l2Norm(col(vecCol)).as("c_norm"))
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(cosinePrepped(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -56,14 +63,15 @@ object SimilaritySearch {
     val q = corpus
       .where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        col(bucketCol).as("q_bucket"))
+        l2Norm(col(vecCol)).as("q_norm"), col(bucketCol).as("q_bucket"))
     val scored = corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-        col(bucketCol).cast("long").as("bucket"))
+        l2Norm(col(vecCol)).as("c_norm"), col(bucketCol).cast("long").as("bucket"))
       .join(broadcast(q), col("bucket") === col("q_bucket").cast("long"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("bucket"), col("cand_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+        round(cosinePrepped(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -363,6 +363,39 @@ object Relational {
        count(DISTINCT o_custkey) AS n_customers
        FROM orders"""
 
+  /** Multi-level aggregation (beyond the reference's surface): ROLLUP
+    * over (year, priority) — subtotal + grand-total rows in one pass. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select(year($"o_orderdate").cast("long").as("yr"),
+        $"o_orderpriority", $"o_totalprice")
+      .rollup($"yr", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"yr".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q37Sql =
+    """SELECT year(o_orderdate)::BIGINT AS yr, o_orderpriority,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY ROLLUP (yr, o_orderpriority)
+       ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
+  /** Approximate distinct (HLL) next to the exact count — the sketch
+    * path a 100 TB deployment uses for dashboard cardinalities. Sketch
+    * internals differ across engines, so the gate is rows-only plus a
+    * relative-error bound asserted in tests. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -379,5 +412,7 @@ object Relational {
     Q("q13_string_funcs", q13 _, Some(q13Sql)),
     Q("q14_date_funcs", q14 _, Some(q14Sql)),
     Q("q34_sql_interface", q34 _, Some(q34Text)),
-    Q("q36_global_agg", q36 _, Some(q36Sql)))
+    Q("q36_global_agg", q36 _, Some(q36Sql)),
+    Q("q37_rollup", q37 _, Some(q37Sql)),
+    Q("q38_approx_distinct", q38 _, None))
 }

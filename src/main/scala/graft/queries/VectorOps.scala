@@ -72,12 +72,15 @@ object VectorOps {
   private def q35(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = table(s, dir, "embeddings").select(
-      $"vec_id", $"label".cast("long").as("bucket"), $"embedding")
-    val a = e.select($"vec_id".as("id_a"), $"bucket", $"embedding".as("va"))
-    val b = e.select($"vec_id".as("id_b"), $"bucket".as("bucketb"), $"embedding".as("vb"))
+      $"vec_id", $"label".cast("long").as("bucket"), $"embedding",
+      SimilaritySearch.l2Norm($"embedding").as("nrm"))
+    val a = e.select($"vec_id".as("id_a"), $"bucket",
+      $"embedding".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("id_b"), $"bucket".as("bucketb"),
+      $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, $"bucket" === $"bucketb" && $"id_a" < $"id_b")
       .withColumn("cos_sim",
-        round(SimilaritySearch.cosine($"va", $"vb"), 6))
+        round(SimilaritySearch.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .where($"cos_sim" >= 0.95)
       .select($"bucket", $"id_a", $"id_b", $"cos_sim")
       .orderBy($"id_a", $"id_b")
