@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Backward as-of with an optional tolerance: matches with
+    * `leftOrd - rightOrd > toleranceOpt` are nulled out (pandas
+    * merge_asof semantics). */
   def backward(left: DataFrame, right: DataFrame, key: String,
-      leftOrd: String, rightOrd: String, rightPayload: Seq[String]): DataFrame = {
+      leftOrd: String, rightOrd: String, rightPayload: Seq[String],
+      toleranceOpt: Option[Long] = None): DataFrame = {
     val rStruct = struct(rightPayload.map(col): _*)
     val rp = right.select(rStruct.as("__rp")).schema("__rp").dataType
     val lStruct = struct(left.columns.map(col): _*)
@@ -43,10 +47,29 @@ object AsOfJoin {
 
     val carried = r2.unionByName(l2)
       .withColumn("__match", last(col("__rp"), ignoreNulls = true).over(w))
+      .withColumn("__mord", last(when(col("__side") === 0, col("__ord")),
+        ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      .withColumn("__match",
+        toleranceOpt.map(t =>
+          when(col("__ord") - col("__mord") <= t, col("__match"))
+            .otherwise(lit(null).cast(rp)))
+          .getOrElse(col("__match")))
 
     val leftCols = left.columns.map(c => col(s"__lp.$c"))
     val matchCols = rightPayload.map(c => col(s"__match.$c"))
     carried.select(leftCols ++ matchCols: _*)
+  }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightOrd >= leftOrd` in the same key — implemented by running the
+    * backward join over negated order columns. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftOrd: String, rightOrd: String, rightPayload: Seq[String],
+      toleranceOpt: Option[Long] = None): DataFrame = {
+    val negL = left.withColumn("__neg_ord", -col(leftOrd))
+    val negR = right.withColumn("__neg_rord", -col(rightOrd))
+    backward(negL, negR, key, "__neg_ord", "__neg_rord", rightPayload, toleranceOpt)
+      .drop("__neg_ord")
   }
 }

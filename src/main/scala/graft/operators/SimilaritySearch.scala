@@ -56,6 +56,61 @@ object SimilaritySearch {
       .where(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------
+  // Real IVF: coarse quantizer trained with MLlib KMeans; queries probe
+  // the nProbe nearest centroids only. Index build is one KMeans fit +
+  // one map-stage assignment; search scans corpus/nLists * nProbe
+  // vectors per query instead of the full corpus.
+  // ---------------------------------------------------------------
+
+  case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  private val toVec = udf((a: Seq[Float]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+
+  /** Train the coarse quantizer and assign every vector to a list. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L): IvfIndex = {
+    val feats = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("features", toVec(col("vec")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(20).fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("id"), col("vec"), col("prediction").as("bucket"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Probe the nProbe nearest lists per query, exact cosine inside. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = index.centroids // tiny; ships in the closure
+    val probeBuckets = udf((q: Seq[Float]) => {
+      val qd = q.map(_.toDouble).toArray
+      cents.map { case (b, c) =>
+        var d = 0.0; var i = 0
+        while (i < qd.length && i < c.length) { val t = qd(i) - c(i); d += t * t; i += 1 }
+        (b, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    })
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+      .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
+    val cand = index.assigned.select(col("id").as("cand_id"),
+      col("vec").as("c_vec"), l2Norm(col("vec")).as("c_norm"),
+      col("bucket"))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosinePrepped(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style bucketed ANN: candidates restricted to the query's own
     * coarse bucket (`bucketCol`, e.g. a cluster/centroid id). */
   def bucketedTopK(corpus: DataFrame, idCol: String, vecCol: String,
