@@ -396,6 +396,48 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * ANSI percentile_cont == DuckDB quantile_cont). */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q39Sql =
+    """SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
+  /** Pivot: order counts per (year x priority) as a wide table. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    table(s, dir, "orders")
+      .select(year($"o_orderdate").cast("long").as("yr"), $"o_orderpriority")
+      .groupBy($"yr")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, priorities) // only the pivot cells — never the yr key
+      .orderBy($"yr")
+  }
+
+  private val q40Sql =
+    """SELECT year(o_orderdate)::BIGINT AS yr,
+       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -414,5 +456,7 @@ object Relational {
     Q("q34_sql_interface", q34 _, Some(q34Text)),
     Q("q36_global_agg", q36 _, Some(q36Sql)),
     Q("q37_rollup", q37 _, Some(q37Sql)),
-    Q("q38_approx_distinct", q38 _, None))
+    Q("q38_approx_distinct", q38 _, None),
+    Q("q39_percentiles", q39 _, Some(q39Sql)),
+    Q("q40_pivot", q40 _, Some(q40Sql)))
 }
