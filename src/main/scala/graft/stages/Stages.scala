@@ -179,9 +179,21 @@ object Deduplicate {
       .select("similarity_key", "job_id_1", "job_id_2", "similarity_score")
   }
 
+  /** Optional guard for pathological blocks (boilerplate titles at
+    * 100 TB): blocks larger than `maxBlockSize` are split into capped
+    * sub-blocks that only pair internally (Skew.capBlocks) — bounds the
+    * worst-case pair count per block at maxBlockSize^2 at the cost of
+    * cross-sub-block recall. 0 disables. */
   def apply(jobs: DataFrame, threshold: Double = 0.7,
-      clock: Option[java.sql.Timestamp] = None): DataFrame = {
-    val prepared = prepare(jobs)
+      clock: Option[java.sql.Timestamp] = None,
+      maxBlockSize: Int = 0): DataFrame = {
+    val prepared0 = prepare(jobs)
+    val prepared =
+      if (maxBlockSize <= 0) prepared0
+      else graft.operators.Skew
+        .capBlocks(prepared0, col("similarity_key"), col("job_id"), maxBlockSize)
+        .withColumn("similarity_key", col("__capped_block"))
+        .drop("__capped_block")
     val pairs = duplicatePairs(prepared, threshold)
     val flagged = pairs.select(explode(array(col("job_id_1"), col("job_id_2"))).as("job_id"))
       .distinct()

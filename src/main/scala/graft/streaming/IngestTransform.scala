@@ -50,4 +50,19 @@ object IngestTransform {
         when(col("experience_level").isNull, "Non spécifié").otherwise(col("experience_level")))
       .withColumn("industry",
         when(col("industry").isNull, "Autre").otherwise(col("industry")))
+
+  /** Dedup-at-ingest: the reference's landing is at-least-once with no
+    * watermark (SURVEY §2.10), so replayed offers land twice. This
+    * variant drops duplicate job_ids within the watermark horizon —
+    * state is bounded by (ids seen in `horizon`), keyed state sharded
+    * on job_id. Works on both streaming and batch frames. */
+  def withIngestDedup(enriched: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val withEventTime = enriched.withColumn("event_time",
+      coalesce(to_timestamp(col("scraped_at")), col("processed_at")))
+    if (enriched.isStreaming)
+      withEventTime.withWatermark("event_time", horizon)
+        .dropDuplicates("job_id")
+        .drop("event_time")
+    else withEventTime.dropDuplicates("job_id").drop("event_time")
+  }
 }

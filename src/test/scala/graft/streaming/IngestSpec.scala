@@ -46,6 +46,25 @@ class IngestSpec extends AnyFunSuite {
     assert(sparse.isNullAt(sparse.fieldIndex("salary_amount")))
   }
 
+  test("ingest dedup drops replayed job_ids within the watermark horizon") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    // the same message replayed (at-least-once) plus one distinct offer
+    Seq(fullMsg, fullMsg, sparseMsg).toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$tmp/in")
+    val streamIn = spark.readStream.schema("value STRING").text(s"$tmp/in")
+    val deduped = IngestTransform.withIngestDedup(
+      IngestTransform.enrich(IngestTransform.parseJsonValue(streamIn), clock))
+    val q = deduped.writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 2)
+    assert(back.select("job_id").distinct().count() == 2)
+  }
+
   test("streaming file source lands partitioned parquet like the reference sink") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Seq(fullMsg, sparseMsg).toDF("value").coalesce(1)
