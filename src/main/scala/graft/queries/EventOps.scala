@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.StreamingIngest
 
 /** Event-stream operator surface over the `events` table: event-time
@@ -129,9 +129,36 @@ object EventOps {
        event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Banded range join: events joined to per-user activity intervals
+    * ([first event, first event + 1 day]) — equi-join on (user, band
+    * bucket) + residual BETWEEN, not a nested-loop theta join. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", $"event_id", epochSec("ts").as("sec"))
+    val intervals = ev.groupBy($"user_id")
+      .agg(min($"sec").as("lo"))
+      .withColumn("hi", $"lo" + 86400L)
+    RangeJoin
+      .banded(ev, intervals, "sec", "lo", "hi", bandWidth = 21600L, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("first_day_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q41Sql =
+    """WITH e AS (SELECT user_id, event_id,
+                  epoch_ns(ts) // 1000000000 AS sec FROM events),
+       f AS (SELECT user_id, min(sec) AS lo, min(sec) + 86400 AS hi
+             FROM e GROUP BY user_id)
+       SELECT e.user_id, count(*) AS first_day_events
+       FROM e JOIN f ON e.user_id = f.user_id AND e.sec BETWEEN f.lo AND f.hi
+       GROUP BY e.user_id ORDER BY e.user_id"""
+
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
     Q("q28_sessionize", q28 _, Some(q28Sql)),
     Q("q29_asof_join", q29 _, Some(q29Sql)),
-    Q("q30_stream_window_agg", q30 _, Some(q30Sql)))
+    Q("q30_stream_window_agg", q30 _, Some(q30Sql)),
+    Q("q41_range_join", q41 _, Some(q41Sql)))
 }
