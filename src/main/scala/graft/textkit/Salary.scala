@@ -50,9 +50,19 @@ object Salary {
     ("""(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof)\s*(?:selon|en fonction de)\s*(?:expérience|profil|exp)""", 1))
     .map { case (p, g) => (("(?iu)" + p), g) }
 
-  private def parseAmount(s: String): Option[Long] =
-    try Some(s.replace(" ", "").replace(",", "").replace(".", "").toLong)
-    catch { case _: NumberFormatException => None }
+  /** Python `int(float(x.replace(...)))`: the digit string goes through
+    * DOUBLE first (so >2^53 inputs round exactly like CPython), then
+    * truncates; arbitrary precision thereafter. */
+  private def parseAmount(s: String): Option[BigInt] =
+    try {
+      val digits = s.replace(" ", "").replace(",", "").replace(".", "")
+      Some(BigInt(new java.math.BigDecimal(digits.toDouble).toBigInteger))
+    } catch { case _: NumberFormatException => None }
+
+  /** PySpark's IntegerType struct cast: out-of-range values become NULL
+    * per field — the production reference's observable behavior. */
+  private def toIntField(v: BigInt): Option[Int] =
+    if (v >= Int.MinValue && v <= Int.MaxValue) Some(v.toInt) else None
 
   /** F18 core, one row. */
   def parseComprehensive(salaryText: String, description: String, title: String): Parsed = {
@@ -88,8 +98,7 @@ object Salary {
           if (lo.contains("minimum")) conf *= 0.7
           if (conf > bestConf) {
             bestConf = conf
-            best = Parsed(
-              Some(mn.min(Int.MaxValue).toInt), Some(mx.min(Int.MaxValue).toInt),
+            best = Parsed(toIntField(mn), toIntField(mx),
               currency, period, conf.toFloat, "parsed")
           }
         }
