@@ -34,7 +34,7 @@ object EventOps {
       .agg(
         count(lit(1)).as("cnt"),
         round(sum($"value"), 2).as("sum_val"),
-        round(avg($"value"), 4).as("avg_val"))
+        roundSafe(avg($"value"), 4).as("avg_val"))
       .orderBy($"hour_epoch", $"event_type")
   }
 
@@ -43,7 +43,7 @@ object EventOps {
                     FROM events)
        SELECT sec - sec % 3600 AS hour_epoch,
        event_type, count(*) AS cnt,
-       round(sum(value), 2) AS sum_val, round(avg(value), 4) AS avg_val
+       round(sum(value), 2) AS sum_val, round((avg(value)) + 1e-9, 4) AS avg_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Sessionization: a 30-minute inactivity gap starts a new session

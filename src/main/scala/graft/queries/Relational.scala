@@ -27,8 +27,8 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        roundSafe(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        roundSafe(avg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("cnt"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -36,8 +36,8 @@ object Relational {
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS sum_disc_price,
+       round((avg(l_discount)) + 1e-9, 6) AS avg_disc,
        count(*) AS cnt
        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -53,7 +53,7 @@ object Relational {
         $"l_orderkey",
         $"l_linenumber".cast("long").as("line_no"),
         to_date($"l_shipdate").as("ship_date"),
-        round($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 4)
+        roundSafe($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax"), 4)
           .as("charge"))
       .orderBy($"l_orderkey", $"line_no")
   }
@@ -61,7 +61,7 @@ object Relational {
   private val q02Sql =
     """SELECT l_orderkey, l_linenumber::BIGINT AS line_no,
        CAST(l_shipdate AS DATE) AS ship_date,
-       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charge
+       round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS charge
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_discount > 0.05
          AND l_quantity >= 30
@@ -79,14 +79,14 @@ object Relational {
       .where($"r_name" === "ASIA")
       .groupBy($"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        roundSafe(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
         countDistinct($"o_orderkey").as("n_orders"))
       .orderBy($"n_name")
   }
 
   private val q03Sql =
     """SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -239,8 +239,8 @@ object Relational {
       .groupBy($"o_orderpriority")
       .agg(
         count(when($"o_totalprice" > 150000, 1)).as("big_cnt"),
-        round(avg($"o_totalprice"), 2).as("avg_price"),
-        round(avg(when($"o_orderstatus" === "O", 1.0).otherwise(0.0)), 4)
+        roundSafe(avg($"o_totalprice"), 2).as("avg_price"),
+        roundSafe(avg(when($"o_orderstatus" === "O", 1.0).otherwise(0.0)), 4)
           .as("frac_open"),
         count(lit(1)).as("cnt"))
       .orderBy($"o_orderpriority")
@@ -249,8 +249,8 @@ object Relational {
   private val q11Sql =
     """SELECT o_orderpriority,
        count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS big_cnt,
-       round(avg(o_totalprice), 2) AS avg_price,
-       round(avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 4) AS frac_open,
+       round((avg(o_totalprice)) + 1e-9, 2) AS avg_price,
+       round((avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END)) + 1e-9, 4) AS frac_open,
        count(*) AS cnt
        FROM orders GROUP BY 1 ORDER BY 1"""
 
@@ -330,7 +330,7 @@ object Relational {
     * portable statement executed verbatim by BOTH engines. */
   private val q34Text =
     """SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS revenue,
        count(*) AS cnt
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -351,14 +351,14 @@ object Relational {
     import s.implicits._
     table(s, dir, "orders").agg(
       count(lit(1)).as("n_orders"),
-      round(avg($"o_totalprice"), 2).as("avg_price"),
+      roundSafe(avg($"o_totalprice"), 2).as("avg_price"),
       round(sum($"o_totalprice"), 2).as("total_price"),
       countDistinct($"o_custkey").as("n_customers"))
   }
 
   private val q36Sql =
     """SELECT count(*) AS n_orders,
-       round(avg(o_totalprice), 2) AS avg_price,
+       round((avg(o_totalprice)) + 1e-9, 2) AS avg_price,
        round(sum(o_totalprice), 2) AS total_price,
        count(DISTINCT o_custkey) AS n_customers
        FROM orders"""

@@ -1,8 +1,21 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{lit, round}
 
 package object queries {
+
+  /** Cross-engine-stable rounding for float AGGREGATES whose exact
+    * decimal value can land ON a rounding half (sums/avgs of 2-decimal
+    * money): Spark rounds the shortest decimal repr HALF_UP while
+    * DuckDB rounds the binary double, so exact halves disagree. The
+    * 1e-9 nudge (applied identically on both sides — see sqlRoundSafe)
+    * moves every half strictly above the boundary; data grids here are
+    * >= 1e-6 apart so no other value crosses. */
+  def roundSafe(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+
+  /** SQL mirror of [[roundSafe]]. */
+  def sqlRoundSafe(e: String, scale: Int): String = s"round(($e) + 1e-9, $scale)"
 
   /** One driver-gradeable query: a Spark plan builder plus (where the
     * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same
