@@ -70,7 +70,7 @@ object Dedup {
       .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
       .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")), 6)
+        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -111,7 +111,7 @@ object Dedup {
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        round(graft.functions.ArrayOps.sortedJaccard(col("sh_a"), col("sh_b")), 6)
+        round(graft.functions.ArrayOps.sortedJaccard(col("sh_a"), col("sh_b")) + 1e-9, 6)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

@@ -61,11 +61,11 @@ object TextAnalysis {
     df.select(
       col(idCol),
       nToks.as("n_tokens"),
-      round(avgTokLen, 4).as("avg_token_len"),
-      round(distinctRatio, 4).as("distinct_ratio"),
-      round(stopHits / greatest(size(tokSet).cast("double"), lit(1.0)), 4)
+      round(avgTokLen + 1e-9, 4).as("avg_token_len"),
+      round(distinctRatio + 1e-9, 4).as("distinct_ratio"),
+      round(stopHits / greatest(size(tokSet).cast("double"), lit(1.0)) + 1e-9, 4)
         .as("stopword_type_ratio"),
-      round(least(nToks.cast("double") / 100.0, lit(1.0)) * distinctRatio, 4)
+      round(least(nToks.cast("double") / 100.0, lit(1.0)) * distinctRatio + 1e-9, 4)
         .as("quality"))
   }
 

@@ -86,8 +86,8 @@ object TextOps {
                       AND a.id < b.id)
         SELECT id_a, id_b, jaccard FROM (
           SELECT id_a, id_b,
-            round(len(list_intersect(ta.toks, tb.toks))::DOUBLE /
-                  len(list_distinct(ta.toks || tb.toks)), 6) AS jaccard
+            round((len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                  len(list_distinct(ta.toks || tb.toks))) + 1e-9, 6) AS jaccard
           FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
         WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
   }
@@ -133,8 +133,8 @@ object TextOps {
               FROM t)
         SELECT block, id_a, id_b, jaccard FROM (
           SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
-            round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-                  len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            round((len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(a.sh || b.sh))) + 1e-9, 6) AS jaccard
           FROM s a JOIN s b ON a.block = b.block AND a.id < b.id) x
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
@@ -182,11 +182,11 @@ object TextOps {
                      len(toks) AS n FROM t)
         SELECT doc_id,
           n::BIGINT AS n_tokens,
-          round(length(array_to_string(toks, ''))::DOUBLE / n, 4) AS avg_token_len,
-          round(len(tset)::DOUBLE / n, 4) AS distinct_ratio,
-          round(len(list_intersect(tset, $stop))::DOUBLE /
-                greatest(len(tset)::DOUBLE, 1.0), 4) AS stopword_type_ratio,
-          round(least(n::DOUBLE / 100.0, 1.0) * (len(tset)::DOUBLE / n), 4) AS quality
+          round((length(array_to_string(toks, ''))::DOUBLE / n) + 1e-9, 4) AS avg_token_len,
+          round((len(tset)::DOUBLE / n) + 1e-9, 4) AS distinct_ratio,
+          round((len(list_intersect(tset, $stop))::DOUBLE /
+                greatest(len(tset)::DOUBLE, 1.0)) + 1e-9, 4) AS stopword_type_ratio,
+          round((least(n::DOUBLE / 100.0, 1.0) * (len(tset)::DOUBLE / n)) + 1e-9, 4) AS quality
         FROM u ORDER BY doc_id"""
   }
 
