@@ -44,13 +44,11 @@ object RangeJoin {
       floor(col(valueCol) / bandWidth).cast("long"))
     val i = intervals
       .where(col(hiCol) >= col(loCol)) // empty intervals match nothing
-      .withColumn("__span", hiB - loB + 1)
       .withColumn("__bucket", explode(
-        when(col("__span") <= maxBandsPerInterval, sequence(loB, hiB))
+        when(hiB - loB + 1 <= maxBandsPerInterval, sequence(loB, hiB))
           .otherwise(raise_error(concat(
             lit(s"interval spans more than $maxBandsPerInterval bands of $bandWidth: "),
             col(loCol).cast("string"), lit(".."), col(hiCol).cast("string"))))))
-      .drop("__span")
     p.join(i, Seq("__bucket") ++ equiKeys)
       .where(col(valueCol).between(col(loCol), col(hiCol)))
       .drop("__bucket")

@@ -68,7 +68,11 @@ object SimilaritySearch {
   private val toVec = udf((a: Seq[Float]) =>
     org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
 
-  /** Train the coarse quantizer and assign every vector to a list. */
+  /** Train the coarse quantizer and assign every vector to a list. The
+    * assignment (with precomputed norms) is PERSISTED — it is the
+    * index; without caching every search would re-run KMeans transform
+    * over the whole corpus. Production form: write it out bucketed by
+    * list instead. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, seed: Long = 42L): IvfIndex = {
     val feats = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -76,7 +80,9 @@ object SimilaritySearch {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(20).fit(feats)
     val assigned = model.transform(feats)
-      .select(col("id"), col("vec"), col("prediction").as("bucket"))
+      .select(col("id"), col("vec"), l2Norm(col("vec")).as("norm"),
+        col("prediction").as("bucket"))
+      .persist()
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     IvfIndex(assigned, centroids)
@@ -98,7 +104,7 @@ object SimilaritySearch {
       l2Norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
     val cand = index.assigned.select(col("id").as("cand_id"),
-      col("vec").as("c_vec"), l2Norm(col("vec")).as("c_norm"),
+      col("vec").as("c_vec"), col("norm").as("c_norm"),
       col("bucket"))
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))

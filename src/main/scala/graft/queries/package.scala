@@ -11,11 +11,10 @@ package object queries {
     * DuckDB rounds the binary double, so exact halves disagree. The
     * 1e-9 nudge (applied identically on both sides — see sqlRoundSafe)
     * moves every half strictly above the boundary; data grids here are
-    * >= 1e-6 apart so no other value crosses. */
+    * >= 1e-6 apart so no other value crosses. The DuckDB oracles inline
+    * the identical `round((expr) + 1e-9, s)` form — keep the two in
+    * lockstep when changing the guard. */
   def roundSafe(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
-
-  /** SQL mirror of [[roundSafe]]. */
-  def sqlRoundSafe(e: String, scale: Int): String = s"round(($e) + 1e-9, $scale)"
 
   /** One driver-gradeable query: a Spark plan builder plus (where the
     * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same

@@ -188,24 +188,32 @@ object Deduplicate {
       clock: Option[java.sql.Timestamp] = None,
       maxBlockSize: Int = 0): DataFrame = {
     val prepared0 = prepare(jobs)
+    // capping only affects PAIRING; the stage output keeps the real key
     val prepared =
-      if (maxBlockSize <= 0) prepared0
+      if (maxBlockSize <= 0) prepared0.withColumn("__pair_key", col("similarity_key"))
       else graft.operators.Skew
         .capBlocks(prepared0, col("similarity_key"), col("job_id"), maxBlockSize)
-        .withColumn("similarity_key", col("__capped_block"))
-        .drop("__capped_block")
-    val pairs = duplicatePairs(prepared, threshold)
+        .withColumnRenamed("__capped_block", "__pair_key")
+    val pairs = duplicatePairs(
+      prepared.drop("similarity_key").withColumnRenamed("__pair_key", "similarity_key")
+        .withColumn("__pair_key", col("similarity_key")), threshold)
     val flagged = pairs.select(explode(array(col("job_id_1"), col("job_id_2"))).as("job_id"))
       .distinct()
     val withFlag = prepared.join(flagged.withColumn("is_dup", lit(true)), Seq("job_id"), "left")
-    val w = Window.partitionBy(col("similarity_key"))
+    // keep-best ranks only WITHIN the flagged duplicate cluster — an
+    // unrelated (unflagged) offer in the same block must not outrank
+    // and wipe the cluster
+    val keepers = withFlag.where(col("is_dup").isNull)
+    val w = Window.partitionBy(col("__pair_key"))
       .orderBy(col("completeness_score").desc, col("parsed_at").desc,
         Normalize.sourcePriority(col("source")).desc, col("job_id"))
-    withFlag
+    val bestDups = withFlag.where(col("is_dup") === true)
       .withColumn("rn", row_number().over(w))
-      .where(col("is_dup").isNull || col("rn") === 1)
+      .where(col("rn") === 1)
+      .drop("rn")
+    keepers.unionByName(bestDups)
       .withColumn("deduplicated_at", Stages.processedAt(clock))
-      .drop("is_dup", "rn")
+      .drop("is_dup", "__pair_key")
   }
 
   /** Scale variant of the keep-best selection: instead of a window
@@ -224,10 +232,11 @@ object Deduplicate {
     val dupRows = withFlag.where(col("is_dup") === true).drop("is_dup")
     val keepers = withFlag.where(col("is_dup").isNull).drop("is_dup")
     val cols = dupRows.columns
-    // Lexicographic struct ordering = the keep-best criteria; job_id
-    // last makes ties deterministic (largest id — the window form's
-    // tiebreak is smallest id; both arbitrary in the reference's spec,
-    // divergence covered by the equivalence test's tie-free data).
+    // Lexicographic struct ordering = the keep-best criteria over the
+    // flagged cluster only (same population the window form ranks);
+    // job_id last makes ties deterministic (largest id — the window
+    // form's tiebreak is smallest id; both arbitrary in the reference's
+    // spec, divergence covered by the equivalence test's tie-free data).
     val best = dupRows
       .groupBy(col("similarity_key"))
       .agg(max_by(struct(cols.map(col): _*), struct(

@@ -60,8 +60,10 @@ object IngestTransform {
     val withEventTime = enriched.withColumn("event_time",
       coalesce(to_timestamp(col("scraped_at")), col("processed_at")))
     if (enriched.isStreaming)
+      // dropDuplicatesWithinWatermark is the state-EVICTING form: plain
+      // dropDuplicates(subset-without-event-time) never purges state
       withEventTime.withWatermark("event_time", horizon)
-        .dropDuplicates("job_id")
+        .dropDuplicatesWithinWatermark("job_id")
         .drop("event_time")
     else withEventTime.dropDuplicates("job_id").drop("event_time")
   }

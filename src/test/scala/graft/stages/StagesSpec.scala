@@ -83,6 +83,39 @@ class StagesSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("a better NON-duplicate in the same block must not wipe a duplicate cluster") {
+    // mx1/mx2 are a >= 0.7 pair; mx3 shares the blocking key (same
+    // first-3 title tokens + company + location) but is dissimilar
+    // (< 0.7) AND outranks both on recency — it must survive AND the
+    // cluster's best (mx1) must too, in both dedup forms
+    val later = java.sql.Timestamp.valueOf("2025-12-03 00:00:00")
+    val df = parsedDf(Seq(
+      parsedRow("mx1", "educarriere", "Développeur Python Senior NSIA", "ACME", "Abidjan"),
+      parsedRow("mx2", "linkedin", "Développeur Python Senior NSIA", "ACME", "Abidjan",
+        salary = null),
+      parsedRow("mx3", "emploi_ci",
+        "Développeur Python Senior Architecture Cloud Distribué Expert Management",
+        "ACME", "Abidjan")))
+      .withColumn("parsed_at",
+        when($"job_id" === "mx3", lit(later)).otherwise($"parsed_at"))
+    val windowed = Deduplicate(df, clock = clock)
+      .select("job_id").as[String].collect().toSet
+    val singlePass = Deduplicate.applySinglePass(df, clock = clock)
+      .select("job_id").as[String].collect().toSet
+    assert(windowed == Set("mx1", "mx3"))
+    assert(singlePass == Set("mx1", "mx3"))
+  }
+
+  test("maxBlockSize capping preserves the original similarity_key in output") {
+    val df = parsedDf(Seq(
+      parsedRow("ck1", "educarriere", "Développeur Python Senior", "ACME", "Abidjan"),
+      parsedRow("ck2", "linkedin", "Développeur Python Senior", "ACME", "Abidjan",
+        salary = null)))
+    val out = Deduplicate(df, clock = clock, maxBlockSize = 1)
+    val keys = out.select("similarity_key").as[String].collect().toSet
+    assert(keys.forall(!_.contains("#")), s"leaked capped key: $keys")
+  }
+
   test("single-pass keep-best dedup selects the same survivors as the window form") {
     val df = parsedDf(Seq(
       parsedRow("id1", "educarriere", "Développeur Python Senior", "NSIA Banque", "Abidjan"),
