@@ -23,9 +23,16 @@ object Analytics {
       .groupBy("skill").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("skill")).limit(n)
 
-  /** Salary distribution by sector and experience level. */
-  def salaryBySectorExperience(offers: DataFrame): DataFrame =
-    offers
+  /** Salary distribution by sector and experience level. The enriched
+    * offers frame carries no niveau_experience column (that lives in
+    * the warehouse fact) — derive it from title/description when
+    * absent, exactly as StarSchema.factOffres does. */
+  def salaryBySectorExperience(offers: DataFrame): DataFrame = {
+    val withLevel =
+      if (offers.columns.contains("niveau_experience")) offers
+      else offers.withColumn("niveau_experience",
+        graft.textkit.Ids.inferExperienceLevel(col("title"), col("description")))
+    withLevel
       .where(col("salary_avg_fcfa").isNotNull)
       .groupBy("secteur_id", "niveau_experience")
       .agg(
@@ -33,6 +40,7 @@ object Analytics {
         round(avg(col("salary_avg_fcfa")), 2).as("avg_salary"),
         round(min(col("salary_min_fcfa")), 2).as("min_salary"),
         round(max(col("salary_max_fcfa")), 2).as("max_salary"))
+  }
 
   /** Contract-type breakdown. */
   def contractMix(offers: DataFrame): DataFrame =

@@ -41,11 +41,15 @@ object Matching {
     when(level === "Débutant", 2).when(level === "Intermédiaire", 5)
       .when(level === "Senior", 100).otherwise(100))
 
-  def skillMatchPct(offerSkills: Column, cvSkills: Column): Column =
-    when(cvSkills.isNull || size(cvSkills) === 0, 0.0)
+  def skillMatchPct(offerSkills: Column, cvSkills: Column): Column = {
+    // SET semantics per the spec: duplicate skill entries must not
+    // deflate (or inflate) the ratio
+    val cvSet = array_distinct(cvSkills)
+    when(cvSkills.isNull || size(cvSet) === 0, 0.0)
       .otherwise(
-        size(array_intersect(coalesce(offerSkills, array().cast("array<string>")), cvSkills))
-          .cast("double") / size(cvSkills).cast("double"))
+        size(array_intersect(coalesce(offerSkills, array().cast("array<string>")), cvSet))
+          .cast("double") / size(cvSet).cast("double"))
+  }
 
   def locationMatchPct(offerLoc: Column, cvLoc: Column): Column =
     when(offerLoc.isNotNull && offerLoc === cvLoc, 1.0).otherwise(0.0)

@@ -32,9 +32,11 @@ object Parse {
 
   def apply(blobs: DataFrame, clock: Option[java.sql.Timestamp] = None): DataFrame = {
     val parts = split(col("value"), "\n\n", 2)
+    // try_element_at: a malformed blob (no blank-line separator) must
+    // degrade to nulls + defaults, not kill the batch under ANSI mode
     val withMeta = blobs
-      .withColumn("metadata_json", element_at(parts, 1))
-      .withColumn("html_content", element_at(parts, 2))
+      .withColumn("metadata_json", try_element_at(parts, lit(1)))
+      .withColumn("html_content", try_element_at(parts, lit(2)))
       .withColumn("job_id",
         regexp_extract(col("metadata_json"), "\"job_id\"\\s*:\\s*\"([^\"]+)\"", 1))
       .withColumn("source",

@@ -33,7 +33,10 @@ object IngestTransform {
   def enrich(parsed: DataFrame,
       clock: Option[java.sql.Timestamp] = None): DataFrame =
     parsed
-      .withColumn("scraped_date", to_date(col("scraped_at")))
+      // try_to_date: a producer sending a non-ISO timestamp must yield a
+      // null date (Spark 3 behavior the reference relies on), not crash
+      // the long-running stream under ANSI mode
+      .withColumn("scraped_date", try_to_date(col("scraped_at")))
       .withColumn("scraped_year", year(col("scraped_date")))
       .withColumn("scraped_month", month(col("scraped_date")))
       .withColumn("scraped_day", dayofmonth(col("scraped_date")))

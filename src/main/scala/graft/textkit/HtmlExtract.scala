@@ -16,21 +16,37 @@ import scala.util.matching.Regex
   */
 object HtmlExtract {
 
+  // selector regexes compiled once per (tag, class) — these run inside
+  // the hottest UDFs, one cascade per row
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def cached(key: String)(mk: => scala.util.matching.Regex) =
+    patternCache.computeIfAbsent(key, _ => mk)
+
   /** Inner text of the first element of `tag` whose class contains
     * `cls` (cls == null: any `tag`). */
   private def tagText(html: String, tag: String, cls: String): Option[String] = {
-    val pat =
+    val pat = cached(s"tag:$tag:$cls") {
       if (cls == null)
         s"""(?is)<$tag\\b[^>]*>(.*?)</$tag>""".r
       else
         s"""(?is)<$tag\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</$tag>""".r
+    }
     pat.findFirstMatchIn(html).map(m => stripTags(m.group(1)))
+  }
+
+  private def classPat(cls: String) = cached(s"cls:$cls") {
+    s"""(?is)<(\\w+)\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</\\1>""".r
   }
 
   /** Any-tag variant: first element with a class containing `cls`. */
   private def classText(html: String, cls: String): Option[String] =
-    s"""(?is)<(\\w+)\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</\\1>""".r
-      .findFirstMatchIn(html).map(m => stripTags(m.group(2)))
+    classPat(cls).findFirstMatchIn(html).map(m => stripTags(m.group(2)))
+
+  /** ALL elements with a class containing `cls`, in document order —
+    * the reference appends every selector hit (parse_jobs.py:169-174). */
+  private def classTextAll(html: String, cls: String): Seq[String] =
+    classPat(cls).findAllMatchIn(html).map(m => stripTags(m.group(2))).toSeq
 
   def stripTags(html: String): String =
     html.replaceAll("(?is)<script.*?</script>", " ")
@@ -66,7 +82,7 @@ object HtmlExtract {
       val text = stripTags(html)
       val pats = Seq(
         """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
-        """([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
+        """(?i)([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
       pats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim))
         .collectFirst { case c if c.length > 2 => c }
         .getOrElse("Entreprise confidentielle")
@@ -95,14 +111,19 @@ object HtmlExtract {
     if (html == null || html.isEmpty) return null
     val selectors = Seq("requirements", "qualifications", "skills", "competences",
       "job-requirements", "profile", "requirement", "skill", "competence")
-    val hits = selectors.flatMap(c => classText(html, c)).map(_.trim).filter(_.length > 10)
-    if (hits.nonEmpty) hits.distinct.mkString(" ")
+    val hits = selectors.flatMap(c => classTextAll(html, c))
+      .map(_.trim).filter(_.length > 10)
+    if (hits.nonEmpty) hits.mkString(" ")
     else {
-      val text = classText(html, "description").orElse(classText(html, "content"))
-        .getOrElse(stripTags(html))
-      val items = """[•\-\*]\s*([^\n•\-\*]+)""".r
-        .findAllMatchIn(text).map(_.group(1).trim).toSeq
-      if (items.nonEmpty) items.take(10).mkString(" ") else null
+      // bullet fallback only scans a description/content element — the
+      // reference returns None when neither exists (parse_jobs.py:180-186)
+      classText(html, "description").orElse(classText(html, "content")) match {
+        case Some(text) =>
+          val items = """[•\-\*]\s*([^\n•\-\*]+)""".r
+            .findAllMatchIn(text).map(_.group(1).trim).toSeq
+          if (items.nonEmpty) items.take(10).mkString(" ") else null
+        case None => null
+      }
     }
   }
 

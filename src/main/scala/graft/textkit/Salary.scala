@@ -37,7 +37,7 @@ object Salary {
 
   /** The nine pattern families (extract_salary.py:71-93), in order.
     * `groups` = number of capture groups (2 = range pattern). */
-  private val patterns: Seq[(String, Int)] = Seq(
+  private val patterns: Seq[(scala.util.matching.Regex, Int)] = Seq(
     ("""(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof|francs?|f\s*cf)""", 1),
     ("""(?:salaire|rémunération|paye|paie)\s*:?\s*(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof|francs?)""", 1),
     ("""(\d+(?:[\s\.,]\d+)*)\s*(?:€|eur|euros?|euros)""", 1),
@@ -48,7 +48,7 @@ object Salary {
     ("""entre\s*(\d+(?:[\s\.,]\d+)*)\s*et\s*(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof|€|\$)""", 2),
     ("""(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof|€|\$)\s*(?:négociable|à négocier|selon expérience)""", 1),
     ("""(\d+(?:[\s\.,]\d+)*)\s*(?:fcfa|cfa|xof)\s*(?:selon|en fonction de)\s*(?:expérience|profil|exp)""", 1))
-    .map { case (p, g) => (("(?iu)" + p), g) }
+    .map { case (p, g) => (("(?iu)" + p).r, g) } // compiled ONCE, not per row
 
   /** Python `int(float(x.replace(...)))`: the digit string goes through
     * DOUBLE first (so >2^53 inputs round exactly like CPython), then
@@ -74,8 +74,7 @@ object Salary {
     var best: Parsed = null
     var bestConf = 0.0
 
-    for ((pat, nGroups) <- patterns) {
-      val rx = pat.r
+    for ((rx, nGroups) <- patterns) {
       for (m <- rx.findAllMatchIn(lo)) {
         val amounts =
           if (nGroups == 2) for (a <- parseAmount(m.group(1)); b <- parseAmount(m.group(2))) yield (a, b, 0.9)
@@ -140,16 +139,28 @@ object Salary {
     udf((t: String, l: String, c: String) => inferRange(t, l, c))
 
   /** F20 as pure Column expressions over the parsed struct
-    * (extract_salary.py:253-291): avg of the range, min/max backfill. */
+    * (extract_salary.py:253-291). Python truthiness is part of the
+    * semantics: a 0 amount counts as MISSING — (0, 500) backfills min
+    * to 500 and (0, 0) yields a null average (golden-probed against
+    * normalize_salary_udf). The average adds in DOUBLE (Python's
+    * unbounded ints never overflow; int32 addition under ANSI would). */
   def normalized(parsed: Column): Column = {
     val mn = parsed.getField("salary_min")
     val mx = parsed.getField("salary_max")
-    val mnF = coalesce(mn, mx)
-    val mxF = coalesce(mx, mn)
+    def truthy(c: Column): Column = c.isNotNull && c =!= 0
+    val mnD = mn.cast("double"); val mxD = mx.cast("double")
+    val (outMn, outMx, outAvg) = (
+      when(truthy(mn) && truthy(mx), mn)
+        .when(truthy(mn), mn).when(truthy(mx), mx).otherwise(mn),
+      when(truthy(mn) && truthy(mx), mx)
+        .when(truthy(mn), mn).when(truthy(mx), mx).otherwise(mx),
+      when(truthy(mn) && truthy(mx), (mnD + mxD) / 2.0)
+        .when(truthy(mn), mnD).when(truthy(mx), mxD)
+        .otherwise(lit(null).cast("double")))
     struct(
-      mnF.as("salary_min_fcfa"),
-      mxF.as("salary_max_fcfa"),
-      ((mnF + mxF) / 2.0).cast("float").as("salary_avg_fcfa"),
+      outMn.as("salary_min_fcfa"),
+      outMx.as("salary_max_fcfa"),
+      outAvg.cast("float").as("salary_avg_fcfa"),
       coalesce(parsed.getField("currency"), lit("FCFA")).as("currency_original"),
       coalesce(parsed.getField("period"), lit("monthly")).as("period_normalized"),
       coalesce(parsed.getField("confidence"), lit(0.0f)).as("confidence_score"),

@@ -130,6 +130,31 @@ class StagesSpec extends AnyFunSuite {
     assert(singlePass == Set("id1", "id3"))
   }
 
+  test("malformed blob without separator degrades to defaults, not a crash") {
+    val malformed = """{"job_id": "aaaa", "source": "X"} single line no separator"""
+    val out = Parse(Seq(malformed).toDF("value"), clock).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("title") == "Titre non disponible")
+  }
+
+  test("requirements: all matching elements joined; no whole-page bullet harvest") {
+    import graft.textkit.HtmlExtract
+    val twoBlocks =
+      """<html><body><div class="skills">Python et SQL niveau avancé</div>
+        |<div class="skills">Docker et Kubernetes en production</div></body></html>""".stripMargin
+    val got = HtmlExtract.extractRequirements(twoBlocks)
+    assert(got.contains("Python et SQL") && got.contains("Docker et Kubernetes"))
+    // dashes outside a description/content element must NOT be harvested
+    val navDashes = "<html><body><nav>- Accueil - Contact - Mentions</nav></body></html>"
+    assert(HtmlExtract.extractRequirements(navDashes) == null)
+  }
+
+  test("company text patterns are case-insensitive like the reference") {
+    import graft.textkit.HtmlExtract
+    val html = "<html><body><p>recrutement par notre société acme sarl</p></body></html>"
+    assert(HtmlExtract.extractCompany(html) != "Entreprise confidentielle")
+  }
+
   test("HTML extraction survives attribute noise and multi-class tags") {
     val messy =
       """{"job_id": "beadbeadbeadbead", "source": "MacarrierproScraper", "size": 1}

@@ -88,4 +88,36 @@ class SalarySpec extends AnyFunSuite {
     assert(out(1).getInt(0) == 100 && out(1).getInt(1) == 100 && out(1).getFloat(2) == 100.0f)
     assert(out(2).isNullAt(0) && out(2).isNullAt(2) && out(2).getString(3) == "none")
   }
+
+  test("normalized treats 0 amounts as missing (Python truthiness, reference-probed)") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(0), Some(0), "FCFA", "monthly", 0.8f, "parsed"),
+      (Some(0), Some(500), "FCFA", "monthly", 0.8f, "parsed"),
+      (Some(300), Some(0), "FCFA", "monthly", 0.8f, "parsed"))
+      .toDF("salary_min", "salary_max", "currency", "period", "confidence", "source")
+      .select(struct($"salary_min", $"salary_max", $"currency", $"period",
+        $"confidence", $"source").as("p"))
+    val out = df.select(Salary.normalized($"p").as("n"))
+      .select("n.salary_min_fcfa", "n.salary_max_fcfa", "n.salary_avg_fcfa").collect()
+    // (0,0) -> kept as 0/0, avg NULL; (0,500) -> backfilled to 500/500/500
+    assert(out(0).getInt(0) == 0 && out(0).getInt(1) == 0 && out(0).isNullAt(2))
+    assert(out(1).getInt(0) == 500 && out(1).getInt(1) == 500 && out(1).getFloat(2) == 500.0f)
+    assert(out(2).getInt(0) == 300 && out(2).getInt(1) == 300 && out(2).getFloat(2) == 300.0f)
+  }
+
+  test("normalized averages huge int32 amounts without ANSI overflow") {
+    import graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val big = Int.MaxValue - 1
+    val df = Seq((Some(big), Some(big), "FCFA", "monthly", 0.8f, "parsed"))
+      .toDF("salary_min", "salary_max", "currency", "period", "confidence", "source")
+      .select(struct($"salary_min", $"salary_max", $"currency", $"period",
+        $"confidence", $"source").as("p"))
+    val avg = df.select(Salary.normalized($"p").getField("salary_avg_fcfa")).first().getFloat(0)
+    assert(math.abs(avg - big.toFloat) < 1e3)
+  }
 }
