@@ -65,8 +65,9 @@ object TextFunctions {
   /** Jaccard similarity of two array-set columns, as DOUBLE in [0,1].
     * (F10's kernel: size(intersect)/size(union).) */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    when(size(a) === 0 || size(b) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
 
   /** Occurrence count of literal `marker` in `c` via length arithmetic —
     * chosen over regexp so any SQL engine replays it identically. */
@@ -75,7 +76,7 @@ object TextFunctions {
 
   /** Whitespace-collapsed, trimmed, lowercased canonical text (F9). */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), "\\s+", " "))
+    trim(regexp_replace(lower(c), "[ \\t\\n\\r\\f]+", " "))
 
   /** Document fingerprint: md5 of the canonical text. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
@@ -112,5 +113,5 @@ object TextFunctions {
   }
 
   def sqlNormalize(e: String): String =
-    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($e), '[ \\t\\n\\r\\f]+', ' ', 'g'))"
 }

@@ -23,15 +23,16 @@ object Dedup {
   /** Exact dedup: group identical `textCol` bodies by md5 digest and
     * keep the smallest id as survivor. One shuffle on the digest. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("digest"))
+    df.where(col(textCol).isNotNull) // md5(NULL)=NULL would fuse all null docs
+      .groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Per-document MinHash signature (k permutations over the distinct
     * lowercase-alpha token set). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(
-      col(idCol),
-      minhashSignature(tokenSet(col(textCol)), k).as("sig"))
+    df.select(col(idCol),
+        transform(tokenSet(col(textCol)), t => tokenHashMod(t)).as("__h"))
+      .select(col(idCol), minhashFromHashes(col("__h"), k).as("sig"))
 
   /** MinHash-LSH near-duplicate pairs.
     *

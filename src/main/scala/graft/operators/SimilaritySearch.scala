@@ -26,12 +26,15 @@ object SimilaritySearch {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
 
   /** Cosine from a pair dot product and per-ROW precomputed norms —
     * norms are map-stage work; only one dot product runs per pair. */
   private def cosinePrepped(d: Column, normA: Column, normB: Column): Column =
-    d / (normA * normB)
+    when(normA * normB === 0.0, 0.0).otherwise(d / (normA * normB))
 
   /** Exact top-k neighbors for each query vector (query ids drawn from
     * the corpus itself). Ranks on the rounded similarity with id

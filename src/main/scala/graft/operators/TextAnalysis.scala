@@ -38,9 +38,7 @@ object TextAnalysis {
   /** Predicted language: argmax of marker scores, first-listed wins
     * ties, "und" (undetermined) when every score is zero. */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> ms.map(m => occurrences(padded(text), m)).reduce(_ + _)
-    }
+    val scores = langMarkers.map(_._1).zip(langScores(text).map(_._2))
     val total = scores.map(_._2).reduce(_ + _)
     val best = scores.tail.foldLeft(when(lit(true), lit(scores.head._1)) -> scores.head._2) {
       case ((pick, bestScore), (lang, s)) =>
@@ -56,8 +54,9 @@ object TextAnalysis {
     val tokSet = array_distinct(toks)
     val nToks = size(toks).cast("long")
     val stopHits = size(array_intersect(tokSet, lit(stopwords.toArray))).cast("double")
-    val distinctRatio = size(tokSet).cast("double") / nToks.cast("double")
-    val avgTokLen = (length(concat_ws("", toks)).cast("double") / nToks.cast("double"))
+    val nToksSafe = greatest(nToks.cast("double"), lit(1.0))
+    val distinctRatio = size(tokSet).cast("double") / nToksSafe
+    val avgTokLen = (length(concat_ws("", toks)).cast("double") / nToksSafe)
     df.select(
       col(idCol),
       nToks.as("n_tokens"),
@@ -74,9 +73,9 @@ object TextAnalysis {
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0))
+      size(filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0))
         .cast("long").as("ws_tokens"),
-      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
         .cast("long").as("bpe_pieces"),
       length(col(textCol)).cast("long").as("n_chars"))
 

@@ -49,7 +49,7 @@ object TextOps {
 
   private val q16Sql =
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
-       FROM documents GROUP BY 1 ORDER BY 1"""
+       FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1"""
 
   /** MinHash signatures (k=16) per document. */
   private def q17(s: SparkSession, dir: String): DataFrame =
@@ -182,11 +182,11 @@ object TextOps {
                      len(toks) AS n FROM t)
         SELECT doc_id,
           n::BIGINT AS n_tokens,
-          round((length(array_to_string(toks, ''))::DOUBLE / n) + 1e-9, 4) AS avg_token_len,
-          round((len(tset)::DOUBLE / n) + 1e-9, 4) AS distinct_ratio,
+          round((length(array_to_string(toks, ''))::DOUBLE / greatest(n, 1)) + 1e-9, 4) AS avg_token_len,
+          round((len(tset)::DOUBLE / greatest(n, 1)) + 1e-9, 4) AS distinct_ratio,
           round((len(list_intersect(tset, $stop))::DOUBLE /
                 greatest(len(tset)::DOUBLE, 1.0)) + 1e-9, 4) AS stopword_type_ratio,
-          round((least(n::DOUBLE / 100.0, 1.0) * (len(tset)::DOUBLE / n)) + 1e-9, 4) AS quality
+          round((least(n::DOUBLE / 100.0, 1.0) * (len(tset)::DOUBLE / greatest(n, 1))) + 1e-9, 4) AS quality
         FROM u ORDER BY doc_id"""
   }
 
@@ -197,9 +197,9 @@ object TextOps {
 
   private val q23Sql =
     """SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT
+       len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0))::BIGINT
          AS ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f]'))::BIGINT
          AS bpe_pieces,
        length(text)::BIGINT AS n_chars
        FROM documents ORDER BY doc_id"""

@@ -32,8 +32,10 @@ object VectorOps {
         q AS (SELECT vec_id AS query_id, v AS qv FROM e
               WHERE vec_id IN $queryIdList),
         sc AS (SELECT query_id, c.vec_id AS cand_id,
-                 round(${sqlDot("qv", "c.v")} /
-                       (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})), 6)
+                 round(CASE WHEN sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")}) = 0
+                            THEN 0.0
+                            ELSE ${sqlDot("qv", "c.v")} /
+                                 (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})) END, 6)
                    AS cos_sim
                FROM q CROSS JOIN e c WHERE c.vec_id <> query_id)
         SELECT query_id, cand_id, cos_sim, rank FROM (
@@ -55,8 +57,10 @@ object VectorOps {
         q AS (SELECT vec_id AS query_id, bucket AS q_bucket, v AS qv FROM e
               WHERE vec_id IN $queryIdList),
         sc AS (SELECT query_id, c.bucket AS bucket, c.vec_id AS cand_id,
-                 round(${sqlDot("qv", "c.v")} /
-                       (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})), 6)
+                 round(CASE WHEN sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")}) = 0
+                            THEN 0.0
+                            ELSE ${sqlDot("qv", "c.v")} /
+                                 (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("c.v", "c.v")})) END, 6)
                    AS cos_sim
                FROM q JOIN e c ON c.bucket = q.q_bucket
                WHERE c.vec_id <> query_id)
@@ -80,7 +84,8 @@ object VectorOps {
       $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, $"bucket" === $"bucketb" && $"id_a" < $"id_b")
       .withColumn("cos_sim",
-        round(SimilaritySearch.dot($"va", $"vb") / ($"na" * $"nb"), 6))
+        round(when($"na" * $"nb" === 0.0, 0.0)
+          .otherwise(SimilaritySearch.dot($"va", $"vb") / ($"na" * $"nb")), 6))
       .where($"cos_sim" >= 0.95)
       .select($"bucket", $"id_a", $"id_b", $"cos_sim")
       .orderBy($"id_a", $"id_b")
@@ -91,8 +96,10 @@ object VectorOps {
                    FROM embeddings)
         SELECT bucket, id_a, id_b, cos_sim FROM (
           SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-            round(${sqlDot("a.v", "b.v")} /
-                  (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})), 6)
+            round(CASE WHEN sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")}) = 0
+                       THEN 0.0
+                       ELSE ${sqlDot("a.v", "b.v")} /
+                            (sqrt(${sqlDot("a.v", "a.v")}) * sqrt(${sqlDot("b.v", "b.v")})) END, 6)
               AS cos_sim
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
         WHERE cos_sim >= 0.95 ORDER BY id_a, id_b"""
