@@ -44,18 +44,21 @@ object Dedup {
       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // hash each distinct token ONCE; signatures and the verification
-    // Jaccard both work over the int64 hashes (md5 60-bit: collisions
-    // are negligible, and the SQL oracle hashes identically). Kept
-    // sorted so the verification uses the codegen'd merge-walk Jaccard.
+    // Jaccard both work over the mod-P int64 hashes, re-distincted
+    // AFTER hashing (the 31-bit ring can collide within a document,
+    // and sortedJaccard requires set semantics — matching the oracle's
+    // list_distinct). Kept sorted for the codegen'd merge-walk Jaccard.
     val toks = df.select(col(idCol).as("id"),
-      sort_array(transform(tokenSet(col(textCol)), t => tokenHashMod(t))).as("toks"))
+      sort_array(array_distinct(
+        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
     val sigs = toks.select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
     val nBands = k / bandsOf
     // One shuffle on (band index, band key) with NARROW rows (ids +
     // key only); candidate de-dup is a hash aggregate with map-side
-    // partial combine; verification joins the token arrays back via
-    // explicit broadcast (the per-doc side is tiny relative to the
-    // pair set) so no second shuffle touches the wide arrays.
+    // partial combine; verification joins the token arrays back on id —
+    // AQE broadcasts the per-doc side while it fits and falls back to a
+    // shuffle join beyond the broadcast cap (a forced broadcast would
+    // hard-fail at corpus scale).
     val bands = sigs.select(
       col("id"),
       posexplode(array((0 until nBands).map { b =>
@@ -68,8 +71,8 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
-      .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
           .as("jaccard"))

@@ -76,7 +76,7 @@ object TextOps {
       s"SELECT id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH t AS (SELECT doc_id AS id,
-          list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")}) AS toks
+          list_distinct(list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")})) AS toks
           FROM documents),
         sig AS (SELECT id, [$ms] AS sig FROM t),
         bands AS ($bandSelects),

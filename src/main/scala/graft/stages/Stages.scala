@@ -160,9 +160,10 @@ object Deduplicate {
     * columns); the per-pair work after the blocked self-join is only
     * array intersection + string equality. */
   def duplicatePairs(prepared: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val toks = sort_array(transform(
-      array_distinct(filter(split(col("normalized_title"), " "), w => length(w) > 0)),
-      t => graft.functions.TextFunctions.tokenHash(t)))
+    // derived from the RAW title via the shared kernel — equivalent to
+    // re-splitting normalized_title but with no hidden invariant about
+    // how that column was produced
+    val toks = Normalize.simTokensHashed(col("title"))
     val side = prepared.select(
       col("similarity_key"), col("job_id"),
       toks.as("toks"), col("normalized_company").as("cn"),
