@@ -438,6 +438,33 @@ object Relational {
        count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
        FROM orders GROUP BY 1 ORDER BY 1"""
 
+  /** Relational set ops beyond the reference's union (U1): INTERSECT
+    * and EXCEPT with distinct semantics, labeled in one result. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custNations = table(s, dir, "customer")
+      .select($"c_nationkey".cast("long").as("nationkey"))
+    val suppNations = table(s, dir, "supplier")
+      .select($"s_nationkey".cast("long").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .select(lit("both").as("side"), $"nationkey")
+    val custOnly = custNations.except(suppNations)
+      .select(lit("cust_only").as("side"), $"nationkey")
+    both.unionByName(custOnly).orderBy($"side", $"nationkey")
+  }
+
+  private val q42Sql =
+    """SELECT 'both' AS side, nationkey FROM (
+         SELECT c_nationkey::BIGINT AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey::BIGINT FROM supplier)
+       UNION ALL
+       SELECT 'cust_only' AS side, nationkey FROM (
+         SELECT c_nationkey::BIGINT AS nationkey FROM customer
+         EXCEPT
+         SELECT s_nationkey::BIGINT FROM supplier)
+       ORDER BY side, nationkey"""
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -458,5 +485,6 @@ object Relational {
     Q("q37_rollup", q37 _, Some(q37Sql)),
     Q("q38_approx_distinct", q38 _, None),
     Q("q39_percentiles", q39 _, Some(q39Sql)),
-    Q("q40_pivot", q40 _, Some(q40Sql)))
+    Q("q40_pivot", q40 _, Some(q40Sql)),
+    Q("q42_intersect_except", q42 _, Some(q42Sql)))
 }

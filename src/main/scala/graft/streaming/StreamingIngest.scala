@@ -18,7 +18,11 @@ object StreamingIngest {
 
   /** Reference source options (consume_jobs.py:93-100). Rate control via
     * maxOffsetsPerTrigger is the Structured-Streaming-native equivalent
-    * of the reference's DStream maxRatePerPartition=1000 x 3 partitions. */
+    * of the reference's DStream maxRatePerPartition=1000 x 3 partitions.
+    * NOTE: needs the spark-sql-kafka connector on the deployment
+    * classpath — absent in this offline test environment, so the Kafka
+    * leg is configuration-only here; the shared transform chain is
+    * exercised through the file source (IngestSpec). */
   def kafkaReader(spark: SparkSession, bootstrap: String, topic: String) =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -27,15 +31,17 @@ object StreamingIngest {
       .option("failOnDataLoss", "false")
       .option("maxOffsetsPerTrigger", 3000)
 
-  /** Reference sink: append-mode partitioned parquet with checkpoint and
-    * 30 s processing-time trigger (consume_jobs.py:148-156). */
-  def parquetSink(df: DataFrame, path: String, checkpoint: String) =
+  /** Reference sink: append-mode partitioned parquet with checkpoint;
+    * 30 s processing-time trigger by default (consume_jobs.py:148-156),
+    * overridable so tests can drive it with AvailableNow. */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")) =
     df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("scraped_date", "source")
       .outputMode("append")
-      .trigger(Trigger.ProcessingTime("30 seconds"))
+      .trigger(trigger)
 
   /** Event-time windowed aggregation driven as a synchronous streaming
     * query over the parquet `events` table (Trigger.AvailableNow +
@@ -65,10 +71,14 @@ object StreamingIngest {
       .start()
     q.awaitTermination()
     // Detach from the transient memory-sink table (tiny: one row per
-    // (day, event_type)) so downstream writes don't race the sink.
+    // (day, event_type)) so downstream writes don't race the sink, and
+    // drop it — otherwise every invocation leaks a catalog entry + its
+    // collected rows for the session lifetime.
+    val sinkSchema = spark.table(name).schema
     val rows = spark.table(name).collect().toSeq
+    spark.catalog.dropTempView(name)
     val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), spark.table(name).schema)
+      spark.sparkContext.parallelize(rows), sinkSchema)
     out.select(
       unix_timestamp(col("window.start")).as("day_epoch"),
       col("event_type"), col("cnt"), col("sum_val"))

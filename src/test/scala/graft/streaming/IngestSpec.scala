@@ -72,14 +72,8 @@ class IngestSpec extends AnyFunSuite {
 
     val streamIn = spark.readStream.schema("value STRING").text(s"$tmp/in")
     val enriched = IngestTransform.enrich(IngestTransform.parseJsonValue(streamIn), clock)
-    val q = enriched.writeStream
-      .format("parquet")
-      .option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/chk")
-      .partitionBy("scraped_date", "source")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = StreamingIngest.parquetSink(enriched, s"$tmp/out", s"$tmp/chk",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
 
     val back = spark.read.parquet(s"$tmp/out")
