@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: one JSON line with per-query wall times.
   *
@@ -8,8 +8,18 @@ import org.apache.spark.sql.SparkSession
   * every query once so JIT + whole-stage-codegen compilation doesn't
   * land in the measured numbers — first-run skew was up to 10x on the
   * codegen-heavy operators (see TimeQ).
+  *
+  * Queries are executed through the `noop` sink, not `count()`: a
+  * count() over a projection-only plan prunes every expression (and on
+  * parquet collapses to a metadata count), which would "measure" the
+  * string/date/hash kernels as free. The noop write evaluates every
+  * output column and discards rows executor-side.
   */
 object Bench {
+
+  def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,20 +27,22 @@ object Bench {
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").count()
+        try exec(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => }
       }
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric sf parsed from the dir name (".../sf0.1" -> 0.1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
     spark.stop()
   }
 }

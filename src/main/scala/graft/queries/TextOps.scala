@@ -51,15 +51,20 @@ object TextOps {
     """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
        FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY 1"""
 
-  /** MinHash signatures (k=16) per document. */
+  /** MinHash signatures (k=16) per document, emitted as one
+    * comma-joined string (the driver's comparator sorts rows by every
+    * output column, which array-typed cells break). */
   private def q17(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(table(s, dir, "documents"), "doc_id", "text", MinhashK)
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("sig"), x => x.cast("string"))).as("sig"))
       .orderBy(col("doc_id"))
 
   private val q17Sql = {
     val ms = (0 until MinhashK).map(i => sqlMinhash("toks", i)).mkString(",\n  ")
     s"""WITH t AS (SELECT doc_id, ${sqlTokenSet("text")} AS toks FROM documents)
-        SELECT doc_id, [$ms] AS sig FROM t ORDER BY doc_id"""
+        SELECT doc_id, array_to_string(list_transform([$ms], x -> x::VARCHAR), ',') AS sig
+        FROM t ORDER BY doc_id"""
   }
 
   /** MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.4. */
