@@ -39,4 +39,16 @@ object Engine {
   /** Read one TESTDATA table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Round-robin repartition to the session's shuffle parallelism.
+    *
+    * For the probe side of pair-generating joins (LSH buckets, blocked
+    * self-joins, ANN candidate scans): join work is quadratic in block
+    * sizes while probe parallelism is whatever the upstream SCAN
+    * produced, so a small or compacted input (a single file split)
+    * silently serializes the whole join onto one core. Spreading the
+    * linear-size probe rows first is cheap relative to the join and
+    * restores full-cluster parallelism at any scale. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

@@ -75,6 +75,81 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard of two bitmap-encoded sets (array<long> of equal width):
+  * popcount(a AND b) / popcount(a OR b), 0.0 when both empty.
+  *
+  * Why: when a corpus' distinct (hashed) token universe is small enough
+  * to dictionary-encode — boilerplate-heavy crawls, template corpora —
+  * a token SET becomes a few machine words, so pair-verification rows
+  * in the dedup joins shrink from full arrays (~8B/token) to w words,
+  * and the per-pair Jaccard collapses from a merge walk to two
+  * popcounts. Same output as [[ArrayOps.sortedJaccard]] over the
+  * hashed sets the bitmap encodes.
+  */
+case class BitmapJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bitmap_jaccard expects two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val an = a.numElements(); val bn = b.numElements()
+    val n = math.min(an, bn)
+    var i = 0; var inter = 0L; var uni = 0L
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      uni += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    while (i < an) { uni += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    while (i < bn) { uni += java.lang.Long.bitCount(b.getLong(i)); i += 1 }
+    if (uni == 0L) 0.0 else inter.toDouble / uni.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val n = ctx.freshName("n")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $an = $a.numElements(), $bn = $b.numElements();
+         |final int $n = Math.min($an, $bn);
+         |long $inter = 0L, $uni = 0L;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($i);
+         |  $inter += java.lang.Long.bitCount($x & $y);
+         |  $uni += java.lang.Long.bitCount($x | $y);
+         |  $i++;
+         |}
+         |while ($i < $an) { $uni += java.lang.Long.bitCount($a.getLong($i)); $i++; }
+         |while ($i < $bn) { $uni += java.lang.Long.bitCount($b.getLong($i)); $i++; }
+         |${ev.value} = ($uni == 0L) ? 0.0 : ((double) $inter) / ((double) $uni);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
 
   /** Column form of [[SortedLongIntersectSize]] — inputs MUST be sorted
@@ -90,4 +165,10 @@ object ArrayOps {
     val union = (size(a) + size(b)).cast("double") - inter
     when(size(a) === 0 || size(b) === 0, 0.0).otherwise(inter / union)
   }
+
+  /** Column form of [[BitmapJaccard]] — inputs are equal-width
+    * array<long> bitmaps over one shared dictionary. */
+  def bitmapJaccard(a: Column, b: Column): Column =
+    GraftShim.column(BitmapJaccard(
+      GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -77,10 +77,12 @@ object Matching {
     */
   def score(offers: DataFrame, cvs: DataFrame,
       clock: Option[java.sql.Timestamp] = None): DataFrame = {
-    val o = offers.select(
+    // Engine.spread: blocked joins emit O(block^2) candidates; the
+    // probe side must not inherit a single-split scan's parallelism
+    val o = graft.Engine.spread(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
-      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level"))
+      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")))
     val c = cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),

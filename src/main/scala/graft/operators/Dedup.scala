@@ -51,33 +51,131 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"),
       sort_array(array_distinct(
         transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
-    val sigs = toks.select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
+    val sigs = toks.select(col("id"), col("toks"), minhashFromHashes(col("toks"), k).as("sig"))
     val nBands = k / bandsOf
-    // One shuffle on (band index, band key) with NARROW rows (ids +
-    // key only); candidate de-dup is a hash aggregate with map-side
-    // partial combine; verification joins the token arrays back on id —
-    // AQE broadcasts the per-doc side while it fits and falls back to a
-    // shuffle join beyond the broadcast cap (a forced broadcast would
-    // hard-fail at corpus scale).
-    val bands = sigs.select(
-      col("id"),
-      posexplode(array((0 until nBands).map { b =>
-        concat_ws("_", (0 until bandsOf).map(r =>
-          element_at(col("sig"), b * bandsOf + r + 1).cast("string")): _*)
-      }: _*)).as(Seq("band_idx", "band_key")))
-    val l = bands.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-    val r = bands.select(col("band_idx"), col("band_key"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
-          .as("jaccard"))
-      .where(col("jaccard") >= threshold)
+
+    // Candidate generation: one shuffle on (band index, band key); rows
+    // carry the k-long signature so pair de-duplication is FIRST-BAND-
+    // WINS — a pair is emitted only at the lowest shared band (band
+    // slices of the two signatures compared in the join condition),
+    // which deletes the quadratic-size distinct shuffle the naive plan
+    // needs. On dense corpora (boilerplate/template-heavy) candidates
+    // approach all-pairs and that distinct dominated the whole operator.
+    // Engine.spread: the pair join's work is quadratic in bucket sizes
+    // while its probe-side parallelism is whatever the scan produced.
+    def bandsFrom(pre: DataFrame, extra: Seq[String]): DataFrame =
+      graft.Engine.spread(pre)
+        .select(
+        (Seq(col("id"), col("sig")) ++ extra.map(col) :+
+          posexplode(array((0 until nBands).map { b =>
+            concat_ws("_", (0 until bandsOf).map(r =>
+              element_at(col("sig"), b * bandsOf + r + 1).cast("string")): _*)
+          }: _*)).as(Seq("band_idx", "band_key"))): _*)
+    def sideCols(side: String, extra: Seq[String]) =
+      Seq(col("band_idx"), col("band_key"), col("id").as(s"id_$side"),
+        col("sig").as(s"sig_$side")) ++
+        extra.map(c => col(c).as(s"${c}_$side"))
+    // Slice-equality form: a compact expression tree. The fully
+    // unrolled element_at variant bloated the join-condition codegen
+    // enough to cost ~1 µs/probe; array-slice equality is ~5x cheaper.
+    def bandEq(b: Int): Column =
+      slice(col("sig_a"), b * bandsOf + 1, bandsOf) ===
+        slice(col("sig_b"), b * bandsOf + 1, bandsOf)
+    val sharedEarlierBand: Column =
+      (1 until nBands).map { bi =>
+        col("band_idx") === bi && (0 until bi).map(bandEq).reduce(_ || _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+
+    // Verification encoding is chosen from corpus statistics (the
+    // adaptive-engine move: one cheap partial-agg pass decides the
+    // physical set representation). A small distinct-token universe
+    // dictionary-encodes each token SET into a few machine words
+    // carried INLINE through the band join (per-candidate Jaccard = two
+    // popcounts, zero follow-up joins); open-vocabulary corpora keep
+    // narrow band rows and join the sorted token arrays back by id for
+    // the merge-walk Jaccard (AQE picks broadcast vs shuffle there).
+    def emitWith(pre: DataFrame, jaccard: Column, maskCols: Seq[String]): DataFrame = {
+      val bands = bandsFrom(pre, maskCols)
+      bands.select(sideCols("a", maskCols): _*)
+        .join(bands.select(sideCols("b", maskCols): _*),
+          Seq("band_idx", "band_key"))
+        .where(col("id_a") < col("id_b") && !sharedEarlierBand)
+        .select(col("id_a"), col("id_b"),
+          round(jaccard + 1e-9, 6).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
+
+    smallUniverse(toks) match {
+      case Some(vocab) if vocab.length <= 64 =>
+        // One machine word per set: Jaccard is entirely built-in bit
+        // ops (bit_count of AND / OR), no array access on the hot path.
+        val sigs1 = sigs.withColumn("mask", maskWord(col("toks"), vocab, 0))
+        val uni = bit_count(col("mask_a").bitwiseOR(col("mask_b")))
+        val jac = when(uni === 0, 0.0).otherwise(
+          bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+            uni.cast("double"))
+        emitWith(sigs1, jac, Seq("mask"))
+      case Some(vocab) =>
+        val sigsW = sigs.withColumn("mask", bitmapMask(col("toks"), vocab))
+        emitWith(sigsW,
+          graft.functions.ArrayOps.bitmapJaccard(col("mask_a"), col("mask_b")),
+          Seq("mask"))
+      case None =>
+        val bands = bandsFrom(sigs, Nil)
+        val cand = bands.select(sideCols("a", Nil): _*)
+          .join(bands.select(sideCols("b", Nil): _*), Seq("band_idx", "band_key"))
+          .where(col("id_a") < col("id_b") && !sharedEarlierBand)
+          .select("id_a", "id_b")
+        cand
+          .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+          .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
+              .as("jaccard"))
+          .where(col("jaccard") >= threshold)
+    }
   }
+
+  /** Max dictionary size for the bitmap verification path: 4096 tokens
+    * = 64-word (512 B) masks, comfortably under the merge-walk row
+    * width for any corpus dense enough for bitmaps to win. */
+  private val BitmapMaxVocab = 4096
+
+  /** The corpus' distinct hashed-token universe, when small enough to
+    * dictionary-encode. Gated by approx_count_distinct (one map-side
+    * partial agg — the 100 TB-safe stats probe) so the exact
+    * distinct-collect only runs when it is known to be tiny; 2x margin
+    * covers the sketch's rsd. */
+  private def smallUniverse(toks: DataFrame): Option[Array[Long]] = {
+    val approx = toks.select(explode(col("toks")).as("h"))
+      .agg(approx_count_distinct(col("h")).as("v"))
+      .first().getLong(0)
+    if (approx > 2L * BitmapMaxVocab) None
+    else {
+      val vs = toks.select(explode(col("toks")).as("h")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (vs.length <= BitmapMaxVocab) Some(vs) else None
+    }
+  }
+
+  /** Word `j` of the dictionary bitmap of a token-hash set (sorted
+    * dictionary; every token in `toksCol` MUST appear — both are
+    * derived from the same rows). Pure Column expressions, so the mask
+    * build stays in whole-stage codegen. */
+  private def maskWord(toksCol: Column, vocab: Array[Long], j: Int): Column = {
+    val dict = typedLit(vocab.toSeq)
+    aggregate(
+      filter(transform(toksCol, t => array_position(dict, t) - 1),
+        p => p >= j * 64L && p < (j + 1) * 64L),
+      lit(0L),
+      (acc, p) => acc.bitwiseOR(
+        call_function("shiftleft", lit(1L), (p - lit(j * 64L)).cast("int"))))
+  }
+
+  /** Fixed-width (array<long>) dictionary bitmap — the >64-token form
+    * of [[maskWord]]. */
+  private def bitmapMask(toksCol: Column, vocab: Array[Long]): Column =
+    array((0 until (vocab.length + 63) / 64).map(j => maskWord(toksCol, vocab, j)): _*)
 
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
@@ -104,12 +202,14 @@ object Dedup {
     // element_at inside the shingle lambda (higher-order lambdas do not
     // share subexpressions); shingles are md5-hashed to int64 and kept
     // sorted so the per-pair Jaccard is the codegen'd merge walk
-    val prepped = df
+    // Engine.spread: same-block pair work is quadratic per block; the
+    // probe side must not inherit a single-split scan's parallelism.
+    val prepped = graft.Engine.spread(df
       .select(col(idCol).as("id"), blockKey.as("block"),
         tokens(col(textCol)).as("toks"))
       .select(col("id"), col("block"), shingles(col("toks"), n).as("shs"))
       .select(col("id"), col("block"),
-        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh"))
+        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh")))
     val a = prepped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))

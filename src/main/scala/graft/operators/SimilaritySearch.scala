@@ -45,9 +45,11 @@ object SimilaritySearch {
       .where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2Norm(col(vecCol)).as("q_norm"))
-    val scored = corpus
+    // Engine.spread: per-candidate work is |queries| dot products; the
+    // probe side must not inherit a single-split scan's parallelism
+    val scored = graft.Engine.spread(corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm"))
+        l2Norm(col(vecCol)).as("c_norm")))
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -106,9 +108,9 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
-    val cand = index.assigned.select(col("id").as("cand_id"),
+    val cand = graft.Engine.spread(index.assigned.select(col("id").as("cand_id"),
       col("vec").as("c_vec"), col("norm").as("c_norm"),
-      col("bucket"))
+      col("bucket")))
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -128,9 +130,9 @@ object SimilaritySearch {
       .where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2Norm(col(vecCol)).as("q_norm"), col(bucketCol).as("q_bucket"))
-    val scored = corpus
+    val scored = graft.Engine.spread(corpus
       .select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
-        l2Norm(col(vecCol)).as("c_norm"), col(bucketCol).cast("long").as("bucket"))
+        l2Norm(col(vecCol)).as("c_norm"), col(bucketCol).cast("long").as("bucket")))
       .join(broadcast(q), col("bucket") === col("q_bucket").cast("long"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("bucket"), col("cand_id"),

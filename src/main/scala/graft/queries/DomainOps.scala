@@ -35,8 +35,10 @@ object DomainOps {
       Normalize.normText($"c_mktsegment").as("segn"),
       Normalize.normText($"c_nationkey".cast("string")).as("locn"),
       Normalize.simOk($"c_name", $"c_mktsegment", $"c_nationkey".cast("string")).as("ok"))
-    val a = c.select($"c_custkey".as("k1"), $"c_nationkey".as("nk"),
-      $"toks".as("toks1"), $"segn".as("segn1"), $"locn".as("locn1"), $"ok".as("ok1"))
+    // Engine.spread: the blocked self-join emits O(block^2) pairs; the
+    // probe side must not run at a single file-split's parallelism
+    val a = graft.Engine.spread(c.select($"c_custkey".as("k1"), $"c_nationkey".as("nk"),
+      $"toks".as("toks1"), $"segn".as("segn1"), $"locn".as("locn1"), $"ok".as("ok1")))
     val b = c.select($"c_custkey".as("k2"), $"c_nationkey".as("nkb"),
       $"toks".as("toks2"), $"segn".as("segn2"), $"locn".as("locn2"), $"ok".as("ok2"))
     a.join(b, $"nk" === $"nkb" && $"k1" < $"k2")

@@ -78,8 +78,10 @@ object VectorOps {
     val e = table(s, dir, "embeddings").select(
       $"vec_id", $"label".cast("long").as("bucket"), $"embedding",
       SimilaritySearch.l2Norm($"embedding").as("nrm"))
-    val a = e.select($"vec_id".as("id_a"), $"bucket",
-      $"embedding".as("va"), $"nrm".as("na"))
+    // Engine.spread: same-bucket pair join — quadratic per bucket, so
+    // the probe side must not inherit a single-split scan's parallelism
+    val a = graft.Engine.spread(e.select($"vec_id".as("id_a"), $"bucket",
+      $"embedding".as("va"), $"nrm".as("na")))
     val b = e.select($"vec_id".as("id_b"), $"bucket".as("bucketb"),
       $"embedding".as("vb"), $"nrm".as("nb"))
     a.join(b, $"bucket" === $"bucketb" && $"id_a" < $"id_b")
