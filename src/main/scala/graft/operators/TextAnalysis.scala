@@ -86,4 +86,77 @@ object TextAnalysis {
       fingerprint(col(textCol)).as("fp"),
       substring(fingerprint(col(textCol)), 1, 4).as("fp_band"),
       length(normalizeText(col(textCol))).cast("long").as("norm_len"))
+
+  /** Deterministic per-row sample bucket in [0, 100): md5-hash of the
+    * id, NOT rand() — reproducible across runs, engines, partitionings
+    * and cluster sizes, which is what a training-data pipeline needs to
+    * re-materialize the exact same corpus split. */
+  def sampleBucket(id: Column): Column =
+    pmod(tokenHash(id.cast("string")), lit(100L))
+
+  /** Stratified hash-sampling: keep a row iff its [[sampleBucket]]
+    * falls under its stratum's percentage. Map-side only — no shuffle,
+    * no RNG state; rates ride along as a broadcast-literal map. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratum: Column,
+      ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = coalesce(
+      element_at(typedLit(ratesPct), stratum).cast("long"),
+      lit(defaultPct.toLong))
+    df.withColumn("stratum", stratum)
+      .withColumn("bucket", sampleBucket(col(idCol)))
+      .where(col("bucket") < rate)
+  }
+
+  /** Sequence packing accounting for LLM pretraining (concat-then-chunk:
+    * documents are concatenated in id order and split into fixed
+    * `ctxLen`-token context windows; a document may span chunks).
+    * Packing is per shard — `id mod nShards` — because a global
+    * concatenation order would serialize the cumulative sum; per-shard
+    * running totals are a partitioned window (one shuffle on the shard
+    * key), which is how distributed pretraining pipelines actually pack.
+    * Emits per doc: shard, token count, global-in-shard start offset,
+    * first/last chunk index and chunks spanned. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      ctxLen: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksN = size(filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0))
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        toksN.as("n_tokens"))
+      .withColumn("end_token", sum(col("n_tokens")).over(w))
+      .withColumn("start_token", col("end_token") - col("n_tokens"))
+      .select(
+        col(idCol), col("shard"), col("n_tokens"), col("start_token"),
+        floor(col("start_token") / ctxLen).as("first_chunk"),
+        when(col("n_tokens") === 0, floor(col("start_token") / ctxLen))
+          .otherwise(floor((col("end_token") - 1) / ctxLen)).as("last_chunk"))
+      .withColumn("chunks_spanned",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("last_chunk") - col("first_chunk") + 1))
+  }
+
+  /** PII patterns shared by the scrubber and its SQL oracle — kept to
+    * syntax with identical semantics in Java regex and RE2. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiUrl = "https?://[^ \\t\\n\\r\\f]+"
+  val piiPhone = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII scrub: count email/URL/phone matches and redact them (emails
+    * first, then URLs, then phones). Map-side only. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, piiEmail, "<EMAIL>"),
+        piiUrl, "<URL>"),
+      piiPhone, "<PHONE>")
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(piiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(piiUrl), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(piiPhone), lit(0))).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("clean_len"))
+  }
 }

@@ -480,6 +480,59 @@ object Relational {
          SELECT s_nationkey::BIGINT FROM supplier)
        ORDER BY side, nationkey"""
 
+  /** CUBE with grouping_id — all four aggregation granularities of the
+    * (priority, status) pair in one pass (§2.4's granularity ladder the
+    * dashboards climb; rollup is q37). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select($"o_orderpriority", $"o_orderstatus", $"o_totalprice")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"),
+        roundSafe(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val q46Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+       count(*) AS cnt, round(sum(o_totalprice) + 1e-9, 2) AS total
+       FROM orders
+       GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
+  /** Ranking-window family §2.5: ntile, percent_rank, cume_dist,
+    * lag/lead in one partitioned window (single shuffle on the
+    * partition key; all five functions share the sort). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    table(s, dir, "orders")
+      .select(
+        $"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).cast("long").as("quartile"),
+        roundSafe(percent_rank().over(w), 6).as("pct_rank"),
+        roundSafe(cume_dist().over(w), 6).as("cdist"),
+        roundSafe(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+        roundSafe(lead($"o_totalprice", 1).over(w), 2).as("next_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q47Sql =
+    """SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+       round(cume_dist() OVER w + 1e-9, 6) AS cdist,
+       round(lag(o_totalprice, 1) OVER w + 1e-9, 2) AS prev_price,
+       round(lead(o_totalprice, 1) OVER w + 1e-9, 2) AS next_price
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey"""
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -501,5 +554,7 @@ object Relational {
     Q("q38_approx_distinct", q38 _, Some(q38Sql)),
     Q("q39_percentiles", q39 _, Some(q39Sql)),
     Q("q40_pivot", q40 _, Some(q40Sql)),
-    Q("q42_intersect_except", q42 _, Some(q42Sql)))
+    Q("q42_intersect_except", q42 _, Some(q42Sql)),
+    Q("q46_cube", q46 _, Some(q46Sql)),
+    Q("q47_window_ranks", q47 _, Some(q47Sql)))
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark.spark
+import graft.operators.TextAnalysis
+
+/** Training-data curation operators: PII scrubbing, stratified
+  * hash-sampling, sequence packing. The driver queries (q43-q45) gate
+  * these against DuckDB on the test corpus; these specs pin semantics
+  * on adversarial fixtures the synthetic corpus lacks (real PII
+  * strings, zero-token docs, stratum boundary rates). */
+class TrainingOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("piiScrub counts and redacts emails, urls and phones") {
+    val df = Seq(
+      (1L, "contact john.doe+x@ex-ample.org or jane@b.co today"),
+      (2L, "docs at https://spark.apache.org/docs and http://a.io/x?q=1"),
+      (3L, "call +225 01 02 03 04 05 or 07-08-09-10-11 now"),
+      (4L, "clean text, no pii at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(1).getAs[Long]("n_urls") == 2)
+    assert(out(2).getAs[Long]("n_phones") == 2)
+    assert(out(3).getAs[Long]("n_emails") == 0 &&
+      out(3).getAs[Long]("n_phones") == 0 &&
+      out(3).getAs[Long]("clean_len") == "clean text, no pii at all".length)
+    // redaction really shrinks the scrubbed text
+    assert(out(0).getAs[Long]("clean_len") <
+      "contact john.doe+x@ex-ample.org or jane@b.co today".length)
+  }
+
+  test("stratifiedHashSample honors per-stratum rates and is deterministic") {
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    def run() = TextAnalysis.stratifiedHashSample(
+      df, "id", col("grp"), Map("a" -> 100, "b" -> 0), 50)
+      .select("id", "stratum").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val s1 = run(); val s2 = run()
+    assert(s1.sameElements(s2), "hash sampling must be reproducible")
+    val byStratum = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum.getOrElse("a", 0) == 100, "rate 100 keeps every row")
+    assert(!byStratum.contains("b"), "rate 0 drops every row")
+    val c = byStratum.getOrElse("c", 0)
+    assert(c > 25 && c < 75, s"default rate 50 kept $c of 100")
+  }
+
+  test("packSequences chunk accounting on a hand-computed fixture") {
+    // one shard; token counts 4, 8, 3, 0, 9 with ctx 10:
+    //   doc 0: start 0,  end 4  -> chunk 0..0, spans 1
+    //   doc 1: start 4,  end 12 -> chunk 0..1, spans 2 (crosses boundary)
+    //   doc 2: start 12, end 15 -> chunk 1..1, spans 1
+    //   doc 3: start 15, end 15 -> zero tokens, spans 0
+    //   doc 4: start 15, end 24 -> chunk 1..2, spans 2
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c d e f g h"), (2L, "a b c"),
+      (3L, ""), (4L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text", 10, 1)
+      .orderBy("doc_id")
+      .select("start_token", "first_chunk", "last_chunk", "chunks_spanned")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 1L), (4L, 0L, 1L, 2L), (12L, 1L, 1L, 1L),
+      (15L, 1L, 1L, 0L), (15L, 1L, 2L, 2L)))
+  }
+}
