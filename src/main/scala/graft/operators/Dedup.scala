@@ -94,45 +94,48 @@ object Dedup {
     // popcounts, zero follow-up joins); open-vocabulary corpora keep
     // narrow band rows and join the sorted token arrays back by id for
     // the merge-walk Jaccard (AQE picks broadcast vs shuffle there).
-    def emitWith(pre: DataFrame, jaccard: Column, maskCols: Seq[String]): DataFrame = {
+    def candidates(pre: DataFrame, maskCols: Seq[String]): DataFrame = {
       val bands = bandsFrom(pre, maskCols)
       bands.select(sideCols("a", maskCols): _*)
         .join(bands.select(sideCols("b", maskCols): _*),
           Seq("band_idx", "band_key"))
         .where(col("id_a") < col("id_b") && !sharedEarlierBand)
-        .select(col("id_a"), col("id_b"),
+    }
+    def scored(cand: DataFrame, jaccard: Column): DataFrame =
+      cand.select(col("id_a"), col("id_b"),
           round(jaccard + 1e-9, 6).as("jaccard"))
         .where(col("jaccard") >= threshold)
-    }
 
     smallUniverse(toks) match {
       case Some(vocab) if vocab.length <= 64 =>
         // One machine word per set: Jaccard is entirely built-in bit
         // ops (bit_count of AND / OR), no array access on the hot path.
-        val sigs1 = sigs.withColumn("mask", maskWord(col("toks"), vocab, 0))
+        val sigs1 = sigs
+          .withColumn("__pos", positionsOf(col("toks"), vocab))
+          .withColumn("mask", maskWord(col("__pos"), 0))
+          .drop("__pos")
         val uni = bit_count(col("mask_a").bitwiseOR(col("mask_b")))
         val jac = when(uni === 0, 0.0).otherwise(
           bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
             uni.cast("double"))
-        emitWith(sigs1, jac, Seq("mask"))
+        scored(candidates(sigs1, Seq("mask")), jac)
       case Some(vocab) =>
-        val sigsW = sigs.withColumn("mask", bitmapMask(col("toks"), vocab))
-        emitWith(sigsW,
-          graft.functions.ArrayOps.bitmapJaccard(col("mask_a"), col("mask_b")),
-          Seq("mask"))
+        // positions bound as a real column: CollapseProject keeps a
+        // non-cheap expression referenced by every mask word from being
+        // inlined w times (one dictionary scan per token, not per word)
+        val w = (vocab.length + 63) / 64
+        val sigsW = sigs
+          .withColumn("__pos", positionsOf(col("toks"), vocab))
+          .withColumn("mask", array((0 until w).map(j => maskWord(col("__pos"), j)): _*))
+          .drop("__pos")
+        scored(candidates(sigsW, Seq("mask")),
+          graft.functions.ArrayOps.bitmapJaccard(col("mask_a"), col("mask_b")))
       case None =>
-        val bands = bandsFrom(sigs, Nil)
-        val cand = bands.select(sideCols("a", Nil): _*)
-          .join(bands.select(sideCols("b", Nil): _*), Seq("band_idx", "band_key"))
-          .where(col("id_a") < col("id_b") && !sharedEarlierBand)
-          .select("id_a", "id_b")
-        cand
-          .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-          .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-          .select(col("id_a"), col("id_b"),
-            round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
-              .as("jaccard"))
-          .where(col("jaccard") >= threshold)
+        scored(
+          candidates(sigs, Nil).select("id_a", "id_b")
+            .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+            .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b"),
+          graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")))
     }
   }
 
@@ -145,7 +148,11 @@ object Dedup {
     * dictionary-encode. Gated by approx_count_distinct (one map-side
     * partial agg — the 100 TB-safe stats probe) so the exact
     * distinct-collect only runs when it is known to be tiny; 2x margin
-    * covers the sketch's rsd. */
+    * covers the sketch's rsd.
+    *
+    * NOTE: adaptive physical planning means [[minhashLshPairs]] runs
+    * this probe EAGERLY at plan-construction time (one or two
+    * lightweight jobs) — schema-only callers pay it too. */
   private def smallUniverse(toks: DataFrame): Option[Array[Long]] = {
     val approx = toks.select(explode(col("toks")).as("h"))
       .agg(approx_count_distinct(col("h")).as("v"))
@@ -158,24 +165,22 @@ object Dedup {
     }
   }
 
-  /** Word `j` of the dictionary bitmap of a token-hash set (sorted
+  /** 0-based dictionary positions of a token-hash set (sorted
     * dictionary; every token in `toksCol` MUST appear — both are
-    * derived from the same rows). Pure Column expressions, so the mask
-    * build stays in whole-stage codegen. */
-  private def maskWord(toksCol: Column, vocab: Array[Long], j: Int): Column = {
-    val dict = typedLit(vocab.toSeq)
+    * derived from the same rows). Bind this as a real column before
+    * deriving mask words from it. */
+  private def positionsOf(toksCol: Column, vocab: Array[Long]): Column =
+    transform(toksCol, t => array_position(typedLit(vocab.toSeq), t) - 1)
+
+  /** Word `j` of the dictionary bitmap, from bound positions. Pure
+    * Column expressions, so the mask build stays in whole-stage
+    * codegen. */
+  private def maskWord(posCol: Column, j: Int): Column =
     aggregate(
-      filter(transform(toksCol, t => array_position(dict, t) - 1),
-        p => p >= j * 64L && p < (j + 1) * 64L),
+      filter(posCol, p => p >= j * 64L && p < (j + 1) * 64L),
       lit(0L),
       (acc, p) => acc.bitwiseOR(
         call_function("shiftleft", lit(1L), (p - lit(j * 64L)).cast("int"))))
-  }
-
-  /** Fixed-width (array<long>) dictionary bitmap — the >64-token form
-    * of [[maskWord]]. */
-  private def bitmapMask(toksCol: Column, vocab: Array[Long]): Column =
-    array((0 until (vocab.length + 63) / 64).map(j => maskWord(toksCol, vocab, j)): _*)
 
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,

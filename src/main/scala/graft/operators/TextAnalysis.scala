@@ -68,13 +68,18 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Whitespace token count — shared by [[tokenStats]] and
+    * [[packSequences]]; must stay in lockstep with the oracles'
+    * string_split_regex replay. */
+  def wsTokenCount(c: Column): Column =
+    size(filter(split(c, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)).cast("long")
+
   /** Token-count accounting: whitespace tokens, BPE-ish pieces (letter
     * runs / digit runs / single other-glyphs), characters. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
-      size(filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0))
-        .cast("long").as("ws_tokens"),
+      wsTokenCount(col(textCol)).as("ws_tokens"),
       size(regexp_extract_all(lower(col(textCol)), lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
         .cast("long").as("bpe_pieces"),
       length(col(textCol)).cast("long").as("n_chars"))
@@ -119,8 +124,7 @@ object TextAnalysis {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       ctxLen: Int, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toksN = size(filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0))
-      .cast("long")
+    val toksN = wsTokenCount(col(textCol))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),

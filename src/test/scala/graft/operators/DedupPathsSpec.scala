@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark.spark
+import graft.functions.TextFunctions._
+
+/** Equivalence of minhashLshPairs' three adaptive verification paths
+  * (single-word bitmask <= 64 vocab, array bitmap <= 4096, sorted
+  * merge-walk beyond) against an independent Scala replay of the
+  * banding + exact-Jaccard contract. Path choice is corpus-driven, so
+  * each corpus is sized to land in one tier; the driver corpus (31
+  * tokens) only ever exercises the first. */
+class DedupPathsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val K = 16
+  private val BandRows = 4
+  private val Threshold = 0.4
+
+  /** Deterministic alpha-only token (tokenSet keeps lowercase alpha runs). */
+  private def tok(i: Int): String = {
+    var n = i; val sb = new StringBuilder("tok")
+    do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+    sb.toString
+  }
+
+  /** Corpus of `perTemplate` docs per template; doc j of a template
+    * drops j tokens and adds j fresh ones, giving a jaccard ladder. */
+  private def corpus(nTemplates: Int, tokensPer: Int, perTemplate: Int,
+      universeOffset: Int): Seq[(Long, String)] = {
+    var fresh = 1000000
+    (0 until nTemplates).flatMap { t =>
+      val base = (0 until tokensPer).map(i => tok(universeOffset + t * tokensPer + i))
+      (0 until perTemplate).map { j =>
+        fresh += j
+        val body = base.drop(j) ++ (0 until j).map(i => tok(fresh + i))
+        (t.toLong * perTemplate + j, body.mkString(" "))
+      }
+    }
+  }
+
+  /** Independent replay: evaluate token sets + signatures through the
+    * public builders, then do banding and exact Jaccard in plain Scala. */
+  private def referencePairs(docs: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
+    val toks = docs.select(col("doc_id"),
+        sort_array(array_distinct(
+          transform(tokenSet(col("text")), t => tokenHashMod(t)))).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", K)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val ids = toks.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      shareBand = (0 until K / BandRows).exists(band =>
+        sigs(a).slice(band * BandRows, (band + 1) * BandRows) ==
+          sigs(b).slice(band * BandRows, (band + 1) * BandRows))
+      if shareBand
+      inter = (toks(a) & toks(b)).size
+      union = (toks(a) | toks(b)).size
+      j = if (union == 0) 0.0 else inter.toDouble / union
+      if math.floor((j + 1e-9) * 1e6 + 0.5) / 1e6 >= Threshold
+    } yield (a, b) -> j).toMap
+  }
+
+  private def check(rows: Seq[(Long, String)], wantVocabIn: (Int, Int)): Unit = {
+    val docs = rows.toDF("doc_id", "text")
+    val vocab = docs.select(explode(
+        transform(tokenSet(col("text")), t => tokenHashMod(t))).as("h"))
+      .distinct().count().toInt
+    assert(vocab >= wantVocabIn._1 && vocab <= wantVocabIn._2,
+      s"corpus landed outside the intended tier: vocab=$vocab not in $wantVocabIn")
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = referencePairs(docs)
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - want(k)) < 1e-5, s"jaccard mismatch at $k: $j vs ${want(k)}")
+    }
+    assert(got.nonEmpty, "tier corpus must produce pairs for the test to mean anything")
+  }
+
+  test("single-word bitmask tier (vocab <= 64) matches the replay") {
+    check(corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3, universeOffset = 0),
+      (1, 64))
+  }
+
+  test("array-bitmap tier (64 < vocab <= 4096) matches the replay") {
+    check(corpus(nTemplates = 8, tokensPer = 25, perTemplate = 4, universeOffset = 100),
+      (65, 4096))
+  }
+
+  test("merge-walk tier (vocab > 4096) matches the replay") {
+    check(corpus(nTemplates = 20, tokensPer = 300, perTemplate = 3, universeOffset = 1000),
+      (4097, Int.MaxValue))
+  }
+}
