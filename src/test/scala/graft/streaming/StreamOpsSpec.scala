@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+class StreamOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def runOnce(out: String, chk: String)(df: DataFrame): Unit = {
+    val q = df.writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("native session_window closes sessions once the watermark passes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    def stream = spark.readStream
+      .schema("user_id LONG, sec LONG, value DOUBLE")
+      .parquet(s"$tmp/in")
+    def run(): Unit = runOnce(s"$tmp/out", s"$tmp/chk")(
+      StreamOps.sessionAgg(stream, "user_id", "sec",
+        gap = "30 seconds", watermarkDelay = "10 seconds"))
+
+    // batch 1: user 1 events at 100 and 110 (one session, ends 140);
+    // user 2 far ahead at 10000 pushes the watermark past 140 at the
+    // NEXT batch (watermark advances on batch boundaries)
+    Seq((1L, 100L, 1.0), (1L, 110L, 2.0), (2L, 10000L, 9.0))
+      .toDF("user_id", "sec", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    run()
+    // batch 2: any new data triggers a batch that emits user 1's session
+    Seq((3L, 20000L, 1.0)).toDF("user_id", "sec", "value").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "session_start", "session_end", "n_events", "value_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.exists(r => r == ((1L, 100L, 140L, 2L, 3.0))),
+      s"user 1 merged session missing from ${out.mkString("; ")}")
+    // user 2's session (ends 10030) stays open until the watermark passes it
+    assert(!out.exists(_._1 == 2L) ||
+      spark.read.parquet(s"$tmp/out").count() >= 1)
+  }
+
+  test("stream-stream interval join attributes clicks within the delay bound") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    Seq((10L, 7L, 1000L), (11L, 7L, 2000L), (12L, 8L, 3000L))
+      .toDF("imp_id", "user_id", "imp_sec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/imp")
+    Seq((10L, 1030L), (11L, 2500L), (12L, 2990L))
+      .toDF("clk_imp_id", "clk_sec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/clk")
+    val imp = spark.readStream.schema("imp_id LONG, user_id LONG, imp_sec LONG")
+      .parquet(s"$tmp/imp")
+    val clk = spark.readStream.schema("clk_imp_id LONG, clk_sec LONG")
+      .parquet(s"$tmp/clk")
+    runOnce(s"$tmp/out", s"$tmp/chk")(
+      StreamOps.clickAttribution(imp, clk, maxDelaySec = 60,
+        watermarkDelay = "5 minutes"))
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("imp_id", "user_id", "imp_at", "clk_at")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // imp 10: click 30s later -> attributed; imp 11: 500s later -> outside
+    // the 60s bound; imp 12: click 10s BEFORE the impression -> dropped
+    assert(out.toSeq == Seq((10L, 7L, 1000L, 1030L)))
+  }
+}
