@@ -114,6 +114,26 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  /** Batched resize: payload-in, payload-out per-partition map (no
+    * shuffle of bytes); output keeps the media schema with width/height
+    * metadata updated so downstream stages see the new geometry. */
+  def resizeMedia(media: DataFrame, codec: MediaCodec, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "kind", "bytes", "meta.source_path")
+      .queryExecution.toRdd.mapPartitions { iter =>
+      iter.map { ir =>
+        val id = ir.getLong(0)
+        val kind = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
+        val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
+        val path = if (ir.isNullAt(3)) null else ir.getUTF8String(3).toString
+        val resized = codec.resize(bytes, w, h)
+        Row(id, kind, resized,
+          Row(path, resized.length.toLong, w, h, null, null))
+      }
+    }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
   /** Deterministic frame sampling: one output row per kept frame,
     * exploded per-partition (no payload shuffle). */
   def sampleFrames(media: DataFrame, codec: MediaCodec, everyNth: Int): DataFrame = {

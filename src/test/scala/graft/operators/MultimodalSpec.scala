@@ -48,6 +48,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0).getAs[Array[Byte]]("frame").length == 1024)
   }
 
+  test("resize keeps the media schema and updates geometry metadata") {
+    val out = Multimodal.resizeMedia(mediaDf, Multimodal.StubCodec, w = 10, h = 4)
+      .orderBy("media_id").collect()
+    assert(out.length == 3)
+    val r1 = out(0)
+    assert(r1.getAs[Array[Byte]]("bytes").length == 40, "stub resize caps at w*h")
+    val meta = r1.getAs[Row]("meta")
+    assert(meta.getAs[Long]("n_bytes") == 40L &&
+      meta.getAs[Int]("width") == 10 && meta.getAs[Int]("height") == 4)
+    // empty payload stays empty, schema intact
+    assert(out(2).getAs[Array[Byte]]("bytes").isEmpty)
+  }
+
   test("binaryFile ingestion produces the canonical media schema") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-media")
     java.nio.file.Files.write(tmp.resolve("x.bin"), Array[Byte](1, 2, 3))
