@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.TestSpark.spark
+
+/** Plan-quality contracts — the properties that make these plans
+  * survive a 100 TB scale-up, pinned so a refactor can't silently
+  * regress them: filter/column pushdown into the parquet scan,
+  * broadcast (not cartesian/shuffle) dimension joins, map-side partial
+  * aggregation. Asserted on the pre-AQE physical plan text. */
+class PlanContractSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02 pushes filters and prunes columns at the scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan"), "range predicates must reach parquet")
+    assert(!p.contains("l_comment"), "untouched wide column must be pruned")
+  }
+
+  test("q03 star joins broadcast the dimensions and never go cartesian") {
+    val p = plan("q03_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregates with a map-side partial before the exchange") {
+    val p = plan("q01_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("q18 LSH candidate generation is an equi-join, not a cartesian") {
+    val p = plan("q18_minhash_lsh_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q47 computes all five window functions in one window exchange") {
+    val p = plan("q47_window_ranks")
+    assert("hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1,
+      "the five window functions must share one shuffle on the partition key")
+  }
+}
