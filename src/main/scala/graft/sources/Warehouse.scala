@@ -30,6 +30,23 @@ class ParquetWarehouse(root: String) extends WarehouseWriter {
   }
 }
 
+/** Bucketed warehouse tables: the co-located-join layout. Writing fact
+  * and dimension-bridge tables bucketed (CLUSTERED BY ... INTO n
+  * BUCKETS via the session catalog) pre-shuffles them once at WRITE
+  * time; every subsequent equi-join or aggregation on the bucket key
+  * reads co-located buckets and plans with NO exchange — at 100 TB
+  * that is the single biggest repeated-shuffle eliminator for a star
+  * schema queried daily. */
+object BucketedWarehouse {
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** Lake-stage IO: every batch stage materializes partitioned parquet
   * between stages (the reference's restartability contract — each DAG
   * task is a fresh spark-submit reading the previous stage's directory). */

@@ -45,4 +45,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.columns.contains("date_publication"))
   }
+
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS fact_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS dim_bucketed_test")
+    val fact = (0L until 10000L).map(i => (i % 500, i, i * 2.0))
+      .toDF("ent_id", "offre_id", "amount")
+    val dim = (0L until 500L).map(i => (i, s"ent_$i"))
+      .toDF("ent_id", "nom")
+    BucketedWarehouse.writeBucketed(fact, "fact_bucketed_test", "ent_id", 8)
+    BucketedWarehouse.writeBucketed(dim, "dim_bucketed_test", "ent_id", 8)
+    val joined = spark.table("fact_bucketed_test")
+      .join(spark.table("dim_bucketed_test").hint("merge"), "ent_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed equi-join must read co-located buckets shuffle-free:\n$plan")
+    assert(joined.count() == 10000L)
+    spark.sql("DROP TABLE IF EXISTS fact_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS dim_bucketed_test")
+  }
 }
