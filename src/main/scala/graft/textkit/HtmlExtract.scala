@@ -57,12 +57,25 @@ object HtmlExtract {
   private def nonEmpty(o: Option[String], minLen: Int): Option[String] =
     o.map(_.trim).filter(_.length > minLen)
 
-  /** F1: title cascade (parse_jobs.py:50-66). */
+  /** First h1 INSIDE an element whose class contains `cls` — the
+    * descendant-selector step (`.job-title h1`) of the title cascade. */
+  private def descendantH1(html: String, cls: String): Option[String] = {
+    val container = cached(s"desc:$cls") {
+      s"""(?is)<(\\w+)\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</\\1>""".r
+    }
+    container.findFirstMatchIn(html)
+      .flatMap(m => cached("desc-h1")("""(?is)<h1\b[^>]*>(.*?)</h1>""".r)
+        .findFirstMatchIn(m.group(2)).map(h => stripTags(h.group(1))))
+  }
+
+  /** F1: title cascade (parse_jobs.py:50-66; selector order preserved,
+    * including the `.job-title h1` descendant step). */
   def extractTitle(html: String): String = {
     if (html == null || html.isEmpty) return null
     val candidates = Seq(
       () => tagText(html, "h1", "job-title"),
       () => tagText(html, "h1", "title"),
+      () => descendantH1(html, "job-title"),
       () => classText(html, "offer-title"),
       () => tagText(html, "h1", null),
       () => classText(html, "title"),
