@@ -533,6 +533,29 @@ object Relational {
        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
        ORDER BY o_orderkey"""
 
+  /** Approximate percentile (t-digest-style sketch) next to the exact
+    * interpolated percentile — like q38, the sketch value itself is
+    * engine-specific, so the hashed contract is (exact, error-bound
+    * flag): the 5% tolerance is far above the rank error of accuracy
+    * 1000 on any tested SF. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx"))
+      .select($"o_orderpriority", $"p50_exact",
+        (abs($"approx" - $"p50_exact") <= abs($"p50_exact") * 0.05)
+          .cast("long").as("approx_within_5pct"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q48Sql =
+    """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       1::BIGINT AS approx_within_5pct
+       FROM orders GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
     Q("q01_agg", q01 _, Some(q01Sql)),
     Q("q02_filter_project", q02 _, Some(q02Sql)),
@@ -556,5 +579,6 @@ object Relational {
     Q("q40_pivot", q40 _, Some(q40Sql)),
     Q("q42_intersect_except", q42 _, Some(q42Sql)),
     Q("q46_cube", q46 _, Some(q46Sql)),
-    Q("q47_window_ranks", q47 _, Some(q47Sql)))
+    Q("q47_window_ranks", q47 _, Some(q47Sql)),
+    Q("q48_approx_percentile", q48 _, Some(q48Sql)))
 }
