@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+
+/** Scaling probe for the pair-generating operators: synthesizes a
+  * template-based corpus (the sparse, open-vocabulary shape of a real
+  * crawl — near-dups cluster inside templates instead of globally) at
+  * several sizes and times MinHash-LSH end to end, so the growth curve
+  * is measured rather than argued. Usage:
+  *   runMain graft.tools.ScaleProbe [nDocs ...]   (default 5000 20000 40000)
+  */
+object ScaleProbe {
+
+  private def tok(i: Int): String = {
+    var n = i; val sb = new StringBuilder("w")
+    do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+    sb.toString
+  }
+
+  def corpus(spark: SparkSession, nDocs: Int, tokensPer: Int = 120,
+      docsPerTemplate: Int = 5): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nTemplates = math.max(1, nDocs / docsPerTemplate)
+    spark.range(nDocs.toLong).select(col("id"))
+      .as[Long]
+      .map { id =>
+        val tpl = id % nTemplates
+        val variant = id / nTemplates
+        // template body + a per-doc twist: drop `variant` tokens, add
+        // `variant` fresh ones (jaccard ladder inside the template)
+        val base = (0 until tokensPer).map(i => tok((tpl * tokensPer + i).toInt))
+        val v = variant.toInt
+        val body = base.drop(v) ++ (0 until v).map(i => tok(1000000000 + id.toInt * 8 + i))
+        (id, body.mkString(" "))
+      }.toDF("doc_id", "text")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 20000, 40000)
+    val spark = Engine.session("scale-probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    sizes.foreach { n =>
+      val docs = corpus(spark, n)
+      docs.write.mode("overwrite").parquet(s"/tmp/scaleprobe/docs_$n")
+      val stored = spark.read.parquet(s"/tmp/scaleprobe/docs_$n")
+      // warm once (JIT + probe), then measure
+      graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
+      println(f"[scale] n=$n%6d pairs=$pairs%9d lsh=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
