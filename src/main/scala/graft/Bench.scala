@@ -35,18 +35,21 @@ object Bench {
     // min of two measured runs: the first execution at the measured SF
     // still pays size-specific JIT tiers and page-cache warming; the
     // minimum is the steady-state number a resident service would see.
+    // A query whose every iteration throws reports -1 — a fail-fast
+    // crash must not masquerade as a fast time.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t = (1 to iters).map { _ =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
+        try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total excludes failed (-1) queries so a crash can't "speed up" the sum
+    val total = results.values.filter(_ >= 0).sum
     // numeric sf parsed from the dir name (".../sf0.1" -> 0.1); a dir
     // that doesn't embed one falls back to the quoted path so the line
     // stays valid JSON either way

@@ -119,16 +119,21 @@ object Multimodal {
     * metadata updated so downstream stages see the new geometry. */
   def resizeMedia(media: DataFrame, codec: MediaCodec, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
-    val rows = media.select("media_id", "kind", "bytes", "meta.source_path")
+    val rows = media.select(col("media_id"), col("kind"), col("bytes"),
+        col("meta.source_path"), col("meta.sample_rate"), col("meta.n_frames"))
       .queryExecution.toRdd.mapPartitions { iter =>
       iter.map { ir =>
         val id = ir.getLong(0)
         val kind = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
         val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
         val path = if (ir.isNullAt(3)) null else ir.getUTF8String(3).toString
+        // audio/video metadata passes through untouched — only the
+        // geometry and byte count change under a resize
+        val sampleRate: Any = if (ir.isNullAt(4)) null else ir.getInt(4)
+        val nFrames: Any = if (ir.isNullAt(5)) null else ir.getInt(5)
         val resized = codec.resize(bytes, w, h)
         Row(id, kind, resized,
-          Row(path, resized.length.toLong, w, h, null, null))
+          Row(path, resized.length.toLong, w, h, sampleRate, nFrames))
       }
     }
     spark.createDataFrame(rows, mediaSchema)

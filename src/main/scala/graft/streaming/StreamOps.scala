@@ -17,12 +17,13 @@ object StreamOps {
     * declarative counterpart of StatefulSessions.sessionizeGroup;
     * append mode emits a session once the watermark passes its end. */
   def sessionAgg(events: DataFrame, keyCol: String, secCol: String,
-      gap: String, watermarkDelay: String): DataFrame =
+      gap: String, watermarkDelay: String,
+      valueCol: String = "value"): DataFrame =
     events
       .withColumn("ts", timestamp_seconds(col(secCol)))
       .withWatermark("ts", watermarkDelay)
       .groupBy(col(keyCol), session_window(col("ts"), gap).as("w"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
       .select(col(keyCol),
         unix_timestamp(col("w.start")).as("session_start"),
         unix_timestamp(col("w.end")).as("session_end"),

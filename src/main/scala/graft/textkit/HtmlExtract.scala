@@ -58,15 +58,13 @@ object HtmlExtract {
     o.map(_.trim).filter(_.length > minLen)
 
   /** First h1 INSIDE an element whose class contains `cls` — the
-    * descendant-selector step (`.job-title h1`) of the title cascade. */
-  private def descendantH1(html: String, cls: String): Option[String] = {
-    val container = cached(s"desc:$cls") {
-      s"""(?is)<(\\w+)\\b[^>]*class="[^"]*$cls[^"]*"[^>]*>(.*?)</\\1>""".r
-    }
-    container.findFirstMatchIn(html)
+    * descendant-selector step (`.job-title h1`) of the title cascade.
+    * Container matching shares [[classPat]] so the two cascades can't
+    * diverge. */
+  private def descendantH1(html: String, cls: String): Option[String] =
+    classPat(cls).findFirstMatchIn(html)
       .flatMap(m => cached("desc-h1")("""(?is)<h1\b[^>]*>(.*?)</h1>""".r)
         .findFirstMatchIn(m.group(2)).map(h => stripTags(h.group(1))))
-  }
 
   /** F1: title cascade (parse_jobs.py:50-66; selector order preserved,
     * including the `.job-title h1` descendant step). */

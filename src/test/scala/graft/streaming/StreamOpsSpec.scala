@@ -41,11 +41,14 @@ class StreamOpsSpec extends AnyFunSuite {
     val out = spark.read.parquet(s"$tmp/out")
       .select("user_id", "session_start", "session_end", "n_events", "value_sum")
       .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
-    assert(out.exists(r => r == ((1L, 100L, 140L, 2L, 3.0))),
-      s"user 1 merged session missing from ${out.mkString("; ")}")
-    // user 2's session (ends 10030) stays open until the watermark passes it
-    assert(!out.exists(_._1 == 2L) ||
-      spark.read.parquet(s"$tmp/out").count() >= 1)
+    // run 2 processes the 20000 event, advances the watermark to 19990
+    // and (AvailableNow's trailing flush batch) emits every session the
+    // new watermark passed: user 1's merged session AND user 2's.
+    // User 3's (ends 20030) is beyond the watermark and stays open.
+    assert(out.toSeq == Seq(
+      (1L, 100L, 140L, 2L, 3.0),
+      (2L, 10000L, 10030L, 1L, 9.0)),
+      s"unexpected closed-session set: ${out.mkString("; ")}")
   }
 
   test("stream-stream interval join attributes clicks within the delay bound") {
