@@ -50,6 +50,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("partitioned lake scan uses dynamic partition pruning for a selective dim join") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // fact partitioned by region-ish key; dim filtered to one value —
+    // at 100 TB this is the date-partitioned warehouse star join, where
+    // DPP turns a full-fact scan into reading one partition's files
+    Engine.table(spark, dir, "orders")
+      .withColumn("bucket", col("o_orderkey") % 10)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$tmp/fact")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.range(10).select(col("id").as("bucket"),
+      concat(lit("n"), col("id")).as("name"))
+    val joined = fact.join(dim.where(col("name") === "n3"), "bucket")
+    val p = joined.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"selective dim join over a partitioned fact must plan DPP:\n$p")
+  }
+
   test("q47 computes all five window functions in one window exchange") {
     val p = plan("q47_window_ranks")
     assert("hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1,
