@@ -34,7 +34,10 @@ object AsOfJoin {
     val lStruct = struct(left.columns.map(col): _*)
     val lp = left.select(lStruct.as("__lp")).schema("__lp").dataType
 
-    val r2 = right.select(
+    // pandas merge_asof drops NaN ordinals; a null rightOrd would sort
+    // nulls-first and carry its payload against a DIFFERENT row's
+    // matched ordinal, so enforce the same precondition here
+    val r2 = right.where(col(rightOrd).isNotNull).select(
       col(key).as("__k"), col(rightOrd).as("__ord"), lit(0).as("__side"),
       rStruct.as("__rp"), lit(null).cast(lp).as("__lp"))
     val l2 = left.select(

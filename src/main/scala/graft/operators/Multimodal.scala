@@ -102,11 +102,17 @@ object Multimodal {
     val balanced = media.select("media_id", "kind", "bytes")
       .repartitionByRange(parts, col("media_id"))
     val rows = balanced.queryExecution.toRdd.mapPartitions { iter =>
-      iter.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { ir =>
-          val id = ir.getLong(0)
-          val kind = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
-          val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
+      // Fields are extracted BEFORE grouped(): the scan iterator reuses
+      // one UnsafeRow buffer, so buffering row REFERENCES across a
+      // batch would alias every row to the batch's last. The extracted
+      // scalars (and getBinary's fresh array) are safe to buffer.
+      iter.map { ir =>
+        val id = ir.getLong(0)
+        val kind = if (ir.isNullAt(1)) null else ir.getUTF8String(1).toString
+        val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
+        (id, kind, bytes)
+      }.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, kind, bytes) =>
           Row(id, kind, codec.decodeFeatures(kind, bytes, dim))
         }
       }

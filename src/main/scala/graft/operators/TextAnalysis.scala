@@ -48,6 +48,32 @@ object TextAnalysis {
     when(total === 0, lit("und")).otherwise(best)
   }
 
+  /** DuckDB replay of [[langScores]] over a `text` column: the
+    * `(...) AS score_xx` select-list fragment. Lives next to
+    * langMarkers so every oracle derives from the one catalog. */
+  def sqlLangScoreExprs: String = {
+    val pad = s"(' ' || lower(text) || ' ')"
+    langMarkers.map { case (lang, ms) =>
+      val sum = ms.map(m => graft.functions.TextFunctions.sqlOccurrences(pad, m))
+        .mkString(" + ")
+      s"($sum) AS score_$lang"
+    }.mkString(",\n  ")
+  }
+
+  /** DuckDB replay of [[langId]] over bound score_xx columns. The
+    * reverse-order CASE replicates the fold's first-listed-wins ties. */
+  def sqlLangIdCase(alias: String): String = {
+    val langs = langMarkers.map(_._1)
+    val total = langs.map(l => s"score_$l").mkString(" + ")
+    val cases = langs.tail.reverse.map { l =>
+      val earlier = langs.takeWhile(_ != l).map(x => s"score_$x")
+      s"WHEN score_$l > greatest(${earlier.mkString(", ")}) THEN '$l'"
+    }.mkString("\n  ")
+    s"""CASE WHEN ($total) = 0 THEN 'und'
+          $cases
+          ELSE '${langs.head}' END AS $alias"""
+  }
+
   /** Quality features + composite score per document. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
@@ -56,7 +82,10 @@ object TextAnalysis {
     val stopHits = size(array_intersect(tokSet, lit(stopwords.toArray))).cast("double")
     val nToksSafe = greatest(nToks.cast("double"), lit(1.0))
     val distinctRatio = size(tokSet).cast("double") / nToksSafe
-    val avgTokLen = (length(concat_ws("", toks)).cast("double") / nToksSafe)
+    // null text must yield NULL (matching the oracle's array_to_string
+    // over a NULL list) — concat_ws alone swallows a null array to ""
+    val avgTokLen = when(col(textCol).isNull, lit(null).cast("double"))
+      .otherwise(length(concat_ws("", toks)).cast("double") / nToksSafe)
     df.select(
       col(idCol),
       nToks.as("n_tokens"),
@@ -127,7 +156,7 @@ object TextAnalysis {
     val toksN = wsTokenCount(col(textCol))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+    df.select(col(idCol), (col(idCol) % lit(nShards.toLong)).as("shard"),
         toksN.as("n_tokens"))
       .withColumn("end_token", sum(col("n_tokens")).over(w))
       .withColumn("start_token", col("end_token") - col("n_tokens"))

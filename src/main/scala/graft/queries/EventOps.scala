@@ -29,7 +29,9 @@ object EventOps {
     val sec = epochSec("ts")
     table(s, dir, "events")
       .groupBy(
-        (sec - pmod(sec, lit(3600L))).as("hour_epoch"),
+        // sign-keeping % (not pmod): matches DuckDB's % for pre-epoch
+        // timestamps, so both engines bucket negatives identically
+        (sec - (sec % lit(3600L))).as("hour_epoch"),
         $"event_type")
       .agg(
         count(lit(1)).as("cnt"),
@@ -125,7 +127,7 @@ object EventOps {
   private val q30Sql =
     """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
                     FROM events)
-       SELECT sec - sec % 86400 AS day_epoch,
+       SELECT sec - (((sec % 86400) + 86400) % 86400) AS day_epoch,
        event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 

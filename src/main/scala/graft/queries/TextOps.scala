@@ -156,23 +156,10 @@ object TextOps {
   }
 
   private val q21Sql = {
-    val pad = s"(' ' || lower(text) || ' ')"
-    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, ms) =>
-      val sum = ms.map(m => TextFunctions.sqlOccurrences(pad, m)).mkString(" + ")
-      s"($sum) AS score_$lang"
-    }.mkString(",\n  ")
     val langs = TextAnalysis.langMarkers.map(_._1)
-    val total = langs.map(l => s"score_$l").mkString(" + ")
-    // Reverse-order CASE replicates the fold's first-listed-wins ties.
-    val cases = langs.tail.reverse.map { l =>
-      val earlier = langs.takeWhile(_ != l).map(x => s"score_$x")
-      s"WHEN score_$l > greatest(${earlier.mkString(", ")}) THEN '$l'"
-    }.mkString("\n  ")
-    s"""WITH sc AS (SELECT doc_id, $scoreExprs FROM documents)
+    s"""WITH sc AS (SELECT doc_id, ${TextAnalysis.sqlLangScoreExprs} FROM documents)
         SELECT doc_id,
-          CASE WHEN ($total) = 0 THEN 'und'
-          $cases
-          ELSE '${langs.head}' END AS pred_lang,
+          ${TextAnalysis.sqlLangIdCase("pred_lang")},
           ${langs.map(l => s"score_$l").mkString(", ")}
         FROM sc ORDER BY doc_id"""
   }

@@ -25,27 +25,12 @@ object TrainingOps {
       .select(col("doc_id"), col("stratum"), col("bucket"))
       .orderBy(col("doc_id"))
 
-  /** DuckDB replay of [[TextAnalysis.langId]] — same construction as
-    * the q21 oracle: reverse-order CASE = first-listed-wins ties. */
-  private def sqlLangCase: String = {
-    val pad = s"(' ' || lower(text) || ' ')"
-    val scoreExprs = TextAnalysis.langMarkers.map { case (lang, ms) =>
-      val sum = ms.map(m => TextFunctions.sqlOccurrences(pad, m)).mkString(" + ")
-      s"($sum) AS score_$lang"
-    }.mkString(",\n  ")
-    val langs = TextAnalysis.langMarkers.map(_._1)
-    val total = langs.map(l => s"score_$l").mkString(" + ")
-    val cases = langs.tail.reverse.map { l =>
-      val earlier = langs.takeWhile(_ != l).map(x => s"score_$x")
-      s"WHEN score_$l > greatest(${earlier.mkString(", ")}) THEN '$l'"
-    }.mkString("\n  ")
-    s"""sc AS (SELECT doc_id, $scoreExprs FROM documents),
-        lang AS (SELECT doc_id,
-          CASE WHEN ($total) = 0 THEN 'und'
-          $cases
-          ELSE '${langs.head}' END AS stratum
+  /** DuckDB replay of [[TextAnalysis.langId]] — shared builders, so
+    * the q21 and q43 oracles cannot drift apart. */
+  private def sqlLangCase: String =
+    s"""sc AS (SELECT doc_id, ${TextAnalysis.sqlLangScoreExprs} FROM documents),
+        lang AS (SELECT doc_id, ${TextAnalysis.sqlLangIdCase("stratum")}
         FROM sc)"""
-  }
 
   private val q43Sql = {
     val rateCase = SampleRates.toSeq.sortBy(_._1)

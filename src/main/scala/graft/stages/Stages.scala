@@ -86,7 +86,10 @@ object ExtractSkills {
       .withColumn("all_skills", array_union(
         coalesce(col("skills"), array().cast("array<string>")),
         coalesce(col("nlp_extracted_skills"), array().cast("array<string>"))))
-      .withColumn("unique_skills", array_distinct(col("all_skills")))
+      // array_union is already duplicate-free, so the reference's
+      // array_distinct(all_skills) (extract_skills.py:306) is a no-op —
+      // alias instead of recomputing per row
+      .withColumn("unique_skills", col("all_skills"))
       .withColumn("skills_with_metadata",
         when(size(col("unique_skills")) > 0,
           transform(col("unique_skills"), s => struct(

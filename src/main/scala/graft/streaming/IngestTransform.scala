@@ -60,8 +60,12 @@ object IngestTransform {
     * state is bounded by (ids seen in `horizon`), keyed state sharded
     * on job_id. Works on both streaming and batch frames. */
   def withIngestDedup(enriched: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    // try_to_timestamp: under ANSI mode a malformed scraped_at would
+    // otherwise CAST-error and kill the long-running stream — malformed
+    // falls back to processed_at exactly like null (same policy as
+    // enrich()'s try_to_date)
     val withEventTime = enriched.withColumn("event_time",
-      coalesce(to_timestamp(col("scraped_at")), col("processed_at")))
+      coalesce(try_to_timestamp(col("scraped_at")), col("processed_at")))
     if (enriched.isStreaming)
       // dropDuplicatesWithinWatermark is the state-EVICTING form: plain
       // dropDuplicates(subset-without-event-time) never purges state

@@ -10,9 +10,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * needs for inactivity-gap sessionization.
   *
   * State per user = the open session; an event beyond the gap closes
-  * and emits it. At scale state lives in the state store (RocksDB
-  * provider in production), partitioned by the group key — the shuffle
-  * is one exchange on user_id per micro-batch.
+  * and emits it. With `idleTimeout` on (the production default), a user
+  * who simply goes SILENT also gets their session flushed and state
+  * evicted after the gap of processing time — otherwise silent users
+  * leak state forever and their final session never emits. At scale
+  * state lives in the state store (RocksDB provider in production),
+  * partitioned by the group key — one exchange on user_id per batch.
+  *
+  * `idleTimeout = false` disables the processing-time timeout for
+  * drain-style tests and batch replays: a registered timeout counts as
+  * pending work, so Trigger.AvailableNow / processAllAvailable would
+  * otherwise never see the stream as caught-up.
   */
 object StatefulSessions {
 
@@ -21,9 +29,15 @@ object StatefulSessions {
   case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
       n_events: Long, sum_value: Double)
 
-  def sessionizeGroup(gapSec: Long)(
+  def sessionizeGroup(gapSec: Long, idleTimeout: Boolean)(
       userId: Long, events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val flushed = state.getOption.map(s =>
+        ClosedSession(userId, s.start, s.last, s.n, s.sum))
+      state.remove()
+      return flushed.iterator
+    }
     val sorted = events.toSeq.sortBy(e => (e.sec, e.value))
     var open = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
@@ -38,17 +52,24 @@ object StatefulSessions {
           open = Some(OpenSession(e.sec, e.sec, 1, e.value))
       }
     }
-    open.foreach(state.update)
+    open.foreach { s =>
+      state.update(s)
+      if (idleTimeout) state.setTimeoutDuration(gapSec * 1000)
+    }
     closed.result().iterator
   }
 
   /** Wire the stateful sessionizer over a (possibly streaming) event
-    * Dataset; append-mode, processing-time timeout semantics. */
-  def sessionize(events: Dataset[Event], gapSec: Long): Dataset[ClosedSession] = {
+    * Dataset; append mode. */
+  def sessionize(events: Dataset[Event], gapSec: Long,
+      idleTimeout: Boolean = true): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val conf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        sessionizeGroup(gapSec))
+      .flatMapGroupsWithState(OutputMode.Append, conf)(
+        sessionizeGroup(gapSec, idleTimeout))
   }
 }

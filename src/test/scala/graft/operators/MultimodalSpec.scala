@@ -48,6 +48,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0).getAs[Array[Byte]]("frame").length == 1024)
   }
 
+  test("batched extraction is row-correct when a partition holds many rows (no UnsafeRow aliasing)") {
+    import org.apache.spark.sql.Row
+    val rows = (0L until 50L).map(i =>
+      Row(i, "image", Array.tabulate(64)(j => ((i * 13 + j) % 251).toByte),
+        Row(s"mem://$i.png", 64L, null, null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(df, Multimodal.StubCodec, dim = 4,
+      numPartitions = 1, batchSize = 8)
+      .select("media_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (0L until 50L),
+      s"ids must be distinct and complete, got ${out.distinct.length} distinct")
+  }
+
   test("resize keeps the media schema and updates geometry metadata") {
     val out = Multimodal.resizeMedia(mediaDf, Multimodal.StubCodec, w = 10, h = 4)
       .orderBy("media_id").collect()

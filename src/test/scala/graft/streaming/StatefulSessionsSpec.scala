@@ -13,13 +13,42 @@ class StatefulSessionsSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema("user_id LONG, sec LONG, value DOUBLE")
       .parquet(s"$tmp/in").as[Event]
-    val q = sessionize(stream, gapSec = 1800)
+    // idleTimeout off: a registered processing-time timeout counts as
+    // pending work, so the AvailableNow drain would never terminate
+    val q = sessionize(stream, gapSec = 1800, idleTimeout = false)
       .writeStream.outputMode("append")
       .format("parquet")
       .option("path", s"$tmp/out")
       .option("checkpointLocation", s"$tmp/chk")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+  }
+
+  test("idle timeout flushes a silent user's session and evicts state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idle").toString
+    Seq(Event(9L, 100L, 2.5)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("user_id LONG, sec LONG, value DOUBLE")
+      .parquet(s"$tmp/in").as[Event]
+    val q = sessionize(stream, gapSec = 2, idleTimeout = true)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    // the single event opens a session; after gapSec of processing time
+    // with no further events the timeout must flush it downstream
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var flushed = Seq.empty[ClosedSession]
+    while (flushed.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      flushed = try spark.read.parquet(s"$tmp/out").as[ClosedSession].collect().toSeq
+        catch { case _: Exception => Seq.empty }
+    }
+    q.stop()
+    assert(flushed == Seq(ClosedSession(9L, 100L, 100L, 1L, 2.5)),
+      s"timeout flush missing/incorrect: $flushed")
   }
 
   test("stateful sessionization closes sessions across micro-batches") {
