@@ -31,7 +31,7 @@ object AsOfJoin {
       toleranceOpt: Option[Long] = None): DataFrame = {
     val rStruct = struct(rightPayload.map(col): _*)
     val rp = right.select(rStruct.as("__rp")).schema("__rp").dataType
-    val lStruct = struct(left.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val lp = left.select(lStruct.as("__lp")).schema("__lp").dataType
 
     // pandas merge_asof drops NaN ordinals; a null rightOrd would sort
@@ -61,7 +61,7 @@ object AsOfJoin {
 
     val leftCols = left.columns.map(c => col(s"__lp.$c"))
     val matchCols = rightPayload.map(c => col(s"__match.$c"))
-    carried.select(leftCols ++ matchCols: _*)
+    carried.select((leftCols ++ matchCols).toIndexedSeq: _*)
   }
 
   /** Forward as-of: for each left row, the EARLIEST right row with

@@ -245,7 +245,7 @@ object Deduplicate {
     // spec, divergence covered by the equivalence test's tie-free data).
     val best = dupRows
       .groupBy(col("similarity_key"))
-      .agg(max_by(struct(cols.map(col): _*), struct(
+      .agg(max_by(struct(cols.toIndexedSeq.map(col): _*), struct(
         col("completeness_score"), col("parsed_at"),
         Normalize.sourcePriority(col("source")), col("job_id"))).as("row"))
       .select(col("row.*"))
