@@ -182,6 +182,89 @@ object Dedup {
       (acc, p) => acc.bitwiseOR(
         call_function("shiftleft", lit(1L), (p - lit(j * 64L)).cast("int"))))
 
+  /** Connected components over a near-duplicate pair graph — the step
+    * that turns pairwise matches into dedup CLUSTERS (survivor = the
+    * cluster's minimum id, the deterministic keep-one rule).
+    *
+    * Iterative min-label propagation: every vertex starts labeled with
+    * its own id; each round joins current labels across the (undirected)
+    * edge set and keeps the minimum seen; stops when a round changes
+    * nothing. Rounds needed = graph diameter in label-hops — near-dup
+    * clusters are dense (template families), so this converges in a
+    * handful of rounds; each round is one equi-join + one aggregation
+    * (shuffle on vertex id), the standard large-scale CC loop. Labels
+    * are cached per round and the previous round unpersisted, so
+    * lineage doesn't grow with iterations.
+    *
+    * @param pairs edge list with columns (id_a, id_b)
+    * @return (id, cluster_id) for every vertex appearing in any pair
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+
+    // Boruvka-style star contraction. Round 0 runs over the FULL edge
+    // set and needs no join: every vertex hooks onto min(self, min
+    // neighbor) — one aggregation pass. Each subsequent round does the
+    // same on the CONTRACTED label graph, which shrinks geometrically
+    // (every label with an edge merges with a neighbor per round), so
+    // a handful of rounds reduces any graph to a size a single node
+    // can finish: the remaining edges are collected and closed with a
+    // driver-side union-find. The threshold bounds driver memory; the
+    // distributed rounds bound how much a 100 TB pair graph must
+    // shrink before that collect (2 rounds ~ 4x, 10 rounds ~ 1000x).
+    def hook(e: DataFrame): DataFrame = e
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+    def contract(e: DataFrame, lbl: DataFrame): DataFrame = e
+      .join(lbl.select(col("id").as("src"), col("cluster_id").as("ls")), "src")
+      .join(lbl.select(col("id").as("dst"), col("cluster_id").as("ld")), "dst")
+      .select(col("ls").as("src"), col("ld").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+    val base = hook(edges0).cache()
+    var mapping = base // vertex -> current-round label
+    var rep = contract(edges0, base).cache()
+    var iter = 0
+    while (rep.count() > DriverUnionFindMaxEdges && iter < maxIter) {
+      val b = hook(rep).cache()
+      mapping = mapping
+        .join(b.select(col("id").as("cluster_id"), col("cluster_id").as("nl")),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
+        .cache()
+      val repNext = contract(rep, b).cache()
+      rep.unpersist(); b.unpersist()
+      rep = repNext
+      iter += 1
+    }
+    // close the residual graph exactly on the driver
+    val residual = rep.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    residual.foreach { case (a, bb) =>
+      val (ra, rb) = (find(a), find(bb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(v => (v, find(v))).toSeq
+    if (roots.isEmpty) mapping.select(col("id"), col("cluster_id"))
+    else {
+      import spark.implicits._
+      val rootDf = roots.toDF("cluster_id", "root")
+      mapping.join(broadcast(rootDf), Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+    }
+  }
+
+  /** Residual-edge cap for [[connectedComponents]]'s driver-side
+    * union-find finish: 2M edges ~ 32 MB collected. */
+  private val DriverUnionFindMaxEdges = 2000000L
+
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
     * i.e. 2*ones > n). Entirely per-row — token hashes are bound once

@@ -210,6 +210,31 @@ object TextOps {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Near-dup CLUSTERS: connected components over the LSH pair graph —
+    * pairwise matches become dedup groups, survivor = min doc id. The
+    * oracle replays the same graph with a pruned recursive CTE (labels
+    * only propagate toward larger ids; the component minimum reaches
+    * every member). */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+        MinhashK, BandRows, 0.4))
+      .orderBy(col("id"))
+
+  private val q49Sql = {
+    // reuse q18's pair construction verbatim, minus its ORDER BY
+    val pairSql = q18Sql.replace("ORDER BY id_a, id_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairSql),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          WHERE r.lbl < e.dst)
+        SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q15_explode_topk", q15 _, Some(q15Sql)),
     Q("q16_exact_dedup", q16 _, Some(q16Sql)),
@@ -220,5 +245,6 @@ object TextOps {
     Q("q21_langid", q21 _, Some(q21Sql)),
     Q("q22_quality_score", q22 _, Some(q22Sql)),
     Q("q23_token_stats", q23 _, Some(q23Sql)),
-    Q("q24_fingerprint", q24 _, Some(q24Sql)))
+    Q("q24_fingerprint", q24 _, Some(q24Sql)),
+    Q("q49_dedup_clusters", q49 _, Some(q49Sql)))
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+/** Connected components over pair graphs — adversarial shapes: a long
+  * path (worst case for label propagation depth), a star, two disjoint
+  * components, reversed/unordered ids, and a dense clique. Expected
+  * labels computed with a plain union-find in the test. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def expected(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected(edges), s"edges=$edges")
+  }
+
+  test("long path converges to the minimum endpoint") {
+    check((0L until 99L).map(i => (i, i + 1)))
+    // reversed path with the min at the far end
+    check((0L until 99L).map(i => (100L - i, 99L - i)))
+  }
+
+  test("star, clique, two components, single edge") {
+    check(Seq((5L, 1L), (5L, 9L), (5L, 7L), (5L, 3L)))
+    check(for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b))
+    check(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
+    check(Seq((42L, 7L)))
+  }
+
+  test("bridged stars: two dense hubs joined by one edge") {
+    val star1 = (1L to 20L).map(i => (0L, i))
+    val star2 = (101L to 120L).map(i => (100L, i))
+    check(star1 ++ star2 :+ (20L -> 120L))
+  }
+}
