@@ -265,6 +265,21 @@ object Dedup {
     * union-find finish: 2M edges ~ 32 MB collected. */
   private val DriverUnionFindMaxEdges = 2000000L
 
+  /** End-to-end near-dedup: MinHash-LSH pairs -> connected components
+    * -> keep one survivor (min id) per duplicate cluster. Returns the
+    * deduplicated corpus (original columns), i.e. all rows except
+    * non-survivor cluster members. The exact-dedup fast path
+    * ([[exact]]) composes BEFORE this when byte-identical copies are
+    * common — fewer rows reach the LSH shuffle. */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bandsOf: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val clusters = connectedComponents(
+      minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold))
+    val losers = clusters.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
     * i.e. 2*ones > n). Entirely per-row — token hashes are bound once

@@ -49,4 +49,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val star2 = (101L to 120L).map(i => (100L, i))
     check(star1 ++ star2 :+ (20L -> 120L))
   }
+
+  test("nearDedup keeps exactly one survivor per duplicate cluster") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),        // dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"),          // near-dup of 1
+      (10L, "totally different content about spark engines"),
+      (11L, "unrelated text mentioning neither cluster"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 11L),
+      s"cluster {1,2,3} must keep only min id 1; got ${kept.mkString(",")}")
+  }
 }
