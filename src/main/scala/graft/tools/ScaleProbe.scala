@@ -49,7 +49,12 @@ object ScaleProbe {
       graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
-      println(f"[scale] n=$n%6d pairs=$pairs%9d lsh=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val t1 = System.nanoTime()
+      val survivors = graft.operators.Dedup.nearDedup(stored, "doc_id", "text",
+        threshold = 0.4).count()
+      val t2 = System.nanoTime()
+      println(f"[scale] n=$n%6d pairs=$pairs%9d lsh=${(t1 - t0) / 1e9}%6.2f s " +
+        f"survivors=$survivors%6d dedup=${(t2 - t1) / 1e9}%6.2f s")
     }
     spark.stop()
   }
