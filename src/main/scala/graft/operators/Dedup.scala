@@ -186,37 +186,60 @@ object Dedup {
     * that turns pairwise matches into dedup CLUSTERS (survivor = the
     * cluster's minimum id, the deterministic keep-one rule).
     *
-    * Iterative min-label propagation: every vertex starts labeled with
-    * its own id; each round joins current labels across the (undirected)
-    * edge set and keeps the minimum seen; stops when a round changes
-    * nothing. Rounds needed = graph diameter in label-hops — near-dup
-    * clusters are dense (template families), so this converges in a
-    * handful of rounds; each round is one equi-join + one aggregation
-    * (shuffle on vertex id), the standard large-scale CC loop. Labels
-    * are cached per round and the previous round unpersisted, so
-    * lineage doesn't grow with iterations.
+    * Algorithm: Boruvka-style star contraction with pointer jumping.
+    * Round 0 hooks every vertex onto min(self, min neighbor) — one
+    * aggregation pass over the full edge set, no join — then each
+    * round contracts the label graph and repeats hook + jump (label :=
+    * label(label)) on it. The jump is what makes chain-shaped graphs
+    * shrink geometrically instead of by one vertex per round. As soon
+    * as the contracted graph fits under `driverFinishMaxEdges` it is
+    * collected and closed exactly with a driver-side union-find — the
+    * standard big-graph CC shape: a few distributed passes to shrink,
+    * a single-node finish for the residual. There is no convergence
+    * check; the loop exits on the size threshold (or maxIter as a
+    * safety valve, after which the residual is collected regardless —
+    * jumping makes that bound generous: 25 rounds cover 2^25-vertex
+    * chains).
+    *
+    * Iteration state (label map + contracted edges) is MATERIALIZED to
+    * parquet each round — the standard checkpoint pattern for
+    * iterative graph algorithms. Neither cache() nor localCheckpoint
+    * works here: cache keeps the logical plan, whose self-joining tree
+    * doubles per round (OOMs the driver just printing it), and
+    * localCheckpoint inherits the pre-checkpoint SIZE ESTIMATE, which
+    * join-stat products compound to astronomically-digited BigInts
+    * across rounds (BigInteger math then dwarfs the actual work).
+    * Parquet round-trips give clean leaves with real statistics; the
+    * tables are vertex- and contracted-edge-sized.
     *
     * @param pairs edge list with columns (id_a, id_b)
     * @return (id, cluster_id) for every vertex appearing in any pair
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      driverFinishMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
+    // backing files live until JVM exit (the returned plan reads the
+    // final round's parquet)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    sys.addShutdownHook {
+      scala.reflect.io.Directory(new java.io.File(ckDir)).deleteRecursively()
+    }
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$ckDir/$name")
+      spark.read.parquet(s"$ckDir/$name")
+    }
     val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
 
-    // Boruvka-style star contraction. Round 0 runs over the FULL edge
-    // set and needs no join: every vertex hooks onto min(self, min
-    // neighbor) — one aggregation pass. Each subsequent round does the
-    // same on the CONTRACTED label graph, which shrinks geometrically
-    // (every label with an edge merges with a neighbor per round), so
-    // a handful of rounds reduces any graph to a size a single node
-    // can finish: the remaining edges are collected and closed with a
-    // driver-side union-find. The threshold bounds driver memory; the
-    // distributed rounds bound how much a 100 TB pair graph must
-    // shrink before that collect (2 rounds ~ 4x, 10 rounds ~ 1000x).
     def hook(e: DataFrame): DataFrame = e
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+    // pointer jump: labels are vertex ids, so label-of-label composes
+    // within the same table; chains halve per application
+    def jump(lbl: DataFrame): DataFrame = lbl
+      .join(lbl.select(col("id").as("cluster_id"), col("cluster_id").as("g")),
+        Seq("cluster_id"), "left")
+      .select(col("id"), coalesce(col("g"), col("cluster_id")).as("cluster_id"))
     def contract(e: DataFrame, lbl: DataFrame): DataFrame = e
       .join(lbl.select(col("id").as("src"), col("cluster_id").as("ls")), "src")
       .join(lbl.select(col("id").as("dst"), col("cluster_id").as("ld")), "dst")
@@ -224,28 +247,34 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .distinct()
 
-    val base = hook(edges0).cache()
-    var mapping = base // vertex -> current-round label
-    var rep = contract(edges0, base).cache()
+    // round 0 stays cached (shallow plans — the explosion only starts
+    // with ROUND-OVER-ROUND composition, so parquet materialization is
+    // reserved for loop rounds); rep0 is unpersisted after its collect
+    var mapping = jump(hook(edges0)).cache() // vertex -> label
+    var rep = contract(edges0, mapping).cache()
+    var repSize = rep.count()
     var iter = 0
-    while (rep.count() > DriverUnionFindMaxEdges && iter < maxIter) {
-      val b = hook(rep).cache()
-      mapping = mapping
+    while (repSize > driverFinishMaxEdges && iter < maxIter) {
+      val b = materialize(jump(hook(rep)), s"b$iter")
+      mapping = materialize(mapping
         .join(b.select(col("id").as("cluster_id"), col("cluster_id").as("nl")),
           Seq("cluster_id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
-        .cache()
-      val repNext = contract(rep, b).cache()
-      rep.unpersist(); b.unpersist()
-      rep = repNext
+        .select(col("id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id")),
+        s"map${iter + 1}")
+      rep = materialize(contract(rep, b), s"rep${iter + 1}")
+      repSize = rep.count()
       iter += 1
     }
     // close the residual graph exactly on the driver
     val residual = rep.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rep.unpersist()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    def find(x: Long): Long = { // iterative + path compression: chain
+      var r = x                 // residuals can be deeper than the stack
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     residual.foreach { case (a, bb) =>
       val (ra, rb) = (find(a), find(bb))

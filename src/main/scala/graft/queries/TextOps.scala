@@ -75,7 +75,9 @@ object TextOps {
     Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
         MinhashK, BandRows, 0.4)
 
-  private val q18Sql = {
+  /** Un-ordered LSH pair SQL shared by q18 (which appends its ORDER
+    * BY) and q49 (which embeds it as a recursive-CTE input). */
+  private val q18PairsSql = {
     val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
     val nBands = MinhashK / BandRows
     val bandSelects = (0 until nBands).map { b =>
@@ -96,8 +98,10 @@ object TextOps {
             round((len(list_intersect(ta.toks, tb.toks))::DOUBLE /
                   len(list_distinct(ta.toks || tb.toks))) + 1e-9, 6) AS jaccard
           FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
-        WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
+        WHERE jaccard >= 0.4"""
   }
+
+  private val q18Sql = s"$q18PairsSql ORDER BY id_a, id_b"
 
   private val SimhashBits = 32
 
@@ -222,9 +226,7 @@ object TextOps {
       .orderBy(col("id"))
 
   private val q49Sql = {
-    // reuse q18's pair construction verbatim, minus its ORDER BY
-    val pairSql = q18Sql.replace("ORDER BY id_a, id_b", "")
-    s"""WITH RECURSIVE pairs AS ($pairSql),
+    s"""WITH RECURSIVE pairs AS ($q18PairsSql),
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         reach(id, lbl) AS (

@@ -13,9 +13,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   private def expected(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    def find(x: Long): Long = { // iterative: chains deeper than the stack
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
@@ -25,14 +28,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     verts.map(v => v -> find(v)).toMap
   }
 
-  private def check(edges: Seq[(Long, Long)]): Unit = {
-    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+  private def check(edges: Seq[(Long, Long)], alsoLooped: Boolean = false): Unit = {
+    val df = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected(edges), s"edges=$edges")
+    if (alsoLooped) {
+      // a tiny driver-finish cap forces the DISTRIBUTED multi-round
+      // contraction loop (otherwise untested: real caps finish round 0);
+      // exercised on the worst-case shapes only — each round costs
+      // several materialization jobs
+      val gotLooped = Dedup.connectedComponents(df, driverFinishMaxEdges = 2L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLooped == expected(edges), s"looped path differs, edges=$edges")
+    }
   }
 
   test("long path converges to the minimum endpoint") {
-    check((0L until 99L).map(i => (i, i + 1)))
+    check((0L until 99L).map(i => (i, i + 1)), alsoLooped = true)
     // reversed path with the min at the far end
     check((0L until 99L).map(i => (100L - i, 99L - i)))
   }
@@ -47,7 +60,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("bridged stars: two dense hubs joined by one edge") {
     val star1 = (1L to 20L).map(i => (0L, i))
     val star2 = (101L to 120L).map(i => (100L, i))
-    check(star1 ++ star2 :+ (20L -> 120L))
+    check(star1 ++ star2 :+ (20L -> 120L), alsoLooped = true)
   }
 
   test("nearDedup keeps exactly one survivor per duplicate cluster") {
