@@ -74,9 +74,21 @@ object Matching {
     * competences_ids, salaire_max, niveau_experience.
     * `cvs` needs: cv_id, localisation_souhaitee_id, secteur_souhaite_id,
     * competences_ids, salaire_souhaite, annees_experience.
+    *
+    * `maxBlockSize` is the skew dial for degenerate blocks (every
+    * unclassified offer lands in SECT_INCONNU, every unlocated CV in
+    * LOC_COTE_DIVOIRE — the dirtiest data concentrates in exactly the
+    * blocks that explode quadratically): each side of each blocked join
+    * is split into sub-blocks of at most `maxBlockSize` rows
+    * ([[graft.operators.Skew.capBlocks]]) and only same-index sub-blocks
+    * pair, bounding any block's work at O(subBlocks * maxBlockSize^2)
+    * instead of O(|offers_block| * |cvs_block|). Cross-sub-block pairs
+    * are deliberately dropped — the standard recall/cost dial; the
+    * default (None) keeps exact semantics.
     */
   def score(offers: DataFrame, cvs: DataFrame,
-      clock: Option[java.sql.Timestamp] = None): DataFrame = {
+      clock: Option[java.sql.Timestamp] = None,
+      maxBlockSize: Option[Int] = None): DataFrame = {
     // Engine.spread: blocked joins emit O(block^2) candidates; the
     // probe side must not inherit a single-split scan's parallelism
     val o = graft.Engine.spread(offers.select(
@@ -88,10 +100,23 @@ object Matching {
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years"))
 
+    // one blocked equi-join; under the cap, sub-blocks carry the block
+    // key ("<block>#<i>") so capped-key equality still implies block
+    // equality and same-index pairing
+    def blockJoin(oKey: String, cKey: String): DataFrame = maxBlockSize match {
+      case None => o.join(c, col(oKey) === col(cKey))
+      case Some(m) =>
+        graft.operators.Skew.capBlocks(o, col(oKey), col("job_id"), m)
+          .join(
+            graft.operators.Skew.capBlocks(c, col(cKey), col("candidate_id"), m)
+              .withColumnRenamed("__capped_block", "__cb_c"),
+            col("__capped_block") === col("__cb_c"))
+          .drop("__capped_block", "__cb_c")
+    }
+
     // blocked candidate generation: sector block ∪ location block
-    val bySector = o.join(c, col("o_sect") === col("c_sect"))
-    val byLocation = o.join(c, col("o_loc") === col("c_loc"))
-    val candidates = bySector.unionByName(byLocation)
+    val candidates = blockJoin("o_sect", "c_sect")
+      .unionByName(blockJoin("o_loc", "c_loc"))
       .dropDuplicates("job_id", "candidate_id")
 
     val skillPct = skillMatchPct(col("o_comp"), col("c_comp"))
@@ -99,13 +124,16 @@ object Matching {
     val salPct = salaryMatchPct(col("o_sal_max"), col("c_sal"))
     val expPct = experienceMatchPct(col("o_level"), col("c_years"))
 
+    // roundSafe (+1e-9 before rounding): the repo-wide oracle-parity
+    // convention — see graft.queries package doc
     candidates.select(
       col("job_id"), col("candidate_id"),
-      round(skillPct * 0.4 + locPct * 0.2 + salPct * 0.2 + expPct * 0.2, 6)
+      graft.queries.roundSafe(
+        skillPct * 0.4 + locPct * 0.2 + salPct * 0.2 + expPct * 0.2, 6)
         .as("match_score"),
-      round(skillPct, 6).as("skill_match_pct"),
-      round(salPct, 6).as("salary_match_pct"),
-      round(locPct, 6).as("location_match_pct"),
+      graft.queries.roundSafe(skillPct, 6).as("skill_match_pct"),
+      graft.queries.roundSafe(salPct, 6).as("salary_match_pct"),
+      graft.queries.roundSafe(locPct, 6).as("location_match_pct"),
       graft.stages.Stages.processedAt(clock).as("calculated_at"))
   }
 

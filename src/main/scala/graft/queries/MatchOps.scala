@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.matching.Matching
+import graft.textkit.Ids
+
+/** Driver-oracle coverage for the namesake offer x CV matching join
+  * (J3) — the spec-derived [[graft.matching.Matching]] pipeline
+  * (weights: PLAN_REALISATION.md:338-345, output table:
+  * NEXT_STEPS.md:182-192) exercised over the driver's test tables.
+  *
+  * Offer-like rows derive deterministically from `part` (skills = the
+  * part-name words through the F24 competence-id generator), CV-like
+  * rows from `customer` (skills = every part-name word the customer
+  * ever ordered — orders ⋈ lineitem ⋈ part, collect_set). Sector and
+  * location block keys are key-mod derivations so the blocked union
+  * join has real (and overlapping) block structure; salary grids are
+  * chosen so every match ratio terminates well inside round-6 (no
+  * cross-engine half-rounding hazard).
+  */
+object MatchOps {
+
+  /** SQL fragment: F24 competence id of expr `e` (lower, ' '/'-' ->
+    * '_', first 20 — load_to_bigquery.py:73-78). */
+  private def sqlCompId(e: String): String =
+    s"'COMP_' || substring(replace(replace(lower($e), ' ', '_'), '-', '_'), 1, 20)"
+
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val offers = table(s, dir, "part")
+      .where($"p_partkey" % 4 === 0) // quarter of parts post offers
+      .select(
+        $"p_partkey".as("offre_id"),
+        concat(lit("LOC_"), ($"p_partkey" % 10).cast("string")).as("localisation_id"),
+        concat(lit("SECT_"), ($"p_partkey" % 7).cast("string")).as("secteur_id"),
+        transform(split($"p_name", " "), w => Ids.competenceId(w)).as("competences_ids"),
+        (($"p_partkey" % 15 + 1) * 50000).as("salaire_max"),
+        when($"p_size" % 4 === 0, "Débutant")
+          .when($"p_size" % 4 === 1, "Intermédiaire")
+          .when($"p_size" % 4 === 2, "Senior")
+          .otherwise("Non spécifié").as("niveau_experience"))
+    // CV skill profile = distinct competence ids over everything the
+    // customer ordered; one shuffle (the groupBy), joins are plain FK
+    // equi-joins Catalyst plans with AQE
+    val cvSkills = table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(table(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"o_custkey", explode(split($"p_name", " ")).as("w"))
+      .groupBy($"o_custkey")
+      .agg(collect_set(Ids.competenceId($"w")).as("competences_ids"))
+    val cvs = table(s, dir, "customer")
+      .where($"c_custkey" % 2 === 0) // half the customers seek jobs
+      .join(cvSkills, $"c_custkey" === $"o_custkey", "left")
+      .select(
+        $"c_custkey".as("cv_id"),
+        concat(lit("LOC_"), ($"c_custkey" % 10).cast("string")).as("localisation_souhaitee_id"),
+        concat(lit("SECT_"), ($"c_custkey" % 7).cast("string")).as("secteur_souhaite_id"),
+        $"competences_ids",
+        (($"c_custkey" % 8 + 1) * 100000).as("salaire_souhaite"),
+        ($"c_custkey" % 12).as("annees_experience"))
+    Matching.topKPerCandidate(Matching.score(offers, cvs), 5)
+      .select($"candidate_id", $"job_id", $"match_score", $"skill_match_pct",
+        $"salary_match_pct", $"location_match_pct", $"rank".cast("long").as("rank"))
+      .orderBy($"candidate_id", $"rank")
+  }
+
+  private val q50Sql =
+    s"""WITH offers AS (
+          SELECT p_partkey AS job_id,
+                 'LOC_' || (p_partkey % 10) AS o_loc,
+                 'SECT_' || (p_partkey % 7) AS o_sect,
+                 list_transform(string_split(p_name, ' '), w -> ${sqlCompId("w")}) AS o_comp,
+                 (p_partkey % 15 + 1) * 50000 AS o_sal_max,
+                 CASE (p_size % 4) WHEN 0 THEN 'Débutant' WHEN 1 THEN 'Intermédiaire'
+                      WHEN 2 THEN 'Senior' ELSE 'Non spécifié' END AS o_level
+          FROM part WHERE p_partkey % 4 = 0),
+        cvsk AS (
+          SELECT o_custkey AS k, list_distinct(list(${sqlCompId("w")})) AS comp
+          FROM (SELECT o_custkey, unnest(string_split(p_name, ' ')) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                     JOIN part ON l_partkey = p_partkey)
+          GROUP BY o_custkey),
+        cvs AS (
+          SELECT c_custkey AS candidate_id,
+                 'LOC_' || (c_custkey % 10) AS c_loc,
+                 'SECT_' || (c_custkey % 7) AS c_sect,
+                 comp AS c_comp,
+                 (c_custkey % 8 + 1) * 100000 AS c_sal,
+                 (c_custkey % 12) AS c_years
+          FROM customer LEFT JOIN cvsk ON c_custkey = k
+          WHERE c_custkey % 2 = 0),
+        cand AS (
+          SELECT DISTINCT job_id, candidate_id FROM (
+            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_sect = c.c_sect
+            UNION ALL
+            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_loc = c.c_loc)),
+        scored AS (
+          SELECT job_id, candidate_id,
+            CASE WHEN c.c_comp IS NULL OR len(list_distinct(c.c_comp)) = 0 THEN 0.0
+                 ELSE len(list_intersect(list_distinct(o.o_comp), list_distinct(c.c_comp)))::DOUBLE
+                      / len(list_distinct(c.c_comp))::DOUBLE END AS skill_pct,
+            CASE WHEN o.o_loc IS NOT NULL AND o.o_loc = c.c_loc THEN 1.0 ELSE 0.0 END AS loc_pct,
+            CASE WHEN c.c_sal IS NULL OR c.c_sal <= 0 THEN 0.0
+                 WHEN o.o_sal_max IS NULL THEN 0.0
+                 WHEN o.o_sal_max >= c.c_sal THEN 1.0
+                 ELSE o.o_sal_max::DOUBLE / c.c_sal::DOUBLE END AS sal_pct,
+            CASE WHEN c.c_years IS NULL THEN 0.0
+                 WHEN o.o_level = 'Non spécifié' OR o.o_level IS NULL THEN 1.0
+                 ELSE greatest(0.0, 1.0 - (CASE
+                    WHEN c.c_years < (CASE o.o_level WHEN 'Débutant' THEN 0
+                         WHEN 'Intermédiaire' THEN 3 WHEN 'Senior' THEN 5 ELSE 0 END)
+                    THEN (CASE o.o_level WHEN 'Débutant' THEN 0
+                         WHEN 'Intermédiaire' THEN 3 WHEN 'Senior' THEN 5 ELSE 0 END) - c.c_years
+                    WHEN c.c_years > (CASE o.o_level WHEN 'Débutant' THEN 2
+                         WHEN 'Intermédiaire' THEN 5 WHEN 'Senior' THEN 100 ELSE 100 END)
+                    THEN c.c_years - (CASE o.o_level WHEN 'Débutant' THEN 2
+                         WHEN 'Intermédiaire' THEN 5 WHEN 'Senior' THEN 100 ELSE 100 END)
+                    ELSE 0 END)::DOUBLE / 5.0) END AS exp_pct
+          FROM cand JOIN offers o USING (job_id) JOIN cvs c USING (candidate_id)),
+        final AS (
+          SELECT job_id, candidate_id,
+            round((skill_pct * 0.4 + loc_pct * 0.2 + sal_pct * 0.2 + exp_pct * 0.2) + 1e-9, 6)
+              AS match_score,
+            round(skill_pct + 1e-9, 6) AS skill_match_pct,
+            round(sal_pct + 1e-9, 6) AS salary_match_pct,
+            round(loc_pct + 1e-9, 6) AS location_match_pct
+          FROM scored),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY candidate_id
+              ORDER BY match_score DESC, job_id) AS rank
+          FROM final)
+        SELECT candidate_id, job_id, match_score, skill_match_pct,
+               salary_match_pct, location_match_pct, rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY candidate_id, rank"""
+
+  val all: Seq[Q] = Seq(
+    Q("q50_matching_scores", q50 _, Some(q50Sql)))
+}

@@ -46,6 +46,34 @@ class MatchingSpec extends AnyFunSuite {
     assert(top.length == 1 && top.head.getAs[String]("job_id") == "JOB_PERFECT")
   }
 
+  test("maxBlockSize caps the degenerate-block pair explosion") {
+    // the dirty-data shape: 50% of offers unclassified (one sector
+    // block), 50% of CVs unplaced -> uncapped, that block alone is
+    // |offers| x |cvs| = 40*40 pairs; location keys all distinct so the
+    // union's second leg contributes nothing
+    def offersN = (1 to 80).map(i => (s"J$i", s"LOC_O$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_$i",
+        Seq("COMP_x"), 100000L, "Débutant"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    def cvsN = (1 to 80).map(i => (s"C$i", s"LOC_C$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_CV$i",
+        Seq("COMP_x"), 100000.0, 2L))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    val uncapped = Matching.score(offersN, cvsN, None).count()
+    assert(uncapped == 40L * 40L)
+    // cap 10: 4 sub-blocks per side, same-index pairing -> 4 * 10*10
+    val capped = Matching.score(offersN, cvsN, None, maxBlockSize = Some(10)).count()
+    assert(capped == 4L * 10L * 10L)
+    // every capped pair is a real pair (cap only DROPS, never invents)
+    val cappedPairs = Matching.score(offersN, cvsN, None, maxBlockSize = Some(10))
+      .select("job_id", "candidate_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val allPairs = Matching.score(offersN, cvsN, None)
+      .select("job_id", "candidate_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cappedPairs.subsetOf(allPairs))
+  }
+
   test("component functions handle nulls") {
     val df = Seq((null: Seq[String], Seq("COMP_x"), null: java.lang.Long,
       null: java.lang.Double)).toDF("os", "cs", "omax", "want")
