@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.textkit.{Salary, Sectors}
+
+/** Driver-oracle coverage for the branchy textkit kernels that were
+  * previously golden-spec-only: the F18 salary regex cascade (+F19
+  * inference, +F20 normalization — extract_salary.py:71-291) and the
+  * F21 sector classifier (extract_sectors.py:48-345).
+  *
+  * The Spark side runs the REAL kernels (the same UDF/Column code the
+  * pipeline stages use) over salary/sector texts synthesized
+  * deterministically from the test tables; the DuckDB oracle
+  * re-derives the expected output from the same arithmetic — an
+  * independent replay, not a re-run of the kernel.
+  *
+  * Replayed bug-compatible quirks (see Salary.scala / Sectors.scala
+  * scaladocs): whole-text currency/period substring detection, BigInt
+  * truncating division, float-capped best-confidence comparison in the
+  * sector argmax (a raw double score is compared against the CAPPED
+  * FLOAT of the current best — ties can flip to a later sector when
+  * the float rounds down).
+  */
+object KernelOps {
+
+  // ---------------------------------------------------------------- q51
+
+  /** Salary texts: seven deterministic pattern families keyed on
+    * o_orderkey % 7 — grouped-digit FCFA, EUR yearly, two range forms,
+    * negotiable, USD monthly, and a no-match row that falls through to
+    * F19 title inference (or to `none`). */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      $"o_totalprice".cast("long").as("amt"),
+      ($"o_totalprice".cast("long") + ($"o_orderkey" % 97) * 1000 + 1000).as("amt2"),
+      ($"o_orderkey" % 7).as("b"), ($"o_orderkey" % 2).as("m2"),
+      ($"o_orderkey" % 3).as("m3"))
+    // space-grouped digits: parseAmount strips separators, so the
+    // re-parsed value equals amt for any magnitude (lpad keeps the
+    // low group value-faithful)
+    val amtSep = when($"amt" >= 1000,
+        concat(($"amt" / 1000).cast("long").cast("string"), lit(" "),
+          lpad(($"amt" % 1000).cast("string"), 3, "0")))
+      .otherwise($"amt".cast("string"))
+    val amtS = $"amt".cast("string"); val amt2S = $"amt2".cast("string")
+    val salaryText = when($"b" === 0, concat(lit("salaire: "), amtSep, lit(" fcfa")))
+      .when($"b" === 1, concat(amtS, lit(" eur par an")))
+      .when($"b" === 2, concat(lit("entre "), amtS, lit(" et "), amt2S, lit(" fcfa")))
+      .when($"b" === 3, concat(amtS, lit(" à "), amt2S, lit(" fcfa selon expérience")))
+      .when($"b" === 4, concat(amtS, lit(" fcfa négociable")))
+      .when($"b" === 5, concat(amtS, lit(" $ par mois")))
+      .otherwise(lit(null).cast("string"))
+    val title = when($"b" === 6,
+        when($"m2" === 0, "développeur senior h/f").otherwise("agent commercial"))
+      .otherwise(lit("poste"))
+    val location = when($"m2" === 0, "Abidjan").otherwise("Bouaké")
+    val contract = when($"m3" === 0, "CDD").otherwise("CDI")
+
+    val parsed = Salary.parseComprehensiveUdf(salaryText, lit(null).cast("string"), title)
+    val withParsed = base.withColumn("p", parsed)
+      .withColumn("f", // F19: inference only when parse confidence == 0
+        when(col("p").getField("confidence") === 0,
+          Salary.inferRangeUdf(title, location, contract)).otherwise(col("p")))
+    val n = Salary.normalized(col("f"))
+    withParsed.select(
+      $"id",
+      n.getField("salary_min_fcfa").cast("long").as("salary_min_fcfa"),
+      n.getField("salary_max_fcfa").cast("long").as("salary_max_fcfa"),
+      roundSafe(n.getField("salary_avg_fcfa").cast("double"), 2).as("salary_avg_fcfa"),
+      n.getField("currency_original").as("currency_original"),
+      n.getField("period_normalized").as("period_normalized"),
+      roundSafe(n.getField("confidence_score").cast("double"), 6).as("confidence_score"),
+      n.getField("data_source").as("data_source"))
+      .orderBy($"id")
+  }
+
+  /** Expected values re-derived from the amounts, not re-parsed: the
+    * oracle knows which pattern family each branch exercises and
+    * applies the cascade's currency (x655 EUR / x600 USD), period
+    * (//12 yearly truncating), confidence-modifier, inference-grid
+    * (trunc(x*1.2) Abidjan, trunc(x*0.9) CDD — op-for-op IEEE parity)
+    * and F20 backfill rules directly. */
+  private val q51Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS id,
+           trunc(o_totalprice)::BIGINT AS amt,
+           trunc(o_totalprice)::BIGINT + (o_orderkey % 97) * 1000 + 1000 AS amt2,
+           o_orderkey % 7 AS b, o_orderkey % 2 AS m2, o_orderkey % 3 AS m3
+         FROM orders),
+       p AS (
+         SELECT id,
+           CASE WHEN b = 0 THEN amt
+                WHEN b = 1 THEN (amt * 655) // 12
+                WHEN b = 2 THEN amt
+                WHEN b = 3 THEN amt
+                WHEN b = 4 THEN amt
+                WHEN b = 5 THEN amt * 600
+                ELSE CASE WHEN m2 = 0 THEN
+                       CASE WHEN m3 = 0
+                            THEN trunc(trunc(500000 * 1.2::DOUBLE) * 0.9::DOUBLE)::BIGINT
+                            ELSE trunc(500000 * 1.2::DOUBLE)::BIGINT END
+                     ELSE NULL END END AS mn,
+           CASE WHEN b = 0 THEN amt
+                WHEN b = 1 THEN (amt * 655) // 12
+                WHEN b = 2 THEN amt2
+                WHEN b = 3 THEN amt2
+                WHEN b = 4 THEN amt
+                WHEN b = 5 THEN amt * 600
+                ELSE CASE WHEN m2 = 0 THEN
+                       CASE WHEN m3 = 0
+                            THEN trunc(trunc(1500000 * 1.2::DOUBLE) * 0.9::DOUBLE)::BIGINT
+                            ELSE trunc(1500000 * 1.2::DOUBLE)::BIGINT END
+                     ELSE NULL END END AS mx,
+           CASE WHEN b = 1 THEN 'EUR' WHEN b = 5 THEN 'USD' ELSE 'FCFA' END
+             AS currency_original,
+           CASE WHEN b = 1 THEN 'yearly' ELSE 'monthly' END AS period_normalized,
+           CASE WHEN b = 2 THEN 0.9::DOUBLE
+                WHEN b = 3 THEN 0.9::DOUBLE * 0.9::DOUBLE
+                WHEN b = 4 THEN 0.8::DOUBLE * 0.8::DOUBLE
+                WHEN b = 6 THEN (CASE WHEN m2 = 0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+                ELSE 0.8::DOUBLE END AS conf,
+           CASE WHEN b = 6 THEN (CASE WHEN m2 = 0 THEN 'inferred' ELSE 'none' END)
+                ELSE 'parsed' END AS data_source
+         FROM base)
+       SELECT id, mn AS salary_min_fcfa, mx AS salary_max_fcfa,
+         round((CASE WHEN mn IS NOT NULL
+                 THEN ((mn::DOUBLE + mx::DOUBLE) / 2.0)::REAL::DOUBLE END) + 1e-9, 2)
+           AS salary_avg_fcfa,
+         currency_original, period_normalized,
+         round(conf::REAL::DOUBLE + 1e-9, 6) AS confidence_score,
+         data_source
+       FROM p ORDER BY id"""
+
+  // ---------------------------------------------------------------- q52
+
+  /** Sector-classification inputs: titles rotate through four shapes
+    * (neutral, transport, health, finance) so several catalog sectors
+    * genuinely compete; every fifth doc gets a company-list hit. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val title = when($"doc_id" % 4 === 1, "chauffeur livreur")
+      .when($"doc_id" % 4 === 2, "infirmier clinique")
+      .when($"doc_id" % 4 === 3, "banque audit")
+      .otherwise(concat(lit("doc "), $"lang"))
+    val company = when($"doc_id" % 5 === 0, "Orange CI").otherwise($"source")
+    val location = when($"doc_id" % 2 === 0, "Abidjan").otherwise(lit("Bouaké"))
+    val cls = Sectors.classifyUdf(title, company, $"text", location)
+    table(s, dir, "documents")
+      .withColumn("c", cls)
+      .select($"doc_id",
+        col("c").getField("secteur_id").as("secteur_id"),
+        col("c").getField("secteur_nom").as("secteur_nom"),
+        col("c").getField("categorie_parent").as("categorie_parent"),
+        roundSafe(col("c").getField("confidence").cast("double"), 6).as("confidence"))
+      .orderBy($"doc_id")
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The F21 replay, generated from [[Sectors.catalog]] itself so the
+    * two sides cannot drift: per-sector raw score
+    * min(0.3*kw, 0.8) + 0.5[company] + 0.2*title_kw, then the
+    * reference's sequential best-tracking fold (14 chained CTEs — one
+    * per catalog sector — each comparing the raw double against the
+    * float-capped running best). */
+  private val q52Sql = {
+    val scores = Sectors.catalog.zipWithIndex.map { case (sd, i) =>
+      val kws = sd.motsCles.map(sqlLit).mkString("[", ", ", "]")
+      val comps = sd.entreprises.map(e => sqlLit(e.toLowerCase)).mkString("[", ", ", "]")
+      s"""(CASE WHEN len(list_filter($kws, k -> contains(ftxt, k))) > 0
+              THEN least(len(list_filter($kws, k -> contains(ftxt, k))) * 0.3::DOUBLE,
+                         0.8::DOUBLE) ELSE 0.0::DOUBLE END
+            + CASE WHEN len(list_filter($comps, e -> contains(ftxt, e))) > 0
+                   THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END
+            + 0.2::DOUBLE * len(list_filter($kws, k -> contains(titlelo, k)))) AS s$i"""
+    }
+    val n = Sectors.catalog.length
+    val foldCtes = (0 until n).map { i =>
+      val src = if (i == 0) "sc" else s"st${i - 1}"
+      val carry = ((i + 1) until n).map(j => s"s$j").mkString(", ")
+      val carrySel = if (carry.isEmpty) "" else s", $carry"
+      val prevW = if (i == 0) "-1" else "w"
+      val prevBc = if (i == 0) "0.0::REAL" else "bc"
+      s"""st$i AS (SELECT doc_id,
+            CASE WHEN s$i > $prevBc THEN $i ELSE $prevW END AS w,
+            CASE WHEN s$i > $prevBc THEN least(s$i, 1.0::DOUBLE)::REAL ELSE $prevBc END AS bc
+            $carrySel FROM $src)"""
+    }.mkString(",\n        ")
+    def pick(f: Sectors.SectorDef => String, unknown: String): String =
+      "CASE w " + Sectors.catalog.zipWithIndex.map { case (sd, i) =>
+        s"WHEN $i THEN ${sqlLit(f(sd))}"
+      }.mkString(" ") + s" ELSE ${sqlLit(unknown)} END"
+    s"""WITH inp AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 1 THEN 'chauffeur livreur'
+                 WHEN doc_id % 4 = 2 THEN 'infirmier clinique'
+                 WHEN doc_id % 4 = 3 THEN 'banque audit'
+                 ELSE 'doc ' || lang END AS title,
+            CASE WHEN doc_id % 5 = 0 THEN 'Orange CI' ELSE source END AS company,
+            text,
+            CASE WHEN doc_id % 2 = 0 THEN 'Abidjan' ELSE 'Bouaké' END AS loc
+          FROM documents),
+        f AS (SELECT doc_id,
+            lower(title || ' ' || company || ' ' || text || ' ' || loc) AS ftxt,
+            lower(title) AS titlelo
+          FROM inp),
+        sc AS (SELECT doc_id, ${scores.mkString(",\n          ")} FROM f),
+        $foldCtes
+        SELECT doc_id,
+          ${pick(_.id, "SECT_INCONNU")} AS secteur_id,
+          ${pick(_.nom, "Secteur inconnu")} AS secteur_nom,
+          ${pick(_.parent, "INCONNU")} AS categorie_parent,
+          round(bc::DOUBLE + 1e-9, 6) AS confidence
+        FROM st${n - 1} ORDER BY doc_id"""
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q51_salary_kernel", q51 _, Some(q51Sql)),
+    Q("q52_sector_kernel", q52 _, Some(q52Sql)))
+}
