@@ -18,6 +18,36 @@ import graft.functions.TextFunctions._
   * pathological buckets can additionally be capped upstream by salting
   * the band key with a within-bucket row bucket.
   */
+/** Physical token-set encoding for [[Dedup.minhashLshPairs]]'
+  * candidate-verification stage. The choice is purely physical — all
+  * encodings produce identical pairs. */
+sealed trait LshEncoding
+object LshEncoding {
+
+  /** Sorted-token-array merge-walk verification: no corpus statistics
+    * needed, so plan construction runs ZERO Spark jobs (schema-only and
+    * explain callers pay nothing). The right default at scale — a
+    * 100 TB corpus is never small-vocabulary, and probing it to learn
+    * that would cost a full stats pass. */
+  case object MergeWalk extends LshEncoding
+
+  /** Probe corpus statistics at plan-construction time (one
+    * approx_count_distinct partial-agg pass, plus an exact distinct
+    * collect only when the sketch says the universe is tiny) and pick
+    * the bitmap encoding when it fits. Opt-in because the probe runs
+    * 1-2 eager Spark jobs when the plan is BUILT: right for small and
+    * medium corpora driven straight into an action, wrong for
+    * plan-only callers and for corpora known to be open-vocabulary. */
+  case object Auto extends LshEncoding
+
+  /** Dictionary-encode token sets against a known vocabulary of
+    * mod-P token hashes (sorted ascending). Contract: `vocab` must
+    * cover every token in the corpus — unknown tokens would silently
+    * drop out of the bitmaps. Primarily what [[Auto]] resolves to;
+    * public for callers that maintain their own vocabulary. */
+  final case class Bitmap(vocab: Array[Long]) extends LshEncoding
+}
+
 object Dedup {
 
   /** Exact dedup: group identical `textCol` bodies by md5 digest and
@@ -39,9 +69,15 @@ object Dedup {
     * bandsOf rows per band; docs sharing any full band become candidate
     * pairs; candidates are verified with exact token-set Jaccard >=
     * threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `encoding` picks the physical verification representation (see
+    * [[LshEncoding]]); results are identical across encodings. The
+    * default ([[LshEncoding.MergeWalk]]) builds the plan without
+    * running any Spark job.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bandsOf: Int, threshold: Double): DataFrame = {
+      k: Int, bandsOf: Int, threshold: Double,
+      encoding: LshEncoding = LshEncoding.MergeWalk): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // hash each distinct token ONCE; signatures and the verification
     // Jaccard both work over the mod-P int64 hashes, re-distincted
@@ -106,8 +142,8 @@ object Dedup {
           round(jaccard + 1e-9, 6).as("jaccard"))
         .where(col("jaccard") >= threshold)
 
-    smallUniverse(toks) match {
-      case Some(vocab) if vocab.length <= 64 =>
+    def bitmap(vocab: Array[Long]): DataFrame =
+      if (vocab.length <= 64) {
         // One machine word per set: Jaccard is entirely built-in bit
         // ops (bit_count of AND / OR), no array access on the hot path.
         val sigs1 = sigs
@@ -119,7 +155,7 @@ object Dedup {
           bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
             uni.cast("double"))
         scored(candidates(sigs1, Seq("mask")), jac)
-      case Some(vocab) =>
+      } else {
         // positions bound as a real column: CollapseProject keeps a
         // non-cheap expression referenced by every mask word from being
         // inlined w times (one dictionary scan per token, not per word)
@@ -130,12 +166,21 @@ object Dedup {
           .drop("__pos")
         scored(candidates(sigsW, Seq("mask")),
           graft.functions.ArrayOps.bitmapJaccard(col("mask_a"), col("mask_b")))
-      case None =>
-        scored(
-          candidates(sigs, Nil).select("id_a", "id_b")
-            .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-            .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b"),
-          graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")))
+      }
+    def mergeWalk: DataFrame =
+      scored(
+        candidates(sigs, Nil).select("id_a", "id_b")
+          .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+          .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b"),
+        graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")))
+
+    encoding match {
+      case LshEncoding.MergeWalk => mergeWalk
+      case LshEncoding.Bitmap(vocab) => bitmap(vocab)
+      case LshEncoding.Auto => smallUniverse(toks) match {
+        case Some(vocab) => bitmap(vocab)
+        case None => mergeWalk
+      }
     }
   }
 
@@ -148,11 +193,9 @@ object Dedup {
     * dictionary-encode. Gated by approx_count_distinct (one map-side
     * partial agg — the 100 TB-safe stats probe) so the exact
     * distinct-collect only runs when it is known to be tiny; 2x margin
-    * covers the sketch's rsd.
-    *
-    * NOTE: adaptive physical planning means [[minhashLshPairs]] runs
-    * this probe EAGERLY at plan-construction time (one or two
-    * lightweight jobs) — schema-only callers pay it too. */
+    * covers the sketch's rsd. Runs 1-2 eager Spark jobs — which is why
+    * it only executes under the opt-in [[LshEncoding.Auto]], never for
+    * the default plan-only path. */
   private def smallUniverse(toks: DataFrame): Option[Array[Long]] = {
     val approx = toks.select(explode(col("toks")).as("h"))
       .agg(approx_count_distinct(col("h")).as("v"))
@@ -212,24 +255,48 @@ object Dedup {
     * Parquet round-trips give clean leaves with real statistics; the
     * tables are vertex- and contracted-edge-sized.
     *
-    * @param pairs edge list with columns (id_a, id_b)
+    * @param pairs edge list with columns (id_a, id_b); ids must be an
+    *              integral type (cast up front, failing fast — a string
+    *              id would otherwise ClassCastException mid-job in the
+    *              residual collect). Hash string ids to longs (e.g.
+    *              xxhash64) before clustering.
     * @return (id, cluster_id) for every vertex appearing in any pair
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverFinishMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
-    // backing files live until JVM exit (the returned plan reads the
-    // final round's parquet)
-    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc").toString
-    sys.addShutdownHook {
-      scala.reflect.io.Directory(new java.io.File(ckDir)).deleteRecursively()
+    Seq("id_a", "id_b").foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral id columns; '$c' is ${dt.simpleString}. " +
+          "Hash or cast ids to long before clustering.")
     }
+    // scratch space for per-round materialization: FS-qualified so a
+    // cluster deployment lands it on the checkpoint filesystem (set
+    // spark.sparkContext.setCheckpointDir to shared storage), not on a
+    // driver-local java.io.tmpdir path that the executors can't read.
+    // Backing files live until JVM exit (the returned plan reads the
+    // final round's parquet); one process-wide hook cleans every run's
+    // dir through the owning Hadoop FileSystem.
+    val (fs, ckDir) = {
+      val base = spark.sparkContext.getCheckpointDir
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val p = new org.apache.hadoop.fs.Path(
+        base, s"graft-cc-${java.util.UUID.randomUUID()}")
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.mkdirs(p)
+      (fsys, fsys.makeQualified(p))
+    }
+    registerScratchDir(fs, ckDir)
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$ckDir/$name")
       spark.read.parquet(s"$ckDir/$name")
     }
-    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges0 = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
 
     def hook(e: DataFrame): DataFrame = e
       .groupBy(col("src").as("id"))
@@ -247,11 +314,15 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .distinct()
 
-    // round 0 stays cached (shallow plans — the explosion only starts
-    // with ROUND-OVER-ROUND composition, so parquet materialization is
-    // reserved for loop rounds); rep0 is unpersisted after its collect
-    var mapping = jump(hook(edges0)).cache() // vertex -> label
-    var rep = contract(edges0, mapping).cache()
+    // round 0 stays cached while the loop consumes it (shallow plans —
+    // the explosion only starts with ROUND-OVER-ROUND composition, so
+    // parquet materialization is reserved for loop rounds); both
+    // round-0 caches are released below once the final mapping is
+    // parquet-backed and the residual is collected
+    val map0 = jump(hook(edges0)).cache() // vertex -> label
+    val rep0 = contract(edges0, map0).cache()
+    var mapping = map0
+    var rep = rep0
     var repSize = rep.count()
     var iter = 0
     while (repSize > driverFinishMaxEdges && iter < maxIter) {
@@ -267,7 +338,12 @@ object Dedup {
     }
     // close the residual graph exactly on the driver
     val residual = rep.collect().map(r => (r.getLong(0), r.getLong(1)))
-    rep.unpersist()
+    // the returned plan must not lean on caches this call leaks: when
+    // the loop never ran, mapping is still the cached round-0 frame —
+    // materialize it, then release both round-0 caches
+    if (iter == 0) mapping = materialize(mapping, "map_final")
+    map0.unpersist()
+    rep0.unpersist()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = { // iterative + path compression: chain
       var r = x                 // residuals can be deeper than the stack
@@ -294,6 +370,26 @@ object Dedup {
     * union-find finish: 2M edges ~ 32 MB collected. */
   private val DriverUnionFindMaxEdges = 2000000L
 
+  /** One process-wide shutdown hook deleting every CC scratch dir via
+    * its owning Hadoop FileSystem — repeated calls must not stack one
+    * hook (and one leaked dir registration) each. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
+  private lazy val scratchHook: Unit = {
+    sys.addShutdownHook {
+      scratchDirs.forEach { case (fs, p) =>
+        try fs.delete(p, true) catch { case _: Throwable => () }
+      }
+    }
+    ()
+  }
+  private def registerScratchDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    scratchHook
+    scratchDirs.add((fs, p))
+  }
+
   /** End-to-end near-dedup: MinHash-LSH pairs -> connected components
     * -> keep one survivor (min id) per duplicate cluster. Returns the
     * deduplicated corpus (original columns), i.e. all rows except
@@ -301,9 +397,13 @@ object Dedup {
     * ([[exact]]) composes BEFORE this when byte-identical copies are
     * common — fewer rows reach the LSH shuffle. */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bandsOf: Int = 4, threshold: Double = 0.8): DataFrame = {
+      k: Int = 16, bandsOf: Int = 4, threshold: Double = 0.8,
+      encoding: LshEncoding = LshEncoding.Auto): DataFrame = {
+    // encoding defaults to Auto here (unlike minhashLshPairs): the CC
+    // step below runs eager jobs at call time anyway, so plan-only
+    // callers don't exist and the adaptive probe costs nothing extra
     val clusters = connectedComponents(
-      minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold))
+      minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold, encoding))
     val losers = clusters.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -72,8 +72,11 @@ object TextOps {
     * corpora and the driver's comparator row-sorts both sides anyway —
     * a global range sort here cost ~45% of the operator's wall time. */
   private def q18(s: SparkSession, dir: String): DataFrame =
+    // Auto: the driver corpus is tiny-vocabulary, so the adaptive
+    // probe buys the bitmap verification path; the query is executed
+    // immediately, so plan-construction jobs are part of its real cost
     Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
-        MinhashK, BandRows, 0.4)
+        MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto)
 
   /** Un-ordered LSH pair SQL shared by q18 (which appends its ORDER
     * BY) and q49 (which embeds it as a recursive-CTE input). */
@@ -222,7 +225,7 @@ object TextOps {
   private def q49(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
-        MinhashK, BandRows, 0.4))
+        MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto))
       .orderBy(col("id"))
 
   private val q49Sql = {
@@ -237,6 +240,31 @@ object TextOps {
         SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id"""
   }
 
+  /** End-to-end near-dedup survivors: the one-call compose (LSH pairs
+    * -> connected components -> left_anti losers) — what a training-
+    * data pipeline actually ships. Survivor = each cluster's min id
+    * plus every unpaired doc; oracle = the q49 cluster CTE anti-joined
+    * back onto the corpus. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedup(table(s, dir, "documents"), "doc_id", "text",
+        MinhashK, BandRows, 0.4)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  private val q53Sql =
+    s"""WITH RECURSIVE pairs AS ($q18PairsSql),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          WHERE r.lbl < e.dst),
+        clusters AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+        ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
     Q("q15_explode_topk", q15 _, Some(q15Sql)),
     Q("q16_exact_dedup", q16 _, Some(q16Sql)),
@@ -248,5 +276,6 @@ object TextOps {
     Q("q22_quality_score", q22 _, Some(q22Sql)),
     Q("q23_token_stats", q23 _, Some(q23Sql)),
     Q("q24_fingerprint", q24 _, Some(q24Sql)),
-    Q("q49_dedup_clusters", q49 _, Some(q49Sql)))
+    Q("q49_dedup_clusters", q49 _, Some(q49Sql)),
+    Q("q53_neardedup_survivors", q53 _, Some(q53Sql)))
 }

@@ -46,9 +46,9 @@ object ScaleProbe {
       docs.write.mode("overwrite").parquet(s"/tmp/scaleprobe/docs_$n")
       val stored = spark.read.parquet(s"/tmp/scaleprobe/docs_$n")
       // warm once (JIT + probe), then measure
-      graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
+      graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4, graft.operators.LshEncoding.Auto).count()
       val t0 = System.nanoTime()
-      val pairs = graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4).count()
+      val pairs = graft.operators.Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4, graft.operators.LshEncoding.Auto).count()
       val t1 = System.nanoTime()
       val survivors = graft.operators.Dedup.nearDedup(stored, "doc_id", "text",
         threshold = 0.4).count()

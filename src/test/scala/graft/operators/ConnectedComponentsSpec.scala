@@ -76,4 +76,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 10L, 11L),
       s"cluster {1,2,3} must keep only min id 1; got ${kept.mkString(",")}")
   }
+
+  test("string ids fail fast with a clear message, not mid-job") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs)
+    }
+    assert(e.getMessage.contains("integral id columns"))
+  }
 }

@@ -71,7 +71,8 @@ class DedupPathsSpec extends AnyFunSuite {
       .distinct().count().toInt
     assert(vocab >= wantVocabIn._1 && vocab <= wantVocabIn._2,
       s"corpus landed outside the intended tier: vocab=$vocab not in $wantVocabIn")
-    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold)
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        LshEncoding.Auto)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val want = referencePairs(docs)
     assert(got.keySet == want.keySet,
@@ -95,5 +96,42 @@ class DedupPathsSpec extends AnyFunSuite {
   test("merge-walk tier (vocab > 4096) matches the replay") {
     check(corpus(nTemplates = 20, tokensPer = 300, perTemplate = 3, universeOffset = 1000),
       (4097, Int.MaxValue))
+  }
+
+  test("default MergeWalk encoding equals Auto on a bitmap-tier corpus") {
+    val docs = corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3,
+      universeOffset = 0).toDF("doc_id", "text")
+    def pairs(e: LshEncoding) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(LshEncoding.MergeWalk) == pairs(LshEncoding.Auto))
+  }
+
+  test("default encoding builds the plan with zero Spark jobs; Auto probes") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val docs = corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3,
+      universeOffset = 0).toDF("doc_id", "text")
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // force full analysis + physical planning, no action
+    val cold = jobsDuring {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold)
+        .queryExecution.executedPlan
+    }
+    assert(cold == 0, s"plan-only default call ran $cold jobs")
+    // positive control: the same measurement sees Auto's probe jobs,
+    // so the zero above is a real zero, not a broken listener
+    val probed = jobsDuring {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        LshEncoding.Auto).queryExecution.executedPlan
+    }
+    assert(probed > 0, "Auto should run its stats probe at plan time")
   }
 }
