@@ -32,19 +32,22 @@ object Bench {
       }
     }
 
-    // min of two measured runs: the first execution at the measured SF
-    // still pays size-specific JIT tiers and page-cache warming; the
-    // minimum is the steady-state number a resident service would see.
-    // A query whose every iteration throws reports -1 — a fail-fast
-    // crash must not masquerade as a fast time.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
+    // median of three warm runs (the first at the measured SF still
+    // pays size-specific JIT tiers and page-cache warming; the median
+    // is robust to one-off machine-load spikes in either direction,
+    // where a single cold pass made noise and regression
+    // indistinguishable — round-2 verdict). A query whose every
+    // iteration throws reports -1 — a fail-fast crash must not
+    // masquerade as a fast time.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // upper median on even counts — deterministic, no interpolation
+      name -> (if (times.nonEmpty) times.sorted.apply(times.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

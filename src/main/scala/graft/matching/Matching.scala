@@ -100,10 +100,14 @@ object Matching {
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years"))
 
-    // one blocked equi-join; under the cap, sub-blocks carry the block
-    // key ("<block>#<i>") so capped-key equality still implies block
-    // equality and same-index pairing
-    def blockJoin(oKey: String, cKey: String): DataFrame = maxBlockSize match {
+    // one blocked equi-join, projected to bare id pairs IMMEDIATELY:
+    // the union/dedup below shuffles O(pairs) rows, so those rows must
+    // be 2 ids wide, not the full offer+CV attribute row (carrying the
+    // skill arrays through the pair dedup cost ~6x the whole operator).
+    // Under the cap, sub-blocks carry the block key ("<block>#<i>") so
+    // capped-key equality still implies block equality and same-index
+    // pairing.
+    def blockJoin(oKey: String, cKey: String): DataFrame = (maxBlockSize match {
       case None => o.join(c, col(oKey) === col(cKey))
       case Some(m) =>
         graft.operators.Skew.capBlocks(o, col(oKey), col("job_id"), m)
@@ -111,13 +115,16 @@ object Matching {
             graft.operators.Skew.capBlocks(c, col(cKey), col("candidate_id"), m)
               .withColumnRenamed("__capped_block", "__cb_c"),
             col("__capped_block") === col("__cb_c"))
-          .drop("__capped_block", "__cb_c")
-    }
+    }).select(col("job_id"), col("candidate_id"))
 
-    // blocked candidate generation: sector block ∪ location block
+    // blocked candidate generation: sector block ∪ location block on
+    // narrow pair ids, then one attribute join back per side (AQE
+    // broadcasts small sides; identical o/c subtrees reuse exchanges)
     val candidates = blockJoin("o_sect", "c_sect")
       .unionByName(blockJoin("o_loc", "c_loc"))
       .dropDuplicates("job_id", "candidate_id")
+      .join(o, "job_id")
+      .join(c, "candidate_id")
 
     val skillPct = skillMatchPct(col("o_comp"), col("c_comp"))
     val locPct = locationMatchPct(col("o_loc"), col("c_loc"))

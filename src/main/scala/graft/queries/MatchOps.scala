@@ -31,7 +31,7 @@ object MatchOps {
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val offers = table(s, dir, "part")
-      .where($"p_partkey" % 4 === 0) // quarter of parts post offers
+      .where($"p_partkey" % 8 === 0) // eighth of parts post offers
       .select(
         $"p_partkey".as("offre_id"),
         concat(lit("LOC_"), ($"p_partkey" % 10).cast("string")).as("localisation_id"),
@@ -52,7 +52,7 @@ object MatchOps {
       .groupBy($"o_custkey")
       .agg(collect_set(Ids.competenceId($"w")).as("competences_ids"))
     val cvs = table(s, dir, "customer")
-      .where($"c_custkey" % 2 === 0) // half the customers seek jobs
+      .where($"c_custkey" % 4 === 0) // quarter of customers seek jobs
       .join(cvSkills, $"c_custkey" === $"o_custkey", "left")
       .select(
         $"c_custkey".as("cv_id"),
@@ -76,7 +76,7 @@ object MatchOps {
                  (p_partkey % 15 + 1) * 50000 AS o_sal_max,
                  CASE (p_size % 4) WHEN 0 THEN 'Débutant' WHEN 1 THEN 'Intermédiaire'
                       WHEN 2 THEN 'Senior' ELSE 'Non spécifié' END AS o_level
-          FROM part WHERE p_partkey % 4 = 0),
+          FROM part WHERE p_partkey % 8 = 0),
         cvsk AS (
           SELECT o_custkey AS k, list_distinct(list(${sqlCompId("w")})) AS comp
           FROM (SELECT o_custkey, unnest(string_split(p_name, ' ')) AS w
@@ -91,7 +91,7 @@ object MatchOps {
                  (c_custkey % 8 + 1) * 100000 AS c_sal,
                  (c_custkey % 12) AS c_years
           FROM customer LEFT JOIN cvsk ON c_custkey = k
-          WHERE c_custkey % 2 = 0),
+          WHERE c_custkey % 4 = 0),
         cand AS (
           SELECT DISTINCT job_id, candidate_id FROM (
             SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_sect = c.c_sect
