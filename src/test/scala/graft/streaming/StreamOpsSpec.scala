@@ -73,4 +73,32 @@ class StreamOpsSpec extends AnyFunSuite {
     // the 60s bound; imp 12: click 10s BEFORE the impression -> dropped
     assert(out.toSeq == Seq((10L, 7L, 1000L, 1030L)))
   }
+
+  test("rate control: maxFilesPerTrigger bounds each micro-batch (multi-batch execution)") {
+    // the file-source analogue of the Kafka leg's maxOffsetsPerTrigger
+    // (consume_jobs.py's DStream maxRatePerPartition): 3 one-row files
+    // + cap 1 file/trigger must execute as 3 bounded micro-batches,
+    // even under AvailableNow — SURVEY §2.10's rate-control aspect
+    // exercised through real MicroBatchExecution, not config-only
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rate").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"doc $i")).toDF("id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+    }
+    val stream = spark.readStream
+      .schema("id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/in")
+    val q = stream.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 capped micro-batches, saw ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1),
+      s"each batch must carry exactly one file's rows; got ${batches.map(_.numInputRows).mkString(",")}")
+    assert(spark.read.parquet(s"$tmp/out").count() == 3)
+  }
 }
