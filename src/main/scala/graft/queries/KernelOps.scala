@@ -34,7 +34,10 @@ object KernelOps {
     * F19 title inference (or to `none`). */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = table(s, dir, "orders").select(
+    // Engine.spread: the test parquet is a single file split, which
+    // would serialize the regex-cascade UDF onto one core; the map
+    // stage is the whole query, so spread the scan first
+    val base = graft.Engine.spread(table(s, dir, "orders")).select(
       $"o_orderkey".as("id"),
       $"o_totalprice".cast("long").as("amt"),
       ($"o_totalprice".cast("long") + ($"o_orderkey" % 97) * 1000 + 1000).as("amt2"),
@@ -150,7 +153,9 @@ object KernelOps {
     val company = when($"doc_id" % 5 === 0, "Orange CI").otherwise($"source")
     val location = when($"doc_id" % 2 === 0, "Abidjan").otherwise(lit("Bouaké"))
     val cls = Sectors.classifyUdf(title, company, $"text", location)
-    table(s, dir, "documents")
+    // spread: same single-split serialization guard as q51 — the
+    // classifier scans ~400 catalog substrings per row
+    graft.Engine.spread(table(s, dir, "documents"))
       .withColumn("c", cls)
       .select($"doc_id",
         col("c").getField("secteur_id").as("secteur_id"),
