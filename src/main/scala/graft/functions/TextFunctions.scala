@@ -92,6 +92,22 @@ object TextFunctions {
   def sqlTokenSet(e: String): String =
     s"list_distinct(list_filter(string_split_regex(lower($e), '[^a-z]+'), x -> len(x) > 0))"
 
+  /** SQL: ALL lowercase alpha tokens (duplicates kept, in order) —
+    * mirror of [[tokens]]; the shingle/gram builders need order. */
+  def sqlTokensAll(e: String): String =
+    s"list_filter(string_split_regex(lower($e), '[^a-z]+'), x -> len(x) > 0)"
+
+  /** SQL: word n-gram shingles of token-array expr `toksE` (space-
+    * joined) — mirror of [[shingles]], short arrays -> empty list.
+    * `toksE` should be a plain column reference (it is inlined n+2
+    * times); bind computed token lists in a CTE first. */
+  def sqlShingles(toksE: String, n: Int): String = {
+    val joined = (0 until n).map(j => s"$toksE[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toksE) >= $n
+          THEN list_transform(range(1, len($toksE) - ${n - 2}), i -> $joined)
+          ELSE [] END"""
+  }
+
   /** SQL: 60-bit md5 token hash of expression `e`. */
   def sqlTokenHash(e: String): String =
     s"CAST('0x' || substring(md5($e), 1, 15) AS BIGINT)"

@@ -409,6 +409,58 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dedup: MinHash-LSH candidate pairs between an
+    * incoming batch and an existing corpus (new x corpus only;
+    * within-batch pairs compose via [[minhashLshPairs]] on the batch).
+    * The corpus never pairs with itself, so deduplicating a daily
+    * ingest against a 100 TB corpus costs one band shuffle of
+    * O(batch + corpus) rows and a bucket join whose work is
+    * batch-driven — not O(corpus^2). Pair de-duplication is the same
+    * FIRST-BAND-WINS condition as the self-join form; verification is
+    * the open-vocabulary merge-walk (an accumulated corpus is never
+    * small-vocabulary, so no stats probe — plan-only, zero jobs).
+    *
+    * @return (new_id, corpus_id, jaccard) with jaccard >= threshold
+    */
+  def incrementalLshPairs(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, bandsOf: Int, threshold: Double): DataFrame = {
+    require(k % bandsOf == 0, "k must divide into bands evenly")
+    val nBands = k / bandsOf
+    def toksOf(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(
+        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
+    def bandsOfSide(toks: DataFrame, side: String): DataFrame =
+      graft.Engine.spread(toks
+        .select(col("id"), minhashFromHashes(col("toks"), k).as("sig")))
+        .select(
+          col("id").as(s"id_$side"), col("sig").as(s"sig_$side"),
+          posexplode(array((0 until nBands).map { b =>
+            concat_ws("_", (0 until bandsOf).map(r =>
+              element_at(col("sig"), b * bandsOf + r + 1).cast("string")): _*)
+          }: _*)).as(Seq("band_idx", "band_key")))
+    def bandEq(b: Int): Column =
+      slice(col("sig_a"), b * bandsOf + 1, bandsOf) ===
+        slice(col("sig_b"), b * bandsOf + 1, bandsOf)
+    val sharedEarlierBand: Column =
+      (1 until nBands).map { bi =>
+        col("band_idx") === bi && (0 until bi).map(bandEq).reduce(_ || _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+
+    val newToks = toksOf(newDf)
+    val corpusToks = toksOf(corpusDf)
+    bandsOfSide(newToks, "a")
+      .join(bandsOfSide(corpusToks, "b"), Seq("band_idx", "band_key"))
+      .where(col("id_a") =!= col("id_b") && !sharedEarlierBand)
+      .select(col("id_a"), col("id_b"))
+      .join(newToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(corpusToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
     * i.e. 2*ones > n). Entirely per-row — token hashes are bound once

@@ -192,4 +192,83 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit(piiPhone), lit(0))).cast("long").as("n_phones"),
       length(scrubbed).cast("long").as("clean_len"))
   }
+
+  /** Distinct hashed word-n-gram set of a text column (the shared unit
+    * of the decontamination/dedup gram math). */
+  private def gramSet(text: Column, n: Int): Column =
+    sort_array(array_distinct(transform(
+      graft.functions.TextFunctions.shingles(graft.functions.TextFunctions.tokens(text), n),
+      s => graft.functions.TextFunctions.tokenHash(s))))
+
+  /** Benchmark decontamination: per-document overlap of its n-gram set
+    * with a benchmark corpus' n-gram universe — the standard
+    * train/eval-contamination check for training-data pipelines.
+    *
+    * Scale shape: document grams explode and probe the benchmark gram
+    * universe via an explicitly-broadcast join (eval benchmarks are
+    * tiny next to a 100 TB corpus — if yours is not, drop the hint and
+    * AQE plans a shuffle join), then one per-doc aggregation. The
+    * corpus is scanned once; no corpus-side shuffle besides the final
+    * doc-keyed agg of gram-count rows.
+    *
+    * @return (id, n_grams, n_contaminated, contamination_frac,
+    *         contaminated) — docs with no grams report zeros
+    */
+  def contaminationStats(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val docGrams = df.select(col(idCol).as("id"), gramSet(col(textCol), n).as("gs"))
+      .select(col("id"), explode_outer(col("gs")).as("g"))
+    val benchGrams = benchmark
+      .select(explode(gramSet(col(benchTextCol), n)).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docGrams.join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("g")).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("id"), col("n_grams"), col("n_contaminated"),
+        graft.queries.roundSafe(
+          when(col("n_grams") === 0, 0.0)
+            .otherwise(col("n_contaminated").cast("double") / col("n_grams").cast("double")),
+          6).as("contamination_frac"),
+        (col("n_contaminated") > 0).cast("long").as("contaminated"))
+  }
+
+  /** Intra-document repetition accounting (the Gopher-style repetition
+    * quality signals): per document, total vs distinct n-gram
+    * occurrences and the share of the single most-frequent n-gram.
+    * dup_frac = fraction of gram occurrences that are repeats of an
+    * already-seen gram; top_frac = occurrences of the modal gram /
+    * total.
+    *
+    * One explode + two-level aggregation — the per-(doc, gram) partial
+    * count combines map-side, so repeated boilerplate does not inflate
+    * shuffle volume. Documents with fewer than n tokens report zero
+    * grams (kept via left join back onto the id set).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max(col("c")).as("top_gram_count"))
+    df.select(col(idCol).as("id")).join(grams, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        graft.queries.roundSafe(
+          when(coalesce(col("total_grams"), lit(0L)) === 0, 0.0)
+            .otherwise((col("total_grams") - col("distinct_grams")).cast("double") /
+              col("total_grams").cast("double")), 6).as("dup_frac"),
+        graft.queries.roundSafe(
+          when(coalesce(col("total_grams"), lit(0L)) === 0, 0.0)
+            .otherwise(col("top_gram_count").cast("double") /
+              col("total_grams").cast("double")), 6).as("top_frac"))
+  }
 }

@@ -265,6 +265,42 @@ object TextOps {
         WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
         ORDER BY doc_id"""
 
+  /** Incremental dedup: LSH pairs of an incoming batch (every 10th
+    * doc) against the standing corpus (the rest) — new x corpus only,
+    * the daily-ingest shape where the corpus never self-pairs. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.incrementalLshPairs(
+        docs.where(col("doc_id") % 10 === 7),
+        docs.where(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", MinhashK, BandRows, 0.4)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  private val q56Sql = {
+    val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
+    val nBands = MinhashK / BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (1 to BandRows).map(r => s"sig[${b * BandRows + r}]").mkString(", ")
+      s"SELECT id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id AS id,
+          list_distinct(list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")})) AS toks
+          FROM documents),
+        sig AS (SELECT id, [$ms] AS sig FROM t),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 WHERE a.id % 10 = 7 AND b.id % 10 <> 7),
+        j AS (SELECT new_id, corpus_id,
+                round((len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                      len(list_distinct(ta.toks || tb.toks))) + 1e-9, 6) AS jaccard
+              FROM cand JOIN t ta ON ta.id = new_id JOIN t tb ON tb.id = corpus_id)
+        SELECT new_id, corpus_id, jaccard FROM j
+        WHERE jaccard >= 0.4 ORDER BY new_id, corpus_id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q15_explode_topk", q15 _, Some(q15Sql)),
     Q("q16_exact_dedup", q16 _, Some(q16Sql)),
@@ -277,5 +313,6 @@ object TextOps {
     Q("q23_token_stats", q23 _, Some(q23Sql)),
     Q("q24_fingerprint", q24 _, Some(q24Sql)),
     Q("q49_dedup_clusters", q49 _, Some(q49Sql)),
-    Q("q53_neardedup_survivors", q53 _, Some(q53Sql)))
+    Q("q53_neardedup_survivors", q53 _, Some(q53Sql)),
+    Q("q56_incremental_dedup", q56 _, Some(q56Sql)))
 }

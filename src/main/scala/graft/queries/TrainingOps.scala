@@ -94,8 +94,66 @@ object TrainingOps {
         FROM documents ORDER BY doc_id"""
   }
 
+  private val DecontamN = 5
+
+  /** Benchmark decontamination: every 50th doc stands in as the eval
+    * benchmark; stats = each doc's 5-gram overlap with its universe. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contaminationStats(
+      table(s, dir, "documents"), "doc_id", "text",
+      table(s, dir, "documents").where(col("doc_id") % 50 === 0), "text",
+      DecontamN)
+      .orderBy(col("id"))
+
+  private val q54Sql = {
+    val toks = TextFunctions.sqlTokensAll("text")
+    val grams = TextFunctions.sqlShingles("tk", DecontamN)
+    s"""WITH tt AS (SELECT doc_id AS id, $toks AS tk FROM documents),
+        t AS (SELECT id, list_distinct(list_transform($grams,
+                g -> ${TextFunctions.sqlTokenHash("g")})) AS gs FROM tt),
+        bg AS (SELECT DISTINCT unnest(gs) AS g FROM t WHERE id % 50 = 0),
+        e AS (SELECT id, unnest(gs) AS g FROM t),
+        hits AS (SELECT e.id, count(*) AS nc FROM e JOIN bg USING (g) GROUP BY e.id)
+        SELECT t.id, len(t.gs)::BIGINT AS n_grams,
+          coalesce(nc, 0)::BIGINT AS n_contaminated,
+          round((CASE WHEN len(t.gs) = 0 THEN 0.0
+                 ELSE coalesce(nc, 0)::DOUBLE / len(t.gs)::DOUBLE END) + 1e-9, 6)
+            AS contamination_frac,
+          (coalesce(nc, 0) > 0)::BIGINT AS contaminated
+        FROM t LEFT JOIN hits ON t.id = hits.id ORDER BY t.id"""
+  }
+
+  private val RepN = 3
+
+  /** Intra-doc repetition signals (Gopher-style): dup and modal-gram
+    * fractions over 3-grams. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(table(s, dir, "documents"), "doc_id", "text", RepN)
+      .orderBy(col("id"))
+
+  private val q55Sql = {
+    val toks = TextFunctions.sqlTokensAll("text")
+    val grams = TextFunctions.sqlShingles("tk", RepN)
+    s"""WITH tt AS (SELECT doc_id AS id, $toks AS tk FROM documents),
+        e AS (SELECT id, unnest($grams) AS g FROM tt),
+        pc AS (SELECT id, g, count(*) AS c FROM e GROUP BY id, g),
+        agg AS (SELECT id, sum(c) AS total, count(*) AS dist, max(c) AS top
+                FROM pc GROUP BY id)
+        SELECT tt.id,
+          coalesce(total, 0)::BIGINT AS total_grams,
+          coalesce(dist, 0)::BIGINT AS distinct_grams,
+          coalesce(top, 0)::BIGINT AS top_gram_count,
+          round((CASE WHEN coalesce(total, 0) = 0 THEN 0.0
+                 ELSE (total - dist)::DOUBLE / total::DOUBLE END) + 1e-9, 6) AS dup_frac,
+          round((CASE WHEN coalesce(total, 0) = 0 THEN 0.0
+                 ELSE top::DOUBLE / total::DOUBLE END) + 1e-9, 6) AS top_frac
+        FROM tt LEFT JOIN agg ON tt.id = agg.id ORDER BY tt.id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q43_stratified_sample", q43 _, Some(q43Sql)),
     Q("q44_pack_sequences", q44 _, Some(q44Sql)),
-    Q("q45_pii_scrub", q45 _, Some(q45Sql)))
+    Q("q45_pii_scrub", q45 _, Some(q45Sql)),
+    Q("q54_decontamination", q54 _, Some(q54Sql)),
+    Q("q55_repetition_stats", q55 _, Some(q55Sql)))
 }

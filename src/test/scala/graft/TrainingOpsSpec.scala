@@ -70,4 +70,34 @@ class TrainingOpsSpec extends AnyFunSuite {
       (0L, 0L, 0L, 1L), (4L, 0L, 1L, 2L), (12L, 1L, 1L, 1L),
       (15L, 1L, 1L, 0L), (15L, 1L, 2L, 2L)))
   }
+
+  test("contaminationStats flags benchmark-overlapping docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // = benchmark doc
+      (2L, "alpha beta gamma delta zeta"),         // shares 2 of 3 3-grams
+      (3L, "one two three four five"),             // disjoint
+      (4L, "ab"))                                  // too short: zero grams
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationStats(docs, "doc_id", "text", bench, "text", 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, 1L), (2L, 3L, 2L, 1L), (3L, 3L, 0L, 0L), (4L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionStats on a hand-computed repetitive doc") {
+    // "a b a b a b": 3-grams = aba, bab, aba, bab -> total 4, distinct
+    // 2, top 2 -> dup 0.5, top 0.5; clean doc: all distinct
+    val docs = Seq((1L, "a b a b a b"), (2L, "one two three four"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text", 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 2L, 0.5, 0.5),
+      (2L, 2L, 2L, 1L, 0.0, 0.5),
+      (3L, 0L, 0L, 0L, 0.0, 0.0)))
+  }
 }

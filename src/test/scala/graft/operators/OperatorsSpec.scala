@@ -70,6 +70,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental LSH pairs match new docs against the corpus only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different corpus content about engines"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")) // near-dup of 1
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1
+      (11L, "alpha beta gamma delta epsilon zeta eta kappa"), // near-dup of 1/3/10
+      (12L, "unrelated fresh material nothing shared here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalLshPairs(batch, corpus, "doc_id", "text", 16, 4, 0.6)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // new x corpus hits only: no (10,11) within-batch pair, no (1,3)
+    // corpus-internal pair, nothing for 12
+    assert(pairs.contains((10L, 1L)))
+    assert(pairs.forall { case (a, b) => a >= 10L && b < 10L })
+    assert(!pairs.exists(_._1 == 12L))
+  }
+
   test("brute-force cosine topk returns self-similar neighbors first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
