@@ -74,4 +74,48 @@ class PlanContractSpec extends AnyFunSuite {
     assert("hashpartitioning\\(o_orderpriority".r.findAllIn(p).size <= 1,
       "the five window functions must share one shuffle on the partition key")
   }
+
+  test("q54 probes the benchmark gram set via broadcast, never a shuffle join") {
+    val p = plan("q54_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the benchmark probe must not shuffle the corpus gram stream")
+  }
+
+  test("q50 dedups narrow pair ids: no skill array crosses the pair-dedup exchange") {
+    val p = plan("q50_matching_scores")
+    // the (job_id, candidate_id) dedup aggregate must run on bare ids —
+    // competences_ids appearing inside a hashpartitioning(...) of the
+    // dedup would mean the wide rows are back in the pair shuffle
+    val dedupExchanges = "hashpartitioning\\(job_id[^)]*candidate_id[^)]*\\)".r
+      .findAllIn(p).toSeq
+    assert(dedupExchanges.nonEmpty, "expected a pair-id dedup exchange")
+    assert(!dedupExchanges.exists(_.contains("competences")),
+      "pair dedup must shuffle bare ids, not attribute rows")
+  }
+
+  test("q56 incremental band join is an equi-join and builds with zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // pre-load the table so parquet schema inference (one setup job,
+    // common to every file-backed query) is out of the measurement —
+    // the contract is about the OPERATOR's plan construction
+    val docs = Engine.table(spark, dir, "documents")
+    docs.schema
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    import org.apache.spark.sql.functions.col
+    val p = try {
+      val df = graft.operators.Dedup.incrementalLshPairs(
+        docs.where(col("doc_id") % 10 === 7), docs.where(col("doc_id") % 10 =!= 7),
+        "doc_id", "text", 16, 4, 0.4)
+      df.queryExecution.executedPlan
+      val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      Thread.sleep(300); s
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() == 0, s"plan-only construction ran ${n.get()} jobs")
+    assert(!p.contains("CartesianProduct"), "band join must stay equi")
+  }
 }
