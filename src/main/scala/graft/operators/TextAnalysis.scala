@@ -193,12 +193,19 @@ object TextAnalysis {
       length(scrubbed).cast("long").as("clean_len"))
   }
 
-  /** Distinct hashed word-n-gram set of a text column (the shared unit
-    * of the decontamination/dedup gram math). */
-  private def gramSet(text: Column, n: Int): Column =
-    sort_array(array_distinct(transform(
-      graft.functions.TextFunctions.shingles(graft.functions.TextFunctions.tokens(text), n),
-      s => graft.functions.TextFunctions.tokenHash(s))))
+  /** (id, gs): distinct hashed word-n-gram set per row — STAGED
+    * projections, because higher-order lambdas do not share
+    * subexpressions: inlining tokens() under the shingle lambda would
+    * re-split the whole text once per element_at (the q20 lesson;
+    * inline form benched 16x slower at sf0.1). */
+  private def gramSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        graft.functions.TextFunctions.shingles(col("__toks"), n).as("__shs"))
+      .select(col("id"), sort_array(array_distinct(transform(col("__shs"),
+        s => graft.functions.TextFunctions.tokenHash(s)))).as("gs"))
 
   /** Benchmark decontamination: per-document overlap of its n-gram set
     * with a benchmark corpus' n-gram universe — the standard
@@ -216,10 +223,19 @@ object TextAnalysis {
     */
   def contaminationStats(df: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
-    val docGrams = df.select(col(idCol).as("id"), gramSet(col(textCol), n).as("gs"))
+    val docGrams = gramSets(df, idCol, textCol, n)
       .select(col("id"), explode_outer(col("gs")).as("g"))
-    val benchGrams = benchmark
-      .select(explode(gramSet(col(benchTextCol), n)).as("g"))
+    // explode_OUTER + null filter, not plain explode: the optimizer's
+    // InferFiltersFromGenerate rewrites a non-outer explode into a
+    // size(<array expr>) > 0 filter pushed BELOW the staged
+    // projections — re-inlining the whole gram pipeline (with the
+    // token split re-evaluated per element_at) into a per-row
+    // predicate. That one rule cost 35x on this subtree; outer
+    // generates are exempt, and the g-null filter sits above the
+    // Generate where it is a cheap attribute test.
+    val benchGrams = gramSets(benchmark, benchTextCol, benchTextCol, n)
+      .select(explode_outer(col("gs")).as("g"))
+      .where(col("g").isNotNull)
       .distinct()
       .withColumn("__hit", lit(1))
     docGrams.join(broadcast(benchGrams), Seq("g"), "left")
@@ -248,9 +264,15 @@ object TextAnalysis {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // staged like gramSets (lambda subexpression re-evaluation), but
+    // keeping duplicate grams — repetition is the whole point here.
+    // explode_outer + null filter for the same InferFiltersFromGenerate
+    // reason documented in contaminationStats.
     val grams = df.select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.shingles(
-          graft.functions.TextFunctions.tokens(col(textCol)), n)).as("g"))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode_outer(graft.functions.TextFunctions.shingles(col("__toks"), n)).as("g"))
+      .where(col("g").isNotNull)
       .groupBy(col("id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("id"))

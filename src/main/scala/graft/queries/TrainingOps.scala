@@ -150,10 +150,45 @@ object TrainingOps {
         FROM tt LEFT JOIN agg ON tt.id = agg.id ORDER BY tt.id"""
   }
 
+  /** Quality-threshold corpus pruning: keep documents whose quality
+    * score clears the corpus median — the percentile-cut curation
+    * step. The threshold is a one-row aggregate broadcast into the
+    * filter (a scan + tiny agg + broadcast-filter scan; no corpus
+    * shuffle), the shape that survives any corpus size. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val threshold = scored.agg(
+      expr("percentile(quality, 0.5)").as("p50"))
+    scored.join(broadcast(threshold))
+      .where(col("quality") >= col("p50"))
+      .select(col("doc_id"), col("quality"),
+        roundSafe(col("p50"), 4).as("p50"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57Sql = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // quality = min(n/100, 1) * distinct_ratio — same derivation as the
+    // q22 oracle, rounded identically (the q22 oracle rounds to 4)
+    s"""WITH t AS (SELECT doc_id,
+          len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS n,
+          len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+            x -> len(x) > 0))) AS nd
+          FROM documents),
+        q AS (SELECT doc_id,
+          round((least(n::DOUBLE / 100.0, 1.0) * (nd::DOUBLE / greatest(n, 1))) + 1e-9, 4)
+            AS quality FROM t),
+        thr AS (SELECT quantile_cont(quality, 0.5) AS p50 FROM q)
+        SELECT doc_id, quality, round(p50 + 1e-9, 4) AS p50
+        FROM q, thr WHERE quality >= p50 ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q43_stratified_sample", q43 _, Some(q43Sql)),
     Q("q44_pack_sequences", q44 _, Some(q44Sql)),
     Q("q45_pii_scrub", q45 _, Some(q45Sql)),
     Q("q54_decontamination", q54 _, Some(q54Sql)),
-    Q("q55_repetition_stats", q55 _, Some(q55Sql)))
+    Q("q55_repetition_stats", q55 _, Some(q55Sql)),
+    Q("q57_quality_filter", q57 _, Some(q57Sql)))
 }
