@@ -53,8 +53,28 @@ object ScaleProbe {
       val survivors = graft.operators.Dedup.nearDedup(stored, "doc_id", "text",
         threshold = 0.4).count()
       val t2 = System.nanoTime()
+      // round-3 operators on the same corpus: batch-vs-corpus
+      // incremental pairs (every 7th doc is "new"; 7 stays coprime to the template stride), benchmark
+      // decontamination (every 50th doc is the benchmark), repetition
+      val newDocs = stored.where(col("doc_id") % 7 === 0)
+      val standing = stored.where(col("doc_id") % 7 =!= 0)
+      val incr = graft.operators.Dedup.incrementalLshPairs(
+        newDocs, standing, "doc_id", "text", 16, 4, 0.4).count()
+      val t3 = System.nanoTime()
+      val contaminated = graft.operators.TextAnalysis.contaminationStats(
+          stored, "doc_id", "text",
+          stored.where(col("doc_id") % 50 === 0), "text", 5)
+        .where(col("contaminated") === 1).count()
+      val t4 = System.nanoTime()
+      val repetitive = graft.operators.TextAnalysis.repetitionStats(
+          stored, "doc_id", "text", 3)
+        .where(col("dup_frac") > 0.1).count()
+      val t5 = System.nanoTime()
       println(f"[scale] n=$n%6d pairs=$pairs%9d lsh=${(t1 - t0) / 1e9}%6.2f s " +
-        f"survivors=$survivors%6d dedup=${(t2 - t1) / 1e9}%6.2f s")
+        f"survivors=$survivors%6d dedup=${(t2 - t1) / 1e9}%6.2f s " +
+        f"incr=$incr%8d ${(t3 - t2) / 1e9}%5.2f s " +
+        f"contam=$contaminated%6d ${(t4 - t3) / 1e9}%5.2f s " +
+        f"rep=$repetitive%6d ${(t5 - t4) / 1e9}%5.2f s")
     }
     spark.stop()
   }

@@ -107,6 +107,30 @@ class DedupPathsSpec extends AnyFunSuite {
     assert(pairs(LshEncoding.MergeWalk) == pairs(LshEncoding.Auto))
   }
 
+  test("incrementalLshPairs == whole-corpus LSH restricted to cross pairs") {
+    // split a ladder corpus into batch (every 3rd doc) and corpus; the
+    // incremental operator must produce exactly the cross-set subset of
+    // the self-join operator's pairs, with identical jaccard values
+    val rows = corpus(nTemplates = 6, tokensPer = 20, perTemplate = 4, universeOffset = 500)
+    val all = rows.toDF("doc_id", "text")
+    val batch = all.where($"doc_id" % 3 === 0)
+    val standing = all.where($"doc_id" % 3 =!= 0)
+    val incremental = Dedup.incrementalLshPairs(batch, standing,
+        "doc_id", "text", K, BandRows, Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val whole = Dedup.minhashLshPairs(all, "doc_id", "text", K, BandRows, Threshold)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => (a % 3 == 0) != (b % 3 == 0) }
+      .map { case ((a, b), j) => // orient as (new, corpus)
+        (if (a % 3 == 0) (a, b) else (b, a)) -> j
+      }.toMap
+    assert(incremental.keySet == whole.keySet,
+      s"missing=${whole.keySet -- incremental.keySet} extra=${incremental.keySet -- whole.keySet}")
+    incremental.foreach { case (k, j) => assert(j == whole(k), s"jaccard differs at $k") }
+    assert(incremental.nonEmpty, "fixture must produce cross pairs")
+  }
+
   test("default encoding builds the plan with zero Spark jobs; Auto probes") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3,
