@@ -250,6 +250,47 @@ object TextAnalysis {
         (col("n_contaminated") > 0).cast("long").as("contaminated"))
   }
 
+  /** Domain-mixture weighting: given per-source token inventories, a
+    * target mixture and a token budget, derive each source's sampling
+    * rate (and epoch count when the mixture demands upsampling) — the
+    * table a training run's data loader consumes. One tiny per-source
+    * aggregation; the mixture spec rides along as a literal CASE, so
+    * the whole op is a single shuffle of |sources| rows.
+    *
+    * Sources absent from `targetShares` split the leftover share
+    * evenly. sampling_rate = target_tokens / available (values > 1
+    * mean multi-epoch upsampling; `epochs` = ceil). */
+  def mixtureWeights(df: DataFrame, sourceCol: String, textCol: String,
+      targetShares: Map[String, Double], tokenBudget: Long): DataFrame = {
+    val inv = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(wsTokenCount(col(textCol))).as("avail_tokens"))
+    val named = targetShares.values.sum
+    require(named <= 1.0 + 1e-9, "target shares must sum to <= 1")
+    val nOther = size(collect_set(col("source")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy()))
+    val namedCase = targetShares.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, share)) => when(col("source") === s, share).otherwise(acc)
+    }
+    // leftover share / number of unnamed sources (window over the tiny
+    // per-source aggregate — |sources| rows, not corpus rows)
+    val isNamed = targetShares.keys.foldLeft(lit(false)) {
+      (acc, s) => acc || col("source") === s
+    }
+    val nNamedPresent = sum(when(isNamed, 1).otherwise(0)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    val share = coalesce(namedCase,
+      lit(1.0 - named) / greatest(nOther - nNamedPresent, lit(1)))
+    inv.select(
+      col("source"), col("n_docs"), col("avail_tokens"),
+      graft.queries.roundSafe(share, 6).as("target_share"),
+      graft.queries.roundSafe(
+        share * tokenBudget / greatest(col("avail_tokens").cast("double"), lit(1.0)),
+        6).as("sampling_rate"),
+      ceil(share * tokenBudget / greatest(col("avail_tokens").cast("double"), lit(1.0)))
+        .cast("long").as("epochs"))
+  }
+
   /** Intra-document repetition accounting (the Gopher-style repetition
     * quality signals): per document, total vs distinct n-gram
     * occurrences and the share of the single most-frequent n-gram.

@@ -184,11 +184,45 @@ object TrainingOps {
         FROM q, thr WHERE quality >= p50 ORDER BY doc_id"""
   }
 
+  private val MixShares = Map("src0" -> 0.25, "src1" -> 0.25)
+  private val MixBudget = 1000000L
+
+  /** Domain-mixture weighting: named sources get fixed target shares,
+    * the rest split the leftover; output is the per-source sampling
+    * table a data loader consumes. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureWeights(table(s, dir, "documents"), "source", "text",
+        MixShares, MixBudget)
+      .orderBy(col("source"))
+
+  private val q58Sql =
+    s"""WITH inv AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+            sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+              x -> len(x) > 0)))::BIGINT AS avail_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT count(*) AS nsrc,
+                  sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS nnamed
+                FROM inv),
+        sh AS (SELECT source, n_docs, avail_tokens,
+                 CASE WHEN source = 'src1' THEN 0.25::DOUBLE
+                      WHEN source = 'src0' THEN 0.25::DOUBLE
+                      ELSE (1.0::DOUBLE - 0.5::DOUBLE)
+                           / greatest(nsrc - nnamed, 1) END AS share
+               FROM inv, tot)
+        SELECT source, n_docs, avail_tokens,
+          round(share + 1e-9, 6) AS target_share,
+          round((share * $MixBudget / greatest(avail_tokens::DOUBLE, 1.0)) + 1e-9, 6)
+            AS sampling_rate,
+          ceil(share * $MixBudget / greatest(avail_tokens::DOUBLE, 1.0))::BIGINT AS epochs
+        FROM sh ORDER BY source"""
+
   val all: Seq[Q] = Seq(
     Q("q43_stratified_sample", q43 _, Some(q43Sql)),
     Q("q44_pack_sequences", q44 _, Some(q44Sql)),
     Q("q45_pii_scrub", q45 _, Some(q45Sql)),
     Q("q54_decontamination", q54 _, Some(q54Sql)),
     Q("q55_repetition_stats", q55 _, Some(q55Sql)),
-    Q("q57_quality_filter", q57 _, Some(q57Sql)))
+    Q("q57_quality_filter", q57 _, Some(q57Sql)),
+    Q("q58_mixture_weights", q58 _, Some(q58Sql)))
 }

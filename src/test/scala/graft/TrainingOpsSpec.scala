@@ -71,6 +71,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       (15L, 1L, 1L, 0L), (15L, 1L, 2L, 2L)))
   }
 
+  test("mixtureWeights: named shares fixed, leftover split, upsampling epochs") {
+    // a: named 50% of the 1000-token budget over 100 avail -> rate 5,
+    // 5 epochs (upsample); b/c split the leftover 25% each
+    val docs = Seq(
+      ("a", "one two three four five six seven eight nine ten"), // 10 tokens x 10 docs
+      ("b", "one two three four five six seven eight nine ten"),
+      ("c", "one two"))
+      .flatMap { case (s, t) => (1 to 10).map(_ => (s, t)) }
+      .toDF("source", "text")
+    val out = TextAnalysis.mixtureWeights(docs, "source", "text",
+        Map("a" -> 0.5), 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 100L, 0.5, 5.0, 5L),
+      ("b", 100L, 0.25, 2.5, 3L),
+      ("c", 20L, 0.25, 12.5, 13L)))
+  }
+
   test("contaminationStats flags benchmark-overlapping docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),      // = benchmark doc
