@@ -224,7 +224,113 @@ object KernelOps {
         FROM st${n - 1} ORDER BY doc_id"""
   }
 
+  // ---------------------------------------------------------------- q60
+
+  private val Companies = Seq("Acme SA", "Ivoire Telecom", "Globex Corp", "Initech SARL")
+  private val ContractMarkers = Seq("cdi", "cdd", "stage", "freelance", "alternance", "mission")
+
+  /** HTML-extraction kernels (F1/F2/F5/F6/F7) over synthesized offer
+    * pages: six page shapes (o_orderkey % 6) drive distinct cascade
+    * branches — h1.job-title / plain h1 / .offer-title / &lt;title&gt;
+    * fallback for the title; selector vs chez-pattern vs confidential
+    * default for the company; selector vs city-scan vs country default
+    * for the location; salary element vs free-text regex; contract
+    * keyword table (o_orderkey % 7, incl. the no-marker default). The
+    * oracle re-derives each branch's expected value from the same mods
+    * — it never re-parses the HTML. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.textkit.HtmlExtract
+    val base = table(s, dir, "orders").select(
+      $"o_orderkey".as("id"),
+      $"o_totalprice".cast("long").as("amt"),
+      ($"o_orderkey" % 6).as("b"), ($"o_orderkey" % 7).as("m"),
+      ($"o_orderkey" % 4).as("cmod"), ($"o_orderkey" % 2).as("par"))
+    val title = concat(lit("Offre numero "), $"id".cast("string"))
+    val company = element_at(typedLit(Companies), ($"cmod" + 1).cast("int"))
+    val sal = when($"par" === 0,
+        concat(lit("""<span class="salary">"""), $"amt".cast("string"), lit(" FCFA</span>")))
+      .otherwise(concat(lit(" "), $"amt".cast("string"), lit(" FCFA ")))
+    val contract = when($"m" === 6, lit(""))
+      .otherwise(concat(lit("<p>type: "),
+        element_at(typedLit(ContractMarkers), ($"m" + 1).cast("int")), lit("</p>")))
+    val html = when($"b" === 0, concat(
+        lit("""<div><h1 class="job-title">"""), title, lit("</h1>"),
+        lit("""<div class="company-name">"""), company, lit("</div>"),
+        lit("""<span class="location">Abidjan</span>"""), sal, lit("</div>")))
+      .when($"b" === 1, concat(
+        lit("<h1>"), title, lit("</h1> chez "), company, lit(","),
+        lit("""<span class="location">Bouaké</span>"""), sal))
+      .when($"b" === 2, concat(
+        lit("""<div class="offer-title">"""), title, lit("</div>"),
+        lit("<p>poste à Bouaké</p>"), sal))
+      .when($"b" === 3, concat(
+        lit("<h1>x</h1><title>"), title, lit("</title> chez "), company, lit(","),
+        sal, lit("""<span class="location">Daloa</span>""")))
+      .when($"b" === 4, concat(
+        lit("""<h1 class="job-title">"""), title, lit("</h1>"),
+        lit("""<div class="company-name">"""), company, lit("</div>"),
+        sal, lit("<p>poste generique</p>")))
+      .otherwise(concat(
+        lit("""<h1 class="job-title">"""), title, lit("</h1>"),
+        lit("""<div class="employer">"""), company, lit("</div>"),
+        lit("""<span class="location">Korhogo</span>"""), sal))
+    // description (every row: F3 selector path) and requirements
+    // (b0/b5: F4; the reference appends every selector hit, so the
+    // element lands twice — once via 'requirements', once via the
+    // substring-matching 'requirement'). Wording is chosen to dodge
+    // the whole-page substring scans: no contract markers, no city
+    // names ('man'!), no chez/pour+[A-Z], no digits.
+    val desc = lit("""<div class="description">""" + DescText + "</div>")
+    val reqs = when($"b" === 0 || $"b" === 5,
+      lit("""<ul class="requirements">""" + ReqText + "</ul>")).otherwise(lit(""))
+    base.withColumn("html", concat(html, desc, reqs, contract))
+      .select($"id",
+        HtmlExtract.titleUdf($"html").as("title"),
+        HtmlExtract.companyUdf($"html").as("company"),
+        HtmlExtract.descriptionUdf($"html").as("description"),
+        HtmlExtract.requirementsUdf($"html").as("requirements"),
+        HtmlExtract.locationUdf($"html").as("location"),
+        HtmlExtract.salaryTextUdf($"html").as("salary_text"),
+        HtmlExtract.contractTypeUdf($"html").as("contract_type"))
+      .orderBy($"id")
+  }
+
+  private val DescText =
+    "description du poste avec beaucoup de details sur les taches quotidiennes et le profil attendu"
+  private val ReqText =
+    "exigences techniques et qualites personnelles du candidat"
+
+  private val q60Sql = {
+    val companies = Companies.map(c => s"'$c'").mkString(", ")
+    val contracts = Seq("CDI", "CDD", "Stage", "Freelance", "Alternance", "Mission")
+      .map(c => s"'$c'").mkString(", ")
+    s"""WITH base AS (
+          SELECT o_orderkey AS id, trunc(o_totalprice)::BIGINT AS amt,
+                 o_orderkey % 6 AS b, o_orderkey % 7 AS m,
+                 o_orderkey % 4 AS cmod, o_orderkey % 2 AS par
+          FROM orders)
+        SELECT id,
+          'Offre numero ' || id AS title,
+          CASE WHEN b = 2 THEN 'Entreprise confidentielle'
+               ELSE ([$companies])[cmod + 1] END AS company,
+          '$DescText' AS description,
+          CASE WHEN b = 0 OR b = 5 THEN '$ReqText' || ' ' || '$ReqText'
+               ELSE NULL END AS requirements,
+          CASE WHEN b = 0 THEN 'Abidjan'
+               WHEN b = 1 THEN 'Bouaké'
+               WHEN b = 2 THEN 'Bouaké'
+               WHEN b = 3 THEN 'Daloa'
+               WHEN b = 4 THEN 'Côte d''Ivoire'
+               ELSE 'Korhogo' END AS location,
+          CASE WHEN par = 0 THEN amt || ' FCFA' ELSE amt::VARCHAR END AS salary_text,
+          CASE WHEN m = 6 THEN 'Non spécifié' ELSE ([$contracts])[m + 1] END
+            AS contract_type
+        FROM base ORDER BY id"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q51_salary_kernel", q51 _, Some(q51Sql)),
-    Q("q52_sector_kernel", q52 _, Some(q52Sql)))
+    Q("q52_sector_kernel", q52 _, Some(q52Sql)),
+    Q("q60_html_extract", q60 _, Some(q60Sql)))
 }
