@@ -329,8 +329,94 @@ object KernelOps {
         FROM base ORDER BY id"""
   }
 
+  // ---------------------------------------------------------------- q61
+
+  /** NLP skill-extraction kernels (F15 deterministic subset / F16
+    * category / F17 confidence) over the documents corpus: extract ->
+    * explode -> classify + score per detected skill. explode_outer +
+    * null filter (the InferFiltersFromGenerate guard — see SCALE.md). */
+  /** Deterministic skill-rich suffixes so several catalog categories
+    * genuinely fire (the synthetic corpus vocabulary alone only
+    * reaches two). Shared between the Spark side and the oracle. */
+  private val SkillSuffixes = Seq(
+    " stack python docker kubernetes",
+    " stack react html css webpack",
+    " stack tensorflow machine learning",
+    " stack postgresql mongodb jenkins",
+    "")
+
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.textkit.Skills
+    val enriched = concat($"text",
+      element_at(typedLit(SkillSuffixes), ($"doc_id" % 5 + 1).cast("int")))
+    table(s, dir, "documents")
+      .select($"doc_id", enriched.as("t2"))
+      .select($"doc_id", $"t2", Skills.extractSkillsNlp($"t2").as("skills"))
+      .select($"doc_id", $"t2", explode_outer($"skills").as("skill"))
+      .where($"skill".isNotNull)
+      .select($"doc_id", $"skill",
+        Skills.classifySkillCategory($"skill").as("category"),
+        roundSafe(Skills.skillConfidence($"skill", $"t2"), 4).as("confidence"))
+      .orderBy($"doc_id", $"skill")
+  }
+
+  /** Oracle generated from the SAME catalogs ([[Skills.nlpCatalog]],
+    * [[Skills.nlpPatterns]], [[Skills.categoryCatalog]]) so the two
+    * sides cannot drift. Pattern captures are single lowercase tokens
+    * post-cleaning, so Title-casing replays as upper-first-char; the
+    * test text is ASCII so RE2's \\w matches Java's (?U)\\w. */
+  private val q61Sql = {
+    import graft.textkit.Skills
+    val catalogHits = Skills.nlpCatalog.map { case (cat, variants) =>
+      val name = sqlLit(Skills.pythonTitle(cat.replace('_', ' ')))
+      val cond = variants.map(v => s"contains(clean, ${sqlLit(v)})").mkString(" OR ")
+      s"CASE WHEN $cond THEN $name END"
+    }
+    val patternHits = Skills.nlpPatterns.map { p =>
+      val ext = s"nullif(regexp_extract(clean, ${sqlLit(p)}, 1), '')"
+      s"""CASE WHEN $ext IS NOT NULL
+            THEN upper(substring(replace($ext, '.', ''), 1, 1))
+                 || substring(replace($ext, '.', ''), 2) END"""
+    }
+    val hits = (catalogHits ++ patternHits).mkString(",\n            ")
+    val catCase = "CASE " + Skills.categoryCatalog.map { case (cat, keys) =>
+      val cond = keys.map(k => s"contains(lower(skill), ${sqlLit(k)})").mkString(" OR ")
+      s"WHEN $cond THEN ${sqlLit(cat)}"
+    }.mkString(" ") + " ELSE 'Technique' END"
+    val markers = Seq("compétences", "skills", "technologies", "outils")
+      .map(w => s"contains(lower(text), ${sqlLit(w)})").mkString(" OR ")
+    val suffixes = SkillSuffixes.map(sqlLit).mkString("[", ", ", "]")
+    s"""WITH e AS (
+          SELECT doc_id,
+            text || ($suffixes)[(doc_id % 5) + 1] AS text
+          FROM documents),
+        c AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g') AS clean
+          FROM e),
+        s AS (
+          SELECT doc_id, text, unnest(
+            CASE WHEN text IS NULL OR length(trim(text)) < 10 THEN []
+                 ELSE list_distinct(list_filter([
+            $hits], x -> x IS NOT NULL)) END) AS skill
+          FROM c),
+        f AS (
+          SELECT doc_id, skill, text,
+            (length(lower(text)) - length(replace(lower(text), lower(skill), '')))
+              // length(lower(skill)) AS freq
+          FROM s)
+        SELECT doc_id, skill, $catCase AS category,
+          round((least(0.9::DOUBLE, 0.6::DOUBLE + freq * 0.1::DOUBLE)
+                 + CASE WHEN $markers THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END) + 1e-9, 4)
+            AS confidence
+        FROM f ORDER BY doc_id, skill"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q51_salary_kernel", q51 _, Some(q51Sql)),
     Q("q52_sector_kernel", q52 _, Some(q52Sql)),
-    Q("q60_html_extract", q60 _, Some(q60Sql)))
+    Q("q60_html_extract", q60 _, Some(q60Sql)),
+    Q("q61_nlp_skills", q61 _, Some(q61Sql)))
 }
