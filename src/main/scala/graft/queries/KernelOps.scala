@@ -241,7 +241,9 @@ object KernelOps {
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.textkit.HtmlExtract
-    val base = table(s, dir, "orders").select(
+    // Engine.spread: seven regex-cascade UDFs per row on a single-split
+    // scan would run one-core (the q51 lesson)
+    val base = graft.Engine.spread(table(s, dir, "orders")).select(
       $"o_orderkey".as("id"),
       $"o_totalprice".cast("long").as("amt"),
       ($"o_orderkey" % 6).as("b"), ($"o_orderkey" % 7).as("m"),
@@ -350,7 +352,7 @@ object KernelOps {
     import graft.textkit.Skills
     val enriched = concat($"text",
       element_at(typedLit(SkillSuffixes), ($"doc_id" % 5 + 1).cast("int")))
-    table(s, dir, "documents")
+    graft.Engine.spread(table(s, dir, "documents"))
       .select($"doc_id", enriched.as("t2"))
       .select($"doc_id", $"t2", Skills.extractSkillsNlp($"t2").as("skills"))
       .select($"doc_id", $"t2", explode_outer($"skills").as("skill"))
