@@ -472,6 +472,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Fold a new batch's near-dup pairs into an EXISTING cluster
+    * assignment without re-clustering the corpus — the companion to
+    * [[incrementalLshPairs]] for daily ingest against standing dedup
+    * state.
+    *
+    * Only clusters actually touched by new pairs do any graph work:
+    * each new edge is first contracted onto the prior cluster ROOTS
+    * (two hash joins against the prior mapping), then
+    * [[connectedComponents]] runs on that root graph — whose size is
+    * driven by the BATCH, not the corpus. The resulting root relabel
+    * map broadcasts back over the prior mapping (min-id labels are
+    * preserved: a prior root is its component's min, so the merged
+    * component's min is the min over root-graph nodes, which is what
+    * CC computes).
+    *
+    * @param prior    existing assignment (id, cluster_id), long ids
+    * @param newPairs new edges (id_a, id_b) — cross batch-corpus and
+    *                 batch-internal pairs
+    * @return updated (id, cluster_id) covering prior ids plus every id
+    *         appearing in newPairs
+    */
+  def mergeClusters(prior: DataFrame, newPairs: DataFrame): DataFrame = {
+    val pr = prior.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    def rooted(side: String): Column = coalesce(col(s"r_$side"), col(s"id_$side"))
+    val rootPairs = newPairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .join(pr.select(col("id").as("id_a"), col("cluster_id").as("r_a")), Seq("id_a"), "left")
+      .join(pr.select(col("id").as("id_b"), col("cluster_id").as("r_b")), Seq("id_b"), "left")
+      .select(rooted("a").as("id_a"), rooted("b").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    // CC over the batch-sized root graph; relabel = (old root/new id ->
+    // merged min). Untouched clusters never appear and keep their label.
+    val relabel = connectedComponents(rootPairs)
+      .select(col("id").as("old_label"), col("cluster_id").as("new_label"))
+    val updatedPrior = pr
+      .join(broadcast(relabel), pr("cluster_id") === col("old_label"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    // ids seen only in the new pairs (not yet in the prior mapping)
+    val newIds = newPairs.select(col("id_a").cast("long").as("id"))
+      .unionByName(newPairs.select(col("id_b").cast("long").as("id")))
+      .distinct()
+      .join(pr.select(col("id")), Seq("id"), "left_anti")
+    val newAssigned = newIds
+      .join(broadcast(relabel), newIds("id") === col("old_label"), "left")
+      .select(col("id"), coalesce(col("new_label"), col("id")).as("cluster_id"))
+    updatedPrior.unionByName(newAssigned)
+  }
+
   /** SimHash signature (`bits`-bit, bit j from the j-th bit of the
     * portable 60-bit token hash; bit set iff more tokens vote 1 than 0,
     * i.e. 2*ones > n). Entirely per-row — token hashes are bound once

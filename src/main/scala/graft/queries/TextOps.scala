@@ -79,8 +79,9 @@ object TextOps {
         MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto)
 
   /** Un-ordered LSH pair SQL shared by q18 (which appends its ORDER
-    * BY) and q49 (which embeds it as a recursive-CTE input). */
-  private val q18PairsSql = {
+    * BY), q49/q53 (recursive-CTE input) and q62 (restricted universe
+    * via `where`). */
+  private def q18PairsSqlFor(where: String): String = {
     val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
     val nBands = MinhashK / BandRows
     val bandSelects = (0 until nBands).map { b =>
@@ -89,7 +90,7 @@ object TextOps {
     }.mkString("\n  UNION ALL ")
     s"""WITH t AS (SELECT doc_id AS id,
           list_distinct(list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")})) AS toks
-          FROM documents),
+          FROM documents $where),
         sig AS (SELECT id, [$ms] AS sig FROM t),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -103,6 +104,8 @@ object TextOps {
           FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
         WHERE jaccard >= 0.4"""
   }
+
+  private val q18PairsSql = q18PairsSqlFor("")
 
   private val q18Sql = s"$q18PairsSql ORDER BY id_a, id_b"
 
@@ -228,8 +231,9 @@ object TextOps {
         MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto))
       .orderBy(col("id"))
 
-  private val q49Sql = {
-    s"""WITH RECURSIVE pairs AS ($q18PairsSql),
+  /** The q49 cluster CTE over a restricted (or full) pair universe. */
+  private def clustersSqlFor(where: String): String =
+    s"""WITH RECURSIVE pairs AS (${q18PairsSqlFor(where)}),
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         reach(id, lbl) AS (
@@ -238,7 +242,10 @@ object TextOps {
           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
           WHERE r.lbl < e.dst)
         SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id"""
-  }
+
+  private val q49Sql = clustersSqlFor("")
+
+  private val q62Sql = clustersSqlFor("WHERE doc_id % 2 = 0")
 
   /** End-to-end near-dedup survivors: the one-call compose (LSH pairs
     * -> connected components -> left_anti losers) — what a training-
@@ -301,6 +308,31 @@ object TextOps {
         WHERE jaccard >= 0.4 ORDER BY new_id, corpus_id"""
   }
 
+  /** Incremental clustering end-to-end: cluster the standing corpus,
+    * then fold in a new batch via cross-set pairs + batch-internal
+    * pairs and [[Dedup.mergeClusters]] — WITHOUT re-clustering the
+    * corpus. The oracle is the q49 cluster CTE over the same universe:
+    * the incremental path must reproduce exactly what batch
+    * re-clustering over all pairs produces. (Universe = every other
+    * doc — the query deliberately recomputes the standing state to be
+    * self-contained, so it runs ~3 LSH passes + 2 CC rounds; halving
+    * the corpus keeps that honest but bounded.) */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 10 === 6)
+    val corpus = docs.where(col("doc_id") % 10 =!= 6)
+    val prior = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", MinhashK, BandRows, 0.4,
+        graft.operators.LshEncoding.Auto))
+    val newPairs = Dedup.incrementalLshPairs(batch, corpus, "doc_id", "text",
+        MinhashK, BandRows, 0.4)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+      .unionByName(Dedup.minhashLshPairs(batch, "doc_id", "text",
+        MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto)
+        .select("id_a", "id_b"))
+    Dedup.mergeClusters(prior, newPairs).orderBy(col("id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q15_explode_topk", q15 _, Some(q15Sql)),
     Q("q16_exact_dedup", q16 _, Some(q16Sql)),
@@ -314,5 +346,6 @@ object TextOps {
     Q("q24_fingerprint", q24 _, Some(q24Sql)),
     Q("q49_dedup_clusters", q49 _, Some(q49Sql)),
     Q("q53_neardedup_survivors", q53 _, Some(q53Sql)),
-    Q("q56_incremental_dedup", q56 _, Some(q56Sql)))
+    Q("q56_incremental_dedup", q56 _, Some(q56Sql)),
+    Q("q62_incremental_clusters", q62 _, Some(q62Sql)))
 }

@@ -77,6 +77,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       s"cluster {1,2,3} must keep only min id 1; got ${kept.mkString(",")}")
   }
 
+  test("mergeClusters folds new pairs into standing assignments batch-sized") {
+    // prior state: {1,2,3}->1, {10,11}->10, {20}->20
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("id", "cluster_id")
+    // new batch: 30 joins cluster 1 (via 3); 11-20 merges two prior
+    // clusters; 40-41 is a brand-new cluster
+    val pairs = Seq((3L, 30L), (11L, 20L), (40L, 41L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(prior, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 30L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 10L,
+      40L -> 40L, 41L -> 40L))
+    // equivalence: identical to re-clustering from scratch over the
+    // prior assignment re-expressed as edges plus the new pairs
+    val allEdges = prior.where($"id" =!= $"cluster_id")
+      .select($"id".as("id_a"), $"cluster_id".as("id_b"))
+      .unionByName(pairs)
+      .unionByName(Seq((20L, 20L)).toDF("id_a", "id_b")) // singleton must still appear
+    val full = Dedup.connectedComponents(allEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full)
+  }
+
   test("string ids fail fast with a clear message, not mid-job") {
     val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
