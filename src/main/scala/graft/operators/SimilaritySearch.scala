@@ -122,6 +122,71 @@ object SimilaritySearch {
       .where(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------
+  // Vector compression: per-vector symmetric int8 scalar quantization.
+  // 4x storage cut (float32 -> byte-range codes) with NO dequantization
+  // needed at search time: cosine over codes cancels the scales, so the
+  // scan is an integer dot product + two square roots. This is the
+  // deterministic compression leg next to the (KMeans-trained, hence
+  // non-replayable) IVF index above.
+  // ---------------------------------------------------------------
+
+  /** Exact integer dot product as a long fold — identical left-to-right
+    * order to the SQL oracle's list_reduce, and exact (integer adds are
+    * associative anyway, unlike the double fold in [[dot]]). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Quantize `vecCol` to per-vector symmetric int8: scale = max|v|/127,
+    * code_i = floor(v_i/scale + 0.5) which lands in [-127, 127] by
+    * construction (|v_i| <= 127*scale). Zero vectors quantize to all-zero
+    * codes with scale 0. Codes are byte-range; they are carried as INT so
+    * the oracle replays the arithmetic without width-promotion
+    * differences — a production sink would store them as bytes.
+    *
+    * Map-stage only. The staged selects are deliberate: higher-order
+    * lambdas do not share subexpressions, so an inlined `scale` would
+    * recompute max|v| once per element. */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col("id"), col("__v"),
+        (array_max(transform(col("__v"), x => abs(x))) / 127.0).as("scale"))
+      .select(col("id"), col("scale"),
+        when(col("scale") === 0.0, transform(col("__v"), _ => lit(0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("scale") + 0.5).cast("int"))).as("codes"))
+
+  /** Top-k cosine search over int8-quantized vectors (query ids drawn
+    * from the quantized corpus): integer dot over codes, scales cancel.
+    * Same broadcast-the-queries / never-shuffle-the-corpus shape as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(quantized: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val withNorm = quantized.select(col("id"), col("codes"),
+      sqrt(intDot(col("codes"), col("codes")).cast("double")).as("__nrm"))
+    val q = withNorm
+      .where(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("codes").as("q_codes"),
+        col("__nrm").as("q_norm"))
+    // Engine.spread: the probe side must not inherit a single-split
+    // scan's parallelism (per-candidate work is |queries| integer dots)
+    val scored = graft.Engine.spread(withNorm
+      .select(col("id").as("cand_id"), col("codes").as("c_codes"),
+        col("__nrm").as("c_norm")))
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(when(col("q_norm") * col("c_norm") === 0.0, 0.0)
+          .otherwise(intDot(col("q_codes"), col("c_codes")).cast("double") /
+            (col("q_norm") * col("c_norm"))), 6).as("qcos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos_sim").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style bucketed ANN: candidates restricted to the query's own
     * coarse bucket (`bucketCol`, e.g. a cluster/centroid id). */
   def bucketedTopK(corpus: DataFrame, idCol: String, vecCol: String,

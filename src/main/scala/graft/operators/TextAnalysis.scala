@@ -170,6 +170,144 @@ object TextAnalysis {
           .otherwise(col("last_chunk") - col("first_chunk") + 1))
   }
 
+  /** Split documents into overlapping fixed-size token windows — the
+    * chunking step before embedding / retrieval-context construction.
+    * Chunks start at multiples of stride = chunkTokens - overlap; the
+    * final chunk may be shorter but every token is covered (the last
+    * start is < n); documents with zero tokens yield no chunks.
+    *
+    * Scale shape: one map stage (tokenize, count) + one generate per
+    * chunk row — no shuffle at all; chunk count is ~n/stride so output
+    * scales linearly with corpus tokens. Tokens are staged into a real
+    * column before the per-chunk slice (lambda subexpression rule), and
+    * the generate explodes only the cheap index sequence, so
+    * InferFiltersFromGenerate cannot re-inline the tokenizer. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens); got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("id"),
+        filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0).as("__toks"))
+      .select(col("id"), col("__toks"), size(col("__toks")).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .select(col("id"), col("__toks"),
+        (when(col("__n") > chunkTokens,
+          floor((col("__n") - chunkTokens + (stride - 1)) / lit(stride)))
+          .otherwise(lit(0L)) + 1L).as("__nc"))
+      .select(col("id"), col("__toks"),
+        explode_outer(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .where(col("chunk_idx").isNotNull)
+      .select(col("id"), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("__chunk"))
+      .select(col("id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_token"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** C4-style segment-level exact dedup across the corpus: cut each
+    * document into fixed `segTokens`-token segments (via
+    * [[chunkDocuments]] with zero overlap), keep only the FIRST
+    * occurrence of each distinct segment corpus-wide (ordered by
+    * (id, seg_idx) — deterministic), and reassemble each document from
+    * its surviving segments. This is the line/paragraph-level
+    * boilerplate removal step of web-corpus curation, expressed over
+    * token windows because the synthetic corpus has no line structure.
+    *
+    * Scale shape: one generate (segments), one shuffle on the segment
+    * MD5 (compact key; the window that picks winners), one per-doc
+    * aggregation. No self-join, no collect — the same plan C4's
+    * three-sentence dedup runs at web scale.
+    *
+    * @return (id, n_segs, n_dropped, clean_text) for every input row —
+    *         docs with no tokens report 0 segments and empty text
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = chunkDocuments(df, idCol, textCol, segTokens, 0)
+      .select(col("id"), col("chunk_idx").as("seg_idx"),
+        col("chunk_text").as("seg_text"))
+    // winner = first (id, seg_idx) per distinct segment; the window
+    // shuffles on the 128-bit digest, not the segment text itself
+    val w = Window.partitionBy(md5(col("seg_text")))
+      .orderBy(col("id"), col("seg_idx"))
+    val agg = segs.withColumn("__rn", row_number().over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the nulls the `when` leaves for losers;
+        // array_sort on (seg_idx, seg_text) structs restores doc order
+        array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("seg_idx"), col("seg_text"))))),
+          s => s.getField("seg_text")), " ").as("clean_text"))
+    df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Corpus vocabulary + per-document OOV coverage: build the top-V
+    * token vocabulary (count desc, token asc — deterministic) and score
+    * every document's out-of-vocabulary fraction against it. The
+    * tokenizer-coverage check run before committing to a vocab/BPE size.
+    *
+    * Scale shape: token counts are one map-side-combined shuffle; the
+    * top-V cut is TakeOrderedAndProject (never a global sort); the tiny
+    * vocab broadcasts back over the token stream. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topV: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode_outer(tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(topV)
+      .select(col("tok"), lit(1).as("__inv"))
+    val per = toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        graft.queries.roundSafe(
+          when(coalesce(col("n_tokens"), lit(0L)) === 0, 0.0)
+            .otherwise(col("n_oov").cast("double") / col("n_tokens").cast("double")),
+          6).as("oov_frac"))
+  }
+
+  /** Unigram-LM surprisal per document — the deterministic stand-in for
+    * perplexity-based quality filtering: p(token) from corpus counts,
+    * avg_bits = mean of -log2 p over the document's token occurrences
+    * (low = repetitive/common text, high = rare-token soup; filters cut
+    * both tails).
+    *
+    * Scale shape: one token-count shuffle, one join of the token stream
+    * against the counts (unhinted — AQE broadcasts it while the vocab
+    * is small, shuffle-joins when it is not), one per-doc agg. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode_outer(tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__total"))
+    val per = toks.join(counts, Seq("tok"))
+      .join(broadcast(total))
+      .select(col("id"), (-log2(col("__c").cast("double") / col("__total"))).as("__bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__bits")) / count(lit(1))).as("__avg"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        graft.queries.roundSafe(coalesce(col("__avg"), lit(0.0)), 4).as("avg_bits"))
+  }
+
   /** PII patterns shared by the scrubber and its SQL oracle — kept to
     * syntax with identical semantics in Java regex and RE2. */
   val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -321,14 +321,16 @@ object TextOps {
     val docs = table(s, dir, "documents").where(col("doc_id") % 2 === 0)
     val batch = docs.where(col("doc_id") % 10 === 6)
     val corpus = docs.where(col("doc_id") % 10 =!= 6)
+    // MergeWalk (the default), not Auto: Auto's eager stats probe
+    // re-tokenizes the input per minhashLshPairs CALL, and this query
+    // makes three LSH passes — q18/q49 already exercise the Auto path.
     val prior = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(corpus, "doc_id", "text", MinhashK, BandRows, 0.4,
-        graft.operators.LshEncoding.Auto))
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", MinhashK, BandRows, 0.4))
     val newPairs = Dedup.incrementalLshPairs(batch, corpus, "doc_id", "text",
         MinhashK, BandRows, 0.4)
       .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
       .unionByName(Dedup.minhashLshPairs(batch, "doc_id", "text",
-        MinhashK, BandRows, 0.4, graft.operators.LshEncoding.Auto)
+        MinhashK, BandRows, 0.4)
         .select("id_a", "id_b"))
     Dedup.mergeClusters(prior, newPairs).orderBy(col("id"))
   }

@@ -217,6 +217,112 @@ object TrainingOps {
           ceil(share * $MixBudget / greatest(avail_tokens::DOUBLE, 1.0))::BIGINT AS epochs
         FROM sh ORDER BY source"""
 
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+
+  /** Overlapping token-window chunking (64-token windows, 16 overlap)
+    * — the retrieval/embedding prep step. Shuffle-free generate. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(table(s, dir, "documents"), "doc_id", "text",
+        ChunkTokens, ChunkOverlap)
+      .orderBy(col("id"), col("chunk_idx"))
+
+  private val q64Sql = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH t AS (SELECT doc_id AS id,
+          list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        n AS (SELECT id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+        x AS (SELECT id, toks,
+                (CASE WHEN n > $ChunkTokens
+                      THEN (n - $ChunkTokens + ${stride - 1}) // $stride
+                      ELSE 0 END + 1) AS nc FROM n),
+        c AS (SELECT id, i AS chunk_idx,
+                list_slice(toks, (i * $stride + 1)::INT, (i * $stride + $ChunkTokens)::INT) AS ctoks
+              FROM x, unnest(range(0, nc)) AS u(i))
+        SELECT id, chunk_idx::BIGINT AS chunk_idx,
+          (chunk_idx * $stride)::BIGINT AS start_token,
+          len(ctoks)::BIGINT AS n_tokens,
+          array_to_string(ctoks, ' ') AS chunk_text
+        FROM c ORDER BY id, chunk_idx"""
+  }
+
+  private val SegTokens = 6
+
+  /** C4-style segment-level exact dedup: first occurrence corpus-wide
+    * wins, documents reassembled from surviving segments. */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupSegments(table(s, dir, "documents"), "doc_id", "text",
+        SegTokens)
+      .orderBy(col("id"))
+
+  private val q65Sql = {
+    val S = SegTokens
+    s"""WITH t AS (SELECT doc_id AS id,
+          list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        n AS (SELECT id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+        x AS (SELECT id, toks,
+                (CASE WHEN n > $S THEN (n - $S + ${S - 1}) // $S ELSE 0 END + 1) AS nc
+              FROM n),
+        c AS (SELECT id, i AS seg_idx,
+                array_to_string(list_slice(toks, (i * $S + 1)::INT, (i * $S + $S)::INT), ' ')
+                  AS seg_text
+              FROM x, unnest(range(0, nc)) AS u(i)),
+        m AS (SELECT id, seg_idx, seg_text,
+                row_number() OVER (PARTITION BY seg_text ORDER BY id, seg_idx) AS rn
+              FROM c),
+        agg AS (SELECT id, count(*)::BIGINT AS n_segs,
+                  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                  string_agg(CASE WHEN rn = 1 THEN seg_text END, ' ' ORDER BY seg_idx)
+                    AS clean_text
+                FROM m GROUP BY id)
+        SELECT d.doc_id AS id, coalesce(n_segs, 0)::BIGINT AS n_segs,
+          coalesce(n_dropped, 0)::BIGINT AS n_dropped,
+          coalesce(clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.id ORDER BY id"""
+  }
+
+  private val VocabV = 20
+
+  /** Top-V vocabulary + per-doc OOV coverage. */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(table(s, dir, "documents"), "doc_id", "text",
+        VocabV)
+      .orderBy(col("id"))
+
+  private val q66Sql =
+    s"""WITH tk AS (SELECT doc_id AS id,
+          unnest(${TextFunctions.sqlTokensAll("text")}) AS tok FROM documents),
+        vocab AS (SELECT tok AS vtok FROM (
+          SELECT tok, count(*) AS c FROM tk GROUP BY tok
+          ORDER BY c DESC, tok LIMIT $VocabV)),
+        per AS (SELECT id, count(*)::BIGINT AS n_tokens,
+                  sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                FROM tk LEFT JOIN vocab ON tok = vtok GROUP BY id)
+        SELECT d.doc_id AS id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+          coalesce(n_oov, 0)::BIGINT AS n_oov,
+          round((CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                 ELSE n_oov::DOUBLE / n_tokens::DOUBLE END) + 1e-9, 6) AS oov_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY id"""
+
+  /** Unigram-LM surprisal (perplexity-filter stand-in). */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id"))
+
+  private val q67Sql =
+    s"""WITH tk AS (SELECT doc_id AS id,
+          unnest(${TextFunctions.sqlTokensAll("text")}) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM tk GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM cnt),
+        per AS (SELECT id, count(*)::BIGINT AS n_tokens,
+                  sum(-log2(c / total)) / count(*) AS avgb
+                FROM tk JOIN cnt USING (tok), tot GROUP BY id)
+        SELECT d.doc_id AS id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+          round(coalesce(avgb, 0.0) + 1e-9, 4) AS avg_bits
+        FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY id"""
+
   val all: Seq[Q] = Seq(
     Q("q43_stratified_sample", q43 _, Some(q43Sql)),
     Q("q44_pack_sequences", q44 _, Some(q44Sql)),
@@ -224,5 +330,9 @@ object TrainingOps {
     Q("q54_decontamination", q54 _, Some(q54Sql)),
     Q("q55_repetition_stats", q55 _, Some(q55Sql)),
     Q("q57_quality_filter", q57 _, Some(q57Sql)),
-    Q("q58_mixture_weights", q58 _, Some(q58Sql)))
+    Q("q58_mixture_weights", q58 _, Some(q58Sql)),
+    Q("q64_chunk_documents", q64 _, Some(q64Sql)),
+    Q("q65_segment_dedup", q65 _, Some(q65Sql)),
+    Q("q66_vocab_coverage", q66 _, Some(q66Sql)),
+    Q("q67_unigram_surprisal", q67 _, Some(q67Sql)))
 }

@@ -106,8 +106,50 @@ object VectorOps {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
         WHERE cos_sim >= 0.95 ORDER BY id_a, id_b"""
 
+  /** SQL fragment: exact integer-fold dot product of BIGINT[] codes. */
+  private def sqlIntDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Int8-quantized cosine top-5: per-vector symmetric scalar
+    * quantization (scale = max|v|/127, code = floor(v/scale + 0.5)),
+    * then top-k over the INTEGER dot — the scales cancel in cosine, so
+    * search never dequantizes. The oracle replays the quantization
+    * arithmetic itself, so the driver verifies the codec, not just the
+    * ranking. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.quantizedTopK(
+      SimilaritySearch.quantizeInt8(table(s, dir, "embeddings"), "vec_id", "embedding"),
+      QueryIds, 5)
+      .select("query_id", "cand_id", "qcos_sim", "rank")
+      .orderBy("query_id", "rank")
+
+  private val q63Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        c AS (SELECT vec_id,
+                CASE WHEN scale = 0
+                     THEN list_transform(v, x -> 0::BIGINT)
+                     ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                END AS codes FROM s),
+        n AS (SELECT vec_id, codes,
+                sqrt((${sqlIntDot("codes", "codes")})::DOUBLE) AS nrm FROM c),
+        q AS (SELECT vec_id AS query_id, codes AS qc, nrm AS qn FROM n
+              WHERE vec_id IN $queryIdList),
+        sc AS (SELECT query_id, c2.vec_id AS cand_id,
+                 round(CASE WHEN qn * c2.nrm = 0 THEN 0.0
+                            ELSE (${sqlIntDot("qc", "c2.codes")})::DOUBLE
+                                 / (qn * c2.nrm) END, 6) AS qcos_sim
+               FROM q CROSS JOIN n c2 WHERE c2.vec_id <> query_id)
+        SELECT query_id, cand_id, qcos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY qcos_sim DESC, cand_id) AS rank
+          FROM sc) x
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val all: Seq[Q] = Seq(
     Q("q25_cosine_topk", q25 _, Some(q25Sql)),
     Q("q26_cosine_bucketed", q26 _, Some(q26Sql)),
-    Q("q35_embedding_neardup", q35 _, Some(q35Sql)))
+    Q("q35_embedding_neardup", q35 _, Some(q35Sql)),
+    Q("q63_quantized_topk", q63 _, Some(q63Sql)))
 }

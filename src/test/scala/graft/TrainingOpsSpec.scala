@@ -14,6 +14,63 @@ import graft.operators.TextAnalysis
 class TrainingOpsSpec extends AnyFunSuite {
   import spark.implicits._
 
+  test("dedupSegments keeps first occurrence corpus-wide and reassembles") {
+    // doc 1 and doc 2 share their first 3-token segment; doc 2's copy
+    // loses. doc 3 duplicates a segment WITHIN itself; second copy loses.
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "m n o m n o"),
+      (4L, "")) // no tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegments(df, "doc_id", "text", 3)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("clean_text") == "a b c x y z")
+    assert(out(0).getAs[Long]("n_dropped") == 0L)
+    assert(out(1).getAs[String]("clean_text") == "q r s") // lost "a b c"
+    assert(out(1).getAs[Long]("n_dropped") == 1L)
+    assert(out(2).getAs[String]("clean_text") == "m n o")
+    assert(out(2).getAs[Long]("n_segs") == 2L &&
+      out(2).getAs[Long]("n_dropped") == 1L)
+    assert(out(3).getAs[Long]("n_segs") == 0L &&
+      out(3).getAs[String]("clean_text") == "")
+  }
+
+  test("vocabCoverage scores OOV against the top-V vocabulary") {
+    // counts: common x4 > mid x3 > rare x2 > once x1; V=2 -> {common, mid}
+    val df = Seq(
+      (1L, "common common mid rare"),
+      (2L, "common mid mid rare once"),
+      (3L, "common"),
+      (4L, "")) // no tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", 2)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_oov") == 1L) // rare
+    assert(out(0).getAs[Double]("oov_frac") == 0.25)
+    assert(out(1).getAs[Long]("n_oov") == 2L) // rare, once
+    assert(out(2).getAs[Long]("n_oov") == 0L)
+    assert(out(3).getAs[Long]("n_tokens") == 0L &&
+      out(3).getAs[Double]("oov_frac") == 0.0)
+  }
+
+  test("unigramSurprisal: rare-token docs score more bits than common-token docs") {
+    val df = Seq(
+      (1L, "common common common common common common"),
+      (2L, "zeta eta theta"), // three distinct singleton tokens
+      (3L, "")) // no tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .orderBy("id").collect()
+    val common = out(0).getAs[Double]("avg_bits")
+    val rare = out(1).getAs[Double]("avg_bits")
+    // 9 tokens total: common p=6/9 -> log2(1.5)=0.585; rares p=1/9 -> 3.17
+    assert(common < 1.0 && rare > 3.0 && rare < 3.2,
+      s"avg_bits common=$common rare=$rare")
+    assert(out(2).getAs[Long]("n_tokens") == 0L &&
+      out(2).getAs[Double]("avg_bits") == 0.0)
+  }
+
   test("piiScrub counts and redacts emails, urls and phones") {
     val df = Seq(
       (1L, "contact john.doe+x@ex-ample.org or jane@b.co today"),

@@ -102,6 +102,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(1L, 2L))
   }
 
+  test("int8 quantization bounds codes, cancels scales, survives zero vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-2.5f, 1.25f, 0.625f)),
+      (4L, Array(0.0f, 0.0f, 0.0f))) // zero vector
+      .toDF("vec_id", "embedding")
+    val q = SimilaritySearch.quantizeInt8(vecs, "vec_id", "embedding")
+    val rows = q.orderBy("id").collect()
+    // codes stay in int8 range; max-|v| dimension quantizes to ±127
+    rows.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range: $codes")
+    }
+    assert(rows(3).getAs[scala.collection.Seq[Int]]("codes").toSeq == Seq(-127, 64, 32)) // exact halves round up
+    assert(rows(4).getAs[scala.collection.Seq[Int]]("codes").toSeq == Seq(0, 0, 0))
+    assert(rows(4).getAs[Double]("scale") == 0.0)
+    // quantized ranking matches exact ranking on well-separated vectors
+    val top = SimilaritySearch.quantizedTopK(q, Seq(0L), 2)
+      .orderBy("rank").select("cand_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("chunkDocuments covers every token with the declared overlap") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, ""), // no tokens -> no chunks
+      (4L, (1 to 9).map(i => s"u$i").mkString(" "))) // exactly 3 strides
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 4, 1)
+      .orderBy("id", "chunk_idx").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L)
+    // stride 3: starts 0,3,6 — the start-6 chunk reaches token 10
+    assert(doc1.map(_.getAs[Long]("start_token")).toSeq == Seq(0L, 3L, 6L))
+    assert(doc1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L))
+    assert(doc1.head.getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(doc1(1).getAs[String]("chunk_text") == "t4 t5 t6 t7") // 1-token overlap
+    // every token appears; consecutive chunks share exactly `overlap` tokens
+    val covered = doc1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    assert(chunks.count(_.getLong(0) == 2L) == 1) // short doc -> one chunk
+    assert(!chunks.exists(_.getLong(0) == 3L)) // empty doc -> none
+    assert(chunks.filter(_.getLong(0) == 4L).map(_.getAs[Long]("n_tokens")).toSeq
+      == Seq(4L, 4L, 3L)) // n=9: starts 0,3,6; no empty trailing chunk
+  }
+
   test("language id picks the marker-dominant language") {
     val df = Seq(
       "the cat and the dog is in the house of the king",
