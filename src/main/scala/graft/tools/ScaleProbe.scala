@@ -70,11 +70,45 @@ object ScaleProbe {
           stored, "doc_id", "text", 3)
         .where(col("dup_frac") > 0.1).count()
       val t5 = System.nanoTime()
+      // round-3 batch 2. count() would prune the expensive computed
+      // columns (the bench lesson), so each probe aggregates over them.
+      val segDropped = graft.operators.TextAnalysis.dedupSegments(
+          stored, "doc_id", "text", 6)
+        .agg(sum(col("n_dropped")), sum(length(col("clean_text"))))
+        .collect()(0).getLong(0)
+      val t6 = System.nanoTime()
+      val oov = graft.operators.TextAnalysis.vocabCoverage(
+          stored, "doc_id", "text", 1000)
+        .agg(sum(col("n_oov"))).collect()(0).getLong(0)
+      val t7 = System.nanoTime()
+      val bits = graft.operators.TextAnalysis.unigramSurprisal(
+          stored, "doc_id", "text")
+        .agg(sum(col("avg_bits"))).collect()(0).getDouble(0)
+      val t8 = System.nanoTime()
+      // incremental clustering: standing corpus clustered once, then the
+      // 1/7 batch folded in — probe measures the FOLD, not the prior CC
+      val priorCc = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.minhashLshPairs(standing, "doc_id", "text", 16, 4, 0.4))
+        .persist()
+      priorCc.count()
+      val t9 = System.nanoTime()
+      val foldPairs = graft.operators.Dedup.incrementalLshPairs(
+          newDocs, standing, "doc_id", "text", 16, 4, 0.4)
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+        .unionByName(graft.operators.Dedup.minhashLshPairs(
+          newDocs, "doc_id", "text", 16, 4, 0.4).select("id_a", "id_b"))
+      val merged = graft.operators.Dedup.mergeClusters(priorCc, foldPairs).count()
+      val t10 = System.nanoTime()
+      priorCc.unpersist()
       println(f"[scale] n=$n%6d pairs=$pairs%9d lsh=${(t1 - t0) / 1e9}%6.2f s " +
         f"survivors=$survivors%6d dedup=${(t2 - t1) / 1e9}%6.2f s " +
         f"incr=$incr%8d ${(t3 - t2) / 1e9}%5.2f s " +
         f"contam=$contaminated%6d ${(t4 - t3) / 1e9}%5.2f s " +
         f"rep=$repetitive%6d ${(t5 - t4) / 1e9}%5.2f s")
+      println(f"[scale2] n=$n%6d segdrop=$segDropped%8d ${(t6 - t5) / 1e9}%5.2f s " +
+        f"oov=$oov%9d ${(t7 - t6) / 1e9}%5.2f s " +
+        f"bits=$bits%12.1f ${(t8 - t7) / 1e9}%5.2f s " +
+        f"mergedRows=$merged%7d fold=${(t10 - t9) / 1e9}%5.2f s")
     }
     spark.stop()
   }

@@ -94,6 +94,39 @@ class PlanContractSpec extends AnyFunSuite {
       "pair dedup must shuffle bare ids, not attribute rows")
   }
 
+  test("q63 broadcasts quantized queries and group-limits the top-k window") {
+    val p = plan("q63_quantized_topk")
+    // query side broadcast against an un-shuffled corpus scan; the
+    // rank<=k filter must run as a WindowGroupLimit (partial top-k
+    // before the window sort), not a full window + filter
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "top-k must push a group limit below the rank window")
+  }
+
+  test("q64 chunking runs without any hash shuffle") {
+    val p = plan("q64_chunk_documents")
+    assert(!p.contains("hashpartitioning"),
+      "chunk generation must stay map-side (sort for output order only)")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q65 segment dedup shuffles the digest, not the segment text") {
+    val p = plan("q65_segment_dedup")
+    assert(p.contains("md5"), "winner window must key on the md5 digest")
+    assert(!p.contains("hashpartitioning(seg_text"),
+      "the window exchange must not carry raw segment text as its key")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q66 vocab cut is TakeOrdered and the probe is a broadcast join") {
+    val p = plan("q66_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V must never be a global sort")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q56 incremental band join is an equi-join and builds with zero jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     // pre-load the table so parquet schema inference (one setup job,
