@@ -123,6 +123,110 @@ object SimilaritySearch {
   }
 
   // ---------------------------------------------------------------
+  // Product quantization (PQ): split each vector into m subvectors and
+  // train a k-centroid codebook per subspace; a vector stores only its
+  // m nearest-centroid codes (m*log2(k) bits — 32x compression at
+  // m=8,k=16 over 64-dim float32). Search is ADC: one [m][k] lookup
+  // table of squared subdistances per query (built driver-side from
+  // the tiny query set), then every candidate costs m table lookups
+  // instead of a dim-length fold. Codebooks are KMeans-trained, so
+  // like the IVF index this is spec-gated (not DuckDB-replayable).
+  // ---------------------------------------------------------------
+
+  /** @param codes     (id, codes: array<int> of length m)
+    * @param codebooks  [subspace][centroid][dsub] */
+  case class PqIndex(codes: DataFrame, codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks and encode the corpus. Index build is
+    * m KMeans fits + one encode pass (train on a sample at real scale);
+    * the encoded corpus is persisted — it IS the index, 32x smaller
+    * than the float vectors. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, seed: Long = 42L): PqIndex = {
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")).persist()
+    val dim = base.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val subVec = udf((v: Seq[Double], s: Int) =>
+      org.apache.spark.ml.linalg.Vectors.dense(
+        v.slice(s * dsub, (s + 1) * dsub).toArray))
+    val codebooks = (0 until m).map { s =>
+      val feats = base.select(subVec(col("v"), lit(s)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + s).setMaxIter(20).fit(feats)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val cb = codebooks // ships in the encode closure
+    val encode = udf((v: Seq[Double]) =>
+      (0 until m).map { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = v(s * dsub + i) - cb(s)(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict < : lowest id wins ties
+          c += 1
+        }
+        best
+      })
+    val codes = base.select(col("id"), encode(col("v")).as("codes")).persist()
+    codes.count()
+    base.unpersist()
+    PqIndex(codes, codebooks)
+  }
+
+  /** ADC top-k: approximate squared-L2 neighbors for query ids drawn
+    * from the corpus. The [m][k] distance tables for the (small) query
+    * set are computed driver-side and ship in the scorer's closure; the
+    * corpus is scanned once, never shuffled, each candidate scored by m
+    * array lookups. Ties rank by candidate id for determinism. */
+  def pqSearch(index: PqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, queryIds: Seq[Long], topK: Int): DataFrame = {
+    val cb = index.codebooks
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val qVecs = corpus.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // per query: table(s*k + c) = ||q_sub(s) - centroid(s)(c)||^2
+    val tables: Array[(Long, Array[Double])] = qVecs.map { case (qid, qv) =>
+      val t = new Array[Double](m * cb(0).length)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < cb(s).length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) { val x = qv(s * dsub + i) - cb(s)(c)(i); d += x * x; i += 1 }
+          t(s * cb(s).length + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      qid -> t
+    }
+    val kk = cb(0).length
+    val scoreAll = udf((codes: Seq[Int]) =>
+      tables.map { case (qid, t) =>
+        var d = 0.0; var s = 0
+        while (s < m) { d += t(s * kk + codes(s)); s += 1 }
+        (qid, d)
+      }.toSeq)
+    val scored = graft.Engine.spread(index.codes)
+      .select(col("id").as("cand_id"), explode(scoreAll(col("codes"))).as("qd"))
+      .select(col("cand_id"), col("qd._1").as("query_id"), col("qd._2").as("approx_d2"))
+      .where(col("query_id") =!= col("cand_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("cand_id"), col("approx_d2"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------
   // Vector compression: per-vector symmetric int8 scalar quantization.
   // 4x storage cut (float32 -> byte-range codes) with NO dequantization
   // needed at search time: cosine over codes cancels the scales, so the
