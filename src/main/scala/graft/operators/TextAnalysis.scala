@@ -308,6 +308,22 @@ object TextAnalysis {
         graft.queries.roundSafe(coalesce(col("__avg"), lit(0.0)), 4).as("avg_bits"))
   }
 
+  /** Deterministic global shuffle + sharding for training-data export:
+    * shard by id-hash, order within each shard by the md5 of the id.
+    * Rand()-free, so the exact same corpus ordering re-materializes on
+    * any rerun, engine, partitioning or cluster size — which is what
+    * makes a training run reproducible. One shuffle on the shard key;
+    * the within-shard sort is per-partition. */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col("id"))
+    df.select(col(idCol).as("id"),
+        md5(col(idCol).cast("string")).as("__k"),
+        pmod(tokenHash(col(idCol).cast("string")), lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
   /** PII patterns shared by the scrubber and its SQL oracle — kept to
     * syntax with identical semantics in Java regex and RE2. */
   val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

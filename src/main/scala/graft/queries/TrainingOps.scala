@@ -323,6 +323,23 @@ object TrainingOps {
           round(coalesce(avgb, 0.0) + 1e-9, 4) AS avg_bits
         FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY id"""
 
+  private val ShuffleShards = 4
+
+  /** Deterministic shuffle + shard/position assignment for export. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.deterministicShuffle(table(s, dir, "documents"), "doc_id",
+        ShuffleShards)
+      .orderBy(col("id"))
+
+  private val q68Sql =
+    s"""SELECT id, shard,
+          (row_number() OVER (PARTITION BY shard ORDER BY md5(id::VARCHAR), id) - 1)::BIGINT
+            AS pos
+        FROM (SELECT doc_id AS id,
+                (${TextFunctions.sqlTokenHash("doc_id::VARCHAR")} % $ShuffleShards) AS shard
+              FROM documents)
+        ORDER BY id"""
+
   val all: Seq[Q] = Seq(
     Q("q43_stratified_sample", q43 _, Some(q43Sql)),
     Q("q44_pack_sequences", q44 _, Some(q44Sql)),
@@ -334,5 +351,6 @@ object TrainingOps {
     Q("q64_chunk_documents", q64 _, Some(q64Sql)),
     Q("q65_segment_dedup", q65 _, Some(q65Sql)),
     Q("q66_vocab_coverage", q66 _, Some(q66Sql)),
-    Q("q67_unigram_surprisal", q67 _, Some(q67Sql)))
+    Q("q67_unigram_surprisal", q67 _, Some(q67Sql)),
+    Q("q68_deterministic_shuffle", q68 _, Some(q68Sql)))
 }

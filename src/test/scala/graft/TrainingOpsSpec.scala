@@ -71,6 +71,22 @@ class TrainingOpsSpec extends AnyFunSuite {
       out(2).getAs[Double]("avg_bits") == 0.0)
   }
 
+  test("deterministicShuffle: stable across reruns, contiguous positions per shard") {
+    val df = (0L until 200L).toDF("doc_id")
+    def run() = TextAnalysis.deterministicShuffle(df, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "ordering must be identical across reruns")
+    // positions within each shard are 0..n-1 with no gaps
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // the hash ordering is not the id ordering (it actually shuffles)
+    val shard0 = a.filter(_._2 == a(0)._2).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq, "hash order must differ from id order")
+  }
+
   test("piiScrub counts and redacts emails, urls and phones") {
     val df = Seq(
       (1L, "contact john.doe+x@ex-ample.org or jane@b.co today"),

@@ -150,6 +150,33 @@ class OperatorsSpec extends AnyFunSuite {
       == Seq(4L, 4L, 3L)) // n=9: starts 0,3,6; no empty trailing chunk
   }
 
+  test("pageRank: hand-computed hub ranks, mass conserved, lazy build") {
+    // a<->b, a<->c: after one iteration r(a) = 0.05 + 0.85*(1/3 + 1/3),
+    // r(b) = r(c) = 0.05 + 0.85*(1/3)/2
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val one = Graph.pageRank(edges, 1, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(one("a") - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12)
+    assert(math.abs(one("b") - (0.05 + 0.85 / 6.0)) < 1e-12)
+    assert(one("b") == one("c"))
+    // symmetric graph, no dangling nodes: total mass stays 1 at any depth
+    val three = Graph.pageRank(edges, 3, 0.85).collect().map(_.getDouble(1))
+    assert(math.abs(three.sum - 1.0) < 1e-9, s"mass ${three.sum}")
+    // plan construction must run zero jobs (the node count is lazy)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Graph.pageRank(edges, 3, 0.85).queryExecution.executedPlan
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(n.get() == 0, s"plan-only pageRank ran ${n.get()} jobs")
+  }
+
   test("language id picks the marker-dominant language") {
     val df = Seq(
       "the cat and the dog is in the house of the king",
