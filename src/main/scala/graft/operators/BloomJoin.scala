@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit Bloom-filter semi-join reduction: build a compact bitset
+  * over the (already filtered, small) build side's join keys, then
+  * prune the probe side with a pure-Column membership test BEFORE its
+  * shuffle. The exact join that follows removes the false positives,
+  * so the final answer is identical to the unpruned join — the filter
+  * only cuts the rows that travel.
+  *
+  * Why explicit when AQE has runtime filters: a materialized bitset
+  * can be REUSED across many probe queries against the same build set
+  * (the "dimension of the day" shape), and its size/#hashes are under
+  * caller control. At 100 TB the win is shuffle bytes: probe rows that
+  * cannot match never leave the scan stage.
+  *
+  * Plan shape: the membership test is k `xxhash64` + shift/AND ops on
+  * a literal long array — whole-stage-codegen friendly, no UDF, no
+  * driver broadcast variable (the bits ride in the plan as a literal).
+  * Building the bitset runs one job over the build side (explode k
+  * positions → OR-combine per 64-bit word → collect ≤ numBits/64
+  * longs); callers invoke it at execution time, like any action.
+  */
+object BloomJoin {
+
+  /** Build the bitset: one aggregation job over the build-side keys.
+    * Driver state is numBits/64 longs (bounded by construction). */
+  def buildBits(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+    require(numBits > 0 && (numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+    require(numHashes >= 1 && numHashes <= 16)
+    val words = numBits / 64
+    val pos = positions(col(keyCol), numBits, numHashes)
+    val rows = keys
+      .select(explode(array(pos: _*)).as("pos"))
+      .select(floor(col("pos") / 64).cast("int").as("word"),
+        bitShift(pmod(col("pos"), lit(64L))).as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("mask"))
+      .collect()
+    val bits = new Array[Long](words)
+    rows.foreach(r => bits(r.getAs[Int]("word")) = r.getAs[Long]("mask"))
+    bits
+  }
+
+  /** Membership test Column: true if `key` MIGHT be in the build set
+    * (no false negatives; false-positive rate set by numBits/numHashes). */
+  def mightContain(key: Column, bits: Array[Long], numHashes: Int): Column = {
+    val numBits = bits.length * 64
+    val arr = typedlit(bits.toSeq)
+    positions(key, numBits, numHashes)
+      .map { p =>
+        element_at(arr, floor(p / 64).cast("int") + 1)
+          .bitwiseAND(bitShift(pmod(p, lit(64L)))) =!= lit(0L)
+      }
+      .reduce(_ && _)
+  }
+
+  /** Prune `probe` to rows whose key might be in the build set. */
+  def pruned(probe: DataFrame, keyCol: String, bits: Array[Long], numHashes: Int): DataFrame =
+    probe.where(mightContain(col(keyCol), bits, numHashes))
+
+  /** k bit positions per key: xxhash64 seeded by the hash index. */
+  private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
+
+  /** 1L << shift for a COLUMN shift amount (the `functions.shiftleft`
+    * overload only takes a literal Int shift). */
+  private def bitShift(shift: Column): Column =
+    call_function("shiftleft", lit(1L), shift.cast("int"))
+}

@@ -53,4 +53,53 @@ object Graph {
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("pr"))
     }
   }
+
+  /** Per-node triangle counts over an undirected graph, by degree
+    * orientation — the standard scalable shape (e.g. Suri & Vassilvitskii
+    * "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    * orient every edge from the (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges at each source, and close them against
+    * the oriented edge list. Each triangle is produced EXACTLY once (at
+    * its unique orientation-minimal vertex), and wedge fan-out at a hub
+    * is bounded by its ORIENTED out-degree ≤ O(√|E|), which is what
+    * kills the quadratic hub blowup a naive neighbor self-join has.
+    *
+    * Shuffles: degree agg, two orientation joins, the wedge self-join
+    * (keyed on source), and the closing hash join on the canonical
+    * (min,max) pair — all equi-joins, no OR conditions, no cartesian.
+    *
+    * @param edges (a, b) node-id pairs; symmetric/duplicate/self edges
+    *              tolerated (canonicalized + deduped internally)
+    * @return (node, triangles) for every node in ≥ 1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // wedges at each source, as canonical unordered (x < y) pairs
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .where(col("x") < col("y"))
+    // each canonical edge appears in `oriented` in exactly one direction,
+    // so the closing set re-canonicalized is dedup-free
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
+    val triangles = wedges.join(closing, Seq("x", "y"))
+    triangles
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -54,6 +54,37 @@ object GraphOps {
         SELECT node, round(pr + 1e-9, 7) AS pr FROM r3 ORDER BY node"""
   }
 
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * sharing an order). Edge generation is bounded per order (quadratic
+    * only in order size); the count itself is degree-oriented — see
+    * [[Graph.triangleCounts]]. The oracle replays the naive a<b<c
+    * three-edge join, which is fine at oracle scale; the Spark side
+    * runs the orientation shape that survives hub skew. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val l = table(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val r = l.select(col("ok"), col("pk").as("pk2"))
+    val edges = l.join(r, Seq("ok")).where(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+    Graph.triangleCounts(edges)
+      .select(col("node").cast("long").as("node"), col("triangles"))
+      .orderBy(col("node"))
+  }
+
+  private val q72Sql =
+    """WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1
+          JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        n AS (SELECT x AS node FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t)
+        SELECT node::BIGINT AS node, count(*)::BIGINT AS triangles
+        FROM n GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
-    Q("q69_pagerank", q69 _, Some(q69Sql)))
+    Q("q69_pagerank", q69 _, Some(q69Sql)),
+    Q("q72_triangle_count", q72 _, Some(q72Sql)))
 }
