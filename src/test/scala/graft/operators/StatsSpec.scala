@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark.spark
+
+class StatsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // ---- SCD2 -------------------------------------------------------------
+
+  test("scd2 collapses runs into intervals with open current version") {
+    val ev = Seq(
+      (1L, 10L, 101L, "A"), (1L, 20L, 102L, "A"), (1L, 30L, 103L, "B"),
+      (1L, 40L, 104L, "A"),
+      (2L, 15L, 201L, "X"))
+      .toDF("ent", "ts", "k", "attr")
+    val out = Scd2.history(ev, "ent", "ts", "k", "attr")
+      .orderBy("ent", "valid_from").collect()
+    // entity 1: A[10,30) B[30,40) A[40,null); entity 2: X[15,null)
+    assert(out.length == 4)
+    val e1 = out.filter(_.getAs[Long]("ent") == 1L)
+    assert(e1.map(_.getAs[String]("attr")).toSeq == Seq("A", "B", "A"))
+    assert(e1.map(_.getAs[Long]("valid_from")).toSeq == Seq(10L, 30L, 40L))
+    assert(e1(0).getAs[Long]("valid_to") == 30L && e1(1).getAs[Long]("valid_to") == 40L)
+    assert(e1(2).isNullAt(e1(2).fieldIndex("valid_to")) && e1(2).getAs[Long]("is_current") == 1L)
+    val e2 = out.filter(_.getAs[Long]("ent") == 2L).head
+    assert(e2.getAs[String]("attr") == "X" && e2.getAs[Long]("is_current") == 1L)
+  }
+
+  test("scd2 same-timestamp changes are ordered by the tiebreak column") {
+    val ev = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 10L, 3L, "B"))
+      .toDF("ent", "ts", "k", "attr")
+    val out = Scd2.history(ev, "ent", "ts", "k", "attr")
+      .orderBy("valid_from", "attr").collect()
+    assert(out.map(_.getAs[String]("attr")).toSeq == Seq("A", "B"))
+    assert(out(1).getAs[Long]("is_current") == 1L)
+  }
+
+  // ---- grouped regression ----------------------------------------------
+
+  test("grouped regression recovers an exact linear relationship") {
+    // y = 3x + 7 exactly → slope 3, intercept 7, r2 1
+    val df = (1 to 50).map(i => ("g", i.toDouble, 3.0 * i + 7.0)).toDF("g", "x", "y")
+    val r = Stats.groupedRegression(df, "g", "x", "y").head()
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 7.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(r.getAs[Long]("n") == 50L)
+  }
+
+  test("grouped regression matches the closed form on noisy data per group") {
+    val data = Seq(("a", 1.0, 2.0), ("a", 2.0, 2.5), ("a", 3.0, 4.5), ("a", 4.0, 4.0),
+      ("b", 1.0, 10.0), ("b", 2.0, 8.0), ("b", 3.0, 7.0))
+    val byG = data.groupBy(_._1)
+    val r = Stats.groupedRegression(data.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(row => row.getAs[String]("g") -> row).toMap
+    for ((g, rows) <- byG) {
+      val xs = rows.map(_._2); val ys = rows.map(_._3); val n = xs.size
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / n
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum / n
+      assert(math.abs(r(g).getAs[Double]("slope") - cov / vx) < 1e-9, s"slope $g")
+      assert(math.abs(r(g).getAs[Double]("intercept") - (my - cov / vx * mx)) < 1e-9)
+    }
+  }
+
+  // ---- robust outliers --------------------------------------------------
+
+  test("robust outliers: median/MAD ignore the outlier, then flag it") {
+    // 9 values near 10 plus one wild point; mean-based z would be dragged,
+    // median/MAD is not
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 9.5, 1000.0)
+    val df = vals.map(("t", _)).toDF("g", "v")
+    val r = Stats.robustOutliers(df, "g", "v", 3.0).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(math.abs(r.getAs[Double]("med") - 10.0) < 1e-12)
+  }
+
+  test("robust outliers: clean uniform group has none") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.robustOutliers(df, "g", "v", 3.0).head()
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
+
+  // ---- histogram ---------------------------------------------------------
+
+  test("intHistogram: bins cover the domain, counts sum to n, max in last bin") {
+    val df = (0L to 99L).toDF("v")
+    val rows = Stats.intHistogram(df, "v", 10).orderBy("bin").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 100L)
+    assert(rows.head.getAs[Long]("lo") == 0L)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    // width = floor(99/10)+1 = 10 → each bin exactly 10
+    assert(rows.forall(_.getAs[Long]("cnt") == 10L))
+  }
+
+  test("intHistogram handles skewed data without empty-domain bins leaking") {
+    val df = (Seq.fill(95)(5L) ++ Seq(100L, 101L, 102L, 103L, 200L)).toDF("v")
+    val rows = Stats.intHistogram(df, "v", 4).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 100L)
+    // every value within its bin bounds
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+    }
+  }
+}
