@@ -147,9 +147,49 @@ object VectorOps {
           FROM sc) x
         WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private val SemTau = 0.3
+
+  /** SemDeDup summary: greedy cosine dedup within coarse clusters +
+    * survivors' mean centroid similarity. The label column stands in
+    * for the IVF coarse assignment so the oracle replays the whole
+    * pipeline (drop set, centroids, scoring) deterministically. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.summary(
+        table(s, dir, "embeddings"), "vec_id", "label", "embedding", SemTau)
+      .select(col("cl").cast("long").as("cl"), col("n"), col("n_dropped"),
+        col("n_kept"), roundSafe(col("mean_cent_cos"), 6).as("mean_cent_cos"))
+      .orderBy(col("cl"))
+
+  private val q77Sql =
+    s"""WITH e AS (SELECT vec_id, label::BIGINT AS cl, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, cl, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
+        p AS (SELECT b.vec_id AS drop_id
+              FROM n a JOIN n b ON a.cl = b.cl AND a.vec_id < b.vec_id
+              WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                               ELSE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) END, 6)
+                    >= $SemTau),
+        k AS (SELECT n.* FROM n WHERE vec_id NOT IN (SELECT DISTINCT drop_id FROM p)),
+        cd AS (SELECT cl, i, avg(x) AS m FROM (
+                 SELECT cl, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)
+               GROUP BY 1, 2),
+        c2 AS (SELECT cl, list(m ORDER BY i) AS c FROM cd GROUP BY 1),
+        cn AS (SELECT cl, c, sqrt(${sqlDot("c", "c")}) AS cnrm FROM c2),
+        kc AS (SELECT k.cl, CASE WHEN k.nrm * cn.cnrm = 0 THEN 0.0
+                                 ELSE ${sqlDot("k.v", "cn.c")} / (k.nrm * cn.cnrm)
+                            END AS ccos
+               FROM k JOIN cn ON k.cl = cn.cl),
+        t AS (SELECT cl, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        ka AS (SELECT cl, count(*)::BIGINT AS n_kept, avg(ccos) AS mc FROM kc GROUP BY 1)
+        SELECT t.cl, t.n, (t.n - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped,
+          coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+          round(ka.mc + 1e-9, 6) AS mean_cent_cos
+        FROM t LEFT JOIN ka ON t.cl = ka.cl ORDER BY t.cl"""
+
   val all: Seq[Q] = Seq(
     Q("q25_cosine_topk", q25 _, Some(q25Sql)),
     Q("q26_cosine_bucketed", q26 _, Some(q26Sql)),
     Q("q35_embedding_neardup", q35 _, Some(q35Sql)),
-    Q("q63_quantized_topk", q63 _, Some(q63Sql)))
+    Q("q63_quantized_topk", q63 _, Some(q63Sql)),
+    Q("q77_semantic_dedup", q77 _, Some(q77Sql)))
 }
