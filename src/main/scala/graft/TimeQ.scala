@@ -1,13 +1,19 @@
 package graft
+/** Warm per-query timings through the SAME noop sink Bench uses (a
+  * count() over a projection-only plan prunes every expression and
+  * under-measures kernels — the round-2 lesson). Honors
+  * SPARK_GRAFT_CPUS and SPARK_GRAFT_ITERS like Bench. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session("timeq", "16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
+    val spark = Engine.session("timeq", cpus)
     val (dir, queries) =
       if (args.nonEmpty && args.last.contains("/")) (args.last, args.dropRight(1))
       else ("/root/testdata/sf0.1", args)
-    for (q <- queries; i <- 1 to 2) {
+    for (q <- queries; i <- 1 to iters) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      Bench.exec(SparkEntry.queries(q)(spark, dir))
       println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()

@@ -293,18 +293,20 @@ object Dedup {
       df.write.mode("overwrite").parquet(s"$ckDir/$name")
       spark.read.parquet(s"$ckDir/$name")
     }
-    // persisted up front: the symmetrized edge list is consumed by
-    // BOTH round-0 hook and round-0 contract, and is itself a 2-way
-    // union over `pairs` — leaving it lazy re-executes the upstream
-    // pair-generation join (LSH) once per consumer. MEMORY_AND_DISK
-    // (spills, never recomputes) beats a parquet round-trip here:
-    // round 0 is the only consumer, so the cache is dropped right
-    // after the round-0 action.
-    val edges0 = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The upstream pair generation (LSH) must run exactly ONCE: the
+    // symmetrized edge list is a 2-way union over `pairs` consumed by
+    // both round-0 hook and round-0 contract, so leaving `pairs` lazy
+    // executes the pair join once per union branch per consumer (4x),
+    // and persisting the UNION still computes the pair join once per
+    // branch (2x) just to fill the cache. Materializing the directed
+    // pairs to scratch parquet runs the join once; the union then
+    // reads the (tiny, stats-bearing) parquet twice — no cache to
+    // size, spill, or remember to release.
+    val pairs0 = materialize(
+      pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+      "pairs0")
+    val edges0 = pairs0.unionByName(
+      pairs0.select(col("dst").as("src"), col("src").as("dst")))
 
     def hook(e: DataFrame): DataFrame = e
       .groupBy(col("src").as("id"))
@@ -332,9 +334,6 @@ object Dedup {
     var mapping = map0
     var rep = rep0
     var repSize = rep.count()
-    // round 0 (the only edges0 consumer) has run — drop the edge cache
-    // before the loop so iteration memory is all rep/mapping
-    edges0.unpersist()
     var iter = 0
     while (repSize > driverFinishMaxEdges && iter < maxIter) {
       val b = materialize(jump(hook(rep)), s"b$iter")
