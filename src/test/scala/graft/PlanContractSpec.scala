@@ -151,4 +151,48 @@ class PlanContractSpec extends AnyFunSuite {
     assert(n.get() == 0, s"plan-only construction ran ${n.get()} jobs")
     assert(!p.contains("CartesianProduct"), "band join must stay equi")
   }
+
+  test("q70 BM25 broadcasts corpus stats and term df; top-k is TakeOrdered") {
+    val p = plan("q70_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "df/stats joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q71 bloom probe is a codegen'd scan filter, no UDF, no extra shuffle") {
+    val p = plan("q71_bloom_join")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppendedUDF"),
+      "membership test must be pure Column ops")
+    // the pruned lineitem side must still push its IsNotNull to parquet
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q72 triangle counting is all equi-joins (no OR-condition nested loop)") {
+    val p = plan("q72_triangle_count")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "wedge closing must canonicalize to an equi-join")
+  }
+
+  test("q73 SCD2 shuffles once on the entity key, no global sort before windows") {
+    val p = plan("q73_scd2_history")
+    // both lag and lead windows partition by o_custkey → one exchange
+    // (reused), plus the final presentation sort
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q76 histogram bounds come from a broadcast one-row agg") {
+    val p = plan("q76_histogram")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "one-row bounds may broadcast-nested-loop but never plain cartesian")
+  }
+
+  test("q77 SemDeDup pair scan joins on the cluster key, centroids broadcast back") {
+    val p = plan("q77_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "centroid join-back must broadcast")
+  }
 }
