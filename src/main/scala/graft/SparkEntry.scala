@@ -16,7 +16,8 @@ object SparkEntry {
   private def families: Seq[Q] =
     Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++
       DomainOps.all ++ TrainingOps.all ++ MatchOps.all ++ KernelOps.all ++
-      MediaOps.all ++ GraphOps.all ++ SearchOps.all ++ StatsOps.all
+      MediaOps.all ++ GraphOps.all ++ SearchOps.all ++ StatsOps.all ++
+      IndexOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A composite over the documents corpus: quality-score the
