@@ -31,10 +31,20 @@ object Graph {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
+    // The degree-annotated edge list and the node set are consumed by
+    // EVERY iteration, and each sits on top of the caller's (possibly
+    // expensive) edge-construction lineage. persist() is lazy — the
+    // build still runs zero jobs — and turns k-iteration plans from k
+    // re-executions of the edge build into one fill + k cache scans.
+    // The caches are part of the returned plan's working set (every
+    // action re-reads them), not a leak; callers doing one-shot runs
+    // can clearCache() after their action.
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCount = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val r0 = nodes.join(broadcast(nCount))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))
