@@ -495,9 +495,17 @@ object Dedup {
   def mergeClusters(prior: DataFrame, newPairs: DataFrame): DataFrame = {
     val pr = prior.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"))
-    def rooted(side: String): Column = coalesce(col(s"r_$side"), col(s"id_$side"))
-    val rootPairs = newPairs
+    // newPairs is typically an LSH pair-generation plan, and it feeds
+    // BOTH the root-graph contraction and the new-id discovery union —
+    // three lineage evaluations without a cache. persist() is lazy (no
+    // job here); the fill happens inside connectedComponents' eager
+    // pairs materialization below, and the cache stays part of the
+    // returned plan's working set (newIds reads it on every action).
+    val np = newPairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rooted(side: String): Column = coalesce(col(s"r_$side"), col(s"id_$side"))
+    val rootPairs = np
       .join(pr.select(col("id").as("id_a"), col("cluster_id").as("r_a")), Seq("id_a"), "left")
       .join(pr.select(col("id").as("id_b"), col("cluster_id").as("r_b")), Seq("id_b"), "left")
       .select(rooted("a").as("id_a"), rooted("b").as("id_b"))
@@ -510,8 +518,8 @@ object Dedup {
       .join(broadcast(relabel), pr("cluster_id") === col("old_label"), "left")
       .select(col("id"), coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
     // ids seen only in the new pairs (not yet in the prior mapping)
-    val newIds = newPairs.select(col("id_a").cast("long").as("id"))
-      .unionByName(newPairs.select(col("id_b").cast("long").as("id")))
+    val newIds = np.select(col("id_a").as("id"))
+      .unionByName(np.select(col("id_b").as("id")))
       .distinct()
       .join(pr.select(col("id")), Seq("id"), "left_anti")
     val newAssigned = newIds
