@@ -157,10 +157,48 @@ object EventOps {
        FROM e JOIN f ON e.user_id = f.user_id AND e.sec BETWEEN f.lo AND f.hi
        GROUP BY e.user_id ORDER BY e.user_id"""
 
+  /** Ordered funnel: users reaching view → first click AT/AFTER their
+    * first view → first purchase at/after that click. Each stage is one
+    * grouped min over the (already user-keyed) previous stage — three
+    * shuffles on user_id, stage populations only ever shrink, so the
+    * join inputs narrow as the funnel deepens. Timestamps never leave
+    * the plan (ns-long in Spark, native timestamp in DuckDB — same
+    * ordering, so the stage sets agree). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), col("users"))
+      .unionByName(c.agg(count(lit(1)).as("users"))
+        .select(lit("2_click").as("stage"), col("users")))
+      .unionByName(p.agg(count(lit(1)).as("users"))
+        .select(lit("3_purchase").as("stage"), col("users")))
+      .orderBy(col("stage"))
+  }
+
+  private val q82Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+       SELECT '1_view' AS stage, count(*)::BIGINT AS users FROM v
+       UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+       UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+       ORDER BY stage"""
+
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
     Q("q28_sessionize", q28 _, Some(q28Sql)),
     Q("q29_asof_join", q29 _, Some(q29Sql)),
     Q("q30_stream_window_agg", q30 _, Some(q30Sql)),
-    Q("q41_range_join", q41 _, Some(q41Sql)))
+    Q("q41_range_join", q41 _, Some(q41Sql)),
+    Q("q82_funnel", q82 _, Some(q82Sql)))
 }

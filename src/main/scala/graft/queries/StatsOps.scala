@@ -100,9 +100,82 @@ object StatsOps {
           (mn + (bin + 1) * width - 1)::BIGINT AS hi, count(*)::BIGINT AS cnt
         FROM h GROUP BY bin, mn, width ORDER BY bin"""
 
+  private val SampleK = 20
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * priority sampling), derandomized: u comes from the portable md5
+    * hash of the doc id, key = u^(1/w) with w = doc length, per-source
+    * top-k by key. One window per source — the reproducible
+    * quality-weighted corpus draw (pairs with q43's uniform strata and
+    * q58's mixture weights). Keys are rounded (9 dp) BEFORE ranking so
+    * both engines rank identical values; doc_id breaks residual ties. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val u = (pmod(graft.functions.TextFunctions.tokenHash(
+        concat(lit("ws#"), col("doc_id").cast("string"))), lit(1048576L))
+      .cast("double") + lit(0.5)) / lit(1048576.0)
+    val w = greatest(col("n_chars").cast("double"), lit(1.0))
+    val keyed = docs.select(col("source"), col("doc_id"),
+      roundSafe(pow(u, lit(1.0) / w), 9).as("key"))
+    val win = Window.partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+    keyed.withColumn("rk", row_number().over(win))
+      .where(col("rk") <= SampleK)
+      .select(col("source"), col("doc_id"), col("key"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val q81Sql = {
+    val hash = graft.functions.TextFunctions.sqlTokenHash("'ws#' || doc_id::VARCHAR")
+    s"""WITH k AS (SELECT source, doc_id,
+            round(pow((($hash % 1048576)::DOUBLE + 0.5) / 1048576.0,
+                      1.0 / greatest(n_chars::DOUBLE, 1.0)) + 1e-9, 9) AS key
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY key DESC, doc_id) AS rk FROM k)
+        SELECT source, doc_id, key, rk::BIGINT AS rk FROM r
+        WHERE rk <= $SampleK ORDER BY source, rk"""
+  }
+
+  /** Chi-square independence cells for source × lang: observed count,
+    * expected under independence, per-cell contribution. Marginals are
+    * two tiny aggs broadcast back onto the |sources|×|langs| cell table
+    * — the whole test is one scan plus broadcasts at any corpus size. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val obs = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).cast("double").as("n"))
+    obs.join(broadcast(rowT), "source")
+      .join(broadcast(colT), "lang")
+      .join(broadcast(tot))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .select(col("source"), col("lang"), col("o"),
+        roundSafe(col("e"), 6).as("expected"),
+        roundSafe((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6)
+          .as("chi2_cell"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val q83Sql =
+    """WITH obs AS (SELECT source, lang, count(*)::BIGINT AS o
+          FROM documents GROUP BY 1, 2),
+        rt AS (SELECT source, sum(o) AS rt FROM obs GROUP BY 1),
+        ct AS (SELECT lang, sum(o) AS ct FROM obs GROUP BY 1),
+        n AS (SELECT sum(o)::DOUBLE AS n FROM obs)
+       SELECT obs.source, obs.lang, o,
+         round(rt * ct / n.n + 1e-9, 6) AS expected,
+         round((o - rt * ct / n.n) * (o - rt * ct / n.n) / (rt * ct / n.n) + 1e-9, 6)
+           AS chi2_cell
+       FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+       ORDER BY source, lang"""
+
   val all: Seq[Q] = Seq(
     Q("q73_scd2_history", q73 _, Some(q73Sql)),
     Q("q74_grouped_regression", q74 _, Some(q74Sql)),
     Q("q75_robust_outliers", q75 _, Some(q75Sql)),
-    Q("q76_histogram", q76 _, Some(q76Sql)))
+    Q("q76_histogram", q76 _, Some(q76Sql)),
+    Q("q81_weighted_sample", q81 _, Some(q81Sql)),
+    Q("q83_chi_square", q83 _, Some(q83Sql)))
 }
