@@ -90,15 +90,21 @@ object Matching {
       clock: Option[java.sql.Timestamp] = None,
       maxBlockSize: Option[Int] = None): DataFrame = {
     // Engine.spread: blocked joins emit O(block^2) candidates; the
-    // probe side must not inherit a single-split scan's parallelism
+    // probe side must not inherit a single-split scan's parallelism.
+    // Both sides persist (lazily — no job here): each feeds TWO block
+    // joins plus the attribute join-back, and the CV side's lineage is
+    // typically a multi-join skill-profile build that must not run
+    // three times. The caches are the returned plan's working set.
     val o = graft.Engine.spread(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
       col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one blocked equi-join, projected to bare id pairs IMMEDIATELY:
     // the union/dedup below shuffles O(pairs) rows, so those rows must
