@@ -171,11 +171,35 @@ object StatsOps {
        FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
        ORDER BY source, lang"""
 
+  /** Grouped top-k through the custom [[graft.functions.TopKPairs]]
+    * TypedImperativeAggregate: ONE hash aggregate with map-side
+    * k-bounded heaps instead of the window idiom's full per-group sort
+    * — each partition forwards ≤ k rows per group across the exchange.
+    * The oracle replays it as the window form (identical tie order:
+    * score desc, id asc), pinning the aggregate's semantics. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAgg.topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        roundSafe(col("col").getField("score"), 2).as("price"),
+        col("col").getField("id").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  private val q84Sql =
+    """SELECT o_orderpriority, rank::BIGINT AS rank,
+         round(o_totalprice + 1e-9, 2) AS price, o_orderkey
+       FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders)
+       WHERE rank <= 3 ORDER BY o_orderpriority, rank"""
+
   val all: Seq[Q] = Seq(
     Q("q73_scd2_history", q73 _, Some(q73Sql)),
     Q("q74_grouped_regression", q74 _, Some(q74Sql)),
     Q("q75_robust_outliers", q75 _, Some(q75Sql)),
     Q("q76_histogram", q76 _, Some(q76Sql)),
     Q("q81_weighted_sample", q81 _, Some(q81Sql)),
-    Q("q83_chi_square", q83 _, Some(q83Sql)))
+    Q("q83_chi_square", q83 _, Some(q83Sql)),
+    Q("q84_topk_agg", q84 _, Some(q84Sql)))
 }
