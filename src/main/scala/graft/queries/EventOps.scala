@@ -194,11 +194,42 @@ object EventOps {
        UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
        ORDER BY stage"""
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * next event via lead() on the user-keyed window (one shuffle on
+    * user_id), then transition counts and row-normalized probabilities
+    * (per-state totals broadcast back). The behavioral-model companion
+    * to q82's fixed funnel. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = table(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+    val totals = trans.groupBy(col("cur")).agg(sum(col("c")).as("tot"))
+    trans.join(broadcast(totals), "cur")
+      .select(col("cur"), col("nxt"), col("c"),
+        roundSafe(col("c").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  private val q85Sql =
+    """WITH t AS (SELECT event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+        c AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM t
+              WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT cur, sum(c) AS tot FROM c GROUP BY 1)
+       SELECT c.cur, c.nxt, c.c, round(c.c::DOUBLE / tot.tot::DOUBLE + 1e-9, 6) AS p
+       FROM c JOIN tot USING (cur) ORDER BY cur, nxt"""
+
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
     Q("q28_sessionize", q28 _, Some(q28Sql)),
     Q("q29_asof_join", q29 _, Some(q29Sql)),
     Q("q30_stream_window_agg", q30 _, Some(q30Sql)),
     Q("q41_range_join", q41 _, Some(q41Sql)),
-    Q("q82_funnel", q82 _, Some(q82Sql)))
+    Q("q82_funnel", q82 _, Some(q82Sql)),
+    Q("q85_event_transitions", q85 _, Some(q85Sql)))
 }

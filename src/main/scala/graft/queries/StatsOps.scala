@@ -194,6 +194,33 @@ object StatsOps {
                ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders)
        WHERE rank <= 3 ORDER BY o_orderpriority, rank"""
 
+  /** Column profiling (data-quality QA): per-column row/null/distinct
+    * counts for the orders table — the schema-drift / completeness
+    * monitor a warehouse load runs after every batch. One aggregate
+    * per profiled column, unioned; each is a single-pass hash agg. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    cols.map { c =>
+      o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n"), col("n_null"), col("n_distinct"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
+  private val q86Sql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n,
+            sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+            count(DISTINCT $c)::BIGINT AS n_distinct FROM orders"""
+    }.mkString("", " UNION ALL ", " ORDER BY column_name")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q73_scd2_history", q73 _, Some(q73Sql)),
     Q("q74_grouped_regression", q74 _, Some(q74Sql)),
@@ -201,5 +228,6 @@ object StatsOps {
     Q("q76_histogram", q76 _, Some(q76Sql)),
     Q("q81_weighted_sample", q81 _, Some(q81Sql)),
     Q("q83_chi_square", q83 _, Some(q83Sql)),
-    Q("q84_topk_agg", q84 _, Some(q84Sql)))
+    Q("q84_topk_agg", q84 _, Some(q84Sql)),
+    Q("q86_column_profile", q86 _, Some(q86Sql)))
 }

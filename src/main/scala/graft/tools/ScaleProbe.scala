@@ -109,6 +109,46 @@ object ScaleProbe {
         f"oov=$oov%9d ${(t7 - t6) / 1e9}%5.2f s " +
         f"bits=$bits%12.1f ${(t8 - t7) / 1e9}%5.2f s " +
         f"mergedRows=$merged%7d fold=${(t10 - t9) / 1e9}%5.2f s")
+      // round-3 batch 3: retrieval/index/collocation + the top-k
+      // aggregate vs the window idiom (same result, different shuffle).
+      val queryTerms = Seq(tok(0), tok(1), tok(120), tok(240))
+      val bmScore = graft.operators.Retrieval
+        .bm25Scores(stored, "doc_id", "text", queryTerms)
+        .agg(sum(col("score"))).collect()(0).getDouble(0)
+      val t11 = System.nanoTime()
+      val postings = stored
+        .select(col("doc_id"),
+          explode_outer(graft.functions.TextFunctions.tokenSet(col("text"))).as("term"))
+        .where(col("term").isNotNull)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 3).count()
+      val t12 = System.nanoTime()
+      // PMI pair space: per-doc distinct-token self-join (120 toks/doc)
+      val dt = stored.select(col("doc_id"),
+          explode_outer(graft.functions.TextFunctions.tokenSet(col("text"))).as("term"))
+        .where(col("term").isNotNull)
+      val pmiPairs = dt.select(col("doc_id"), col("term").as("ta"))
+        .join(dt.select(col("doc_id"), col("term").as("tb")), "doc_id")
+        .where(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 3).count()
+      val t13 = System.nanoTime()
+      // top-k agg vs window on (n x 200)-row grouped scores
+      val scored2 = spark.range(n.toLong * 40).select(
+        (col("id") % 1000).as("g"), (col("id") * 2654435761L % 97781L).cast("double").as("s"),
+        col("id"))
+      val viaAgg = scored2.groupBy("g")
+        .agg(graft.functions.TopKAgg.topK(col("s"), col("id"), 5).as("t")).count()
+      val t14 = System.nanoTime()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("id"))
+      val viaWin = scored2.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5).groupBy("g").agg(count(lit(1))).count()
+      val t15 = System.nanoTime()
+      println(f"[scale3] n=$n%6d bm25=${(t11 - t10) / 1e9}%5.2f s (sum=$bmScore%.1f) " +
+        f"index=$postings%7d ${(t12 - t11) / 1e9}%5.2f s " +
+        f"pmi=$pmiPairs%9d ${(t13 - t12) / 1e9}%5.2f s " +
+        f"topkAgg=$viaAgg%5d ${(t14 - t13) / 1e9}%5.2f s vs window ${(t15 - t14) / 1e9}%5.2f s")
     }
     spark.stop()
   }
