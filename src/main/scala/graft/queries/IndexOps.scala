@@ -47,19 +47,28 @@ object IndexOps {
 
   private val MinPairDf = 5
 
+  private val PmiVocabCap = 5000
+
   /** Pointwise mutual information over token pairs co-occurring in a
     * document: pmi(a,b) = ln(df_ab · N / (df_a · df_b)). The pair space
     * is the per-document distinct-token self-join — quadratic in DOC
-    * vocabulary (bounded, ~tens), never in corpus vocabulary; marginals
-    * and the doc count broadcast back. The df_ab floor cuts the noise
-    * tail exactly like any collocation pipeline. */
+    * vocabulary, never in corpus vocabulary — and is additionally
+    * restricted to the top-V terms by document frequency BEFORE
+    * pairing (TakeOrdered cut + broadcast semi-join, the standard
+    * collocation-pipeline dial: the ScaleProbe corpus shows uncapped
+    * pair counts growing into the 10^8 range at 10^5 docs while the
+    * informative pairs all sit in the df head). Marginals and the doc
+    * count broadcast back; the df_ab floor cuts the residual tail. */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Engine.spread(table(s, dir, "documents"))
-    val dt = docs
+    val dtAll = docs
       .select(col("doc_id"), explode_outer(TextFunctions.tokenSet(col("text"))).as("term"))
       .where(col("term").isNotNull)
     val nDocs = docs.agg(count(lit(1)).as("n"))
-    val dfs = dt.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val dfsAll = dtAll.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val vocab = dfsAll.orderBy(col("c").desc, col("term")).limit(PmiVocabCap)
+    val dt = dtAll.join(broadcast(vocab.select(col("term"))), Seq("term"), "left_semi")
+    val dfs = dfsAll.join(broadcast(vocab.select(col("term"))), Seq("term"), "left_semi")
     val pairs = dt.select(col("doc_id"), col("term").as("ta"))
       .join(dt.select(col("doc_id"), col("term").as("tb")), "doc_id")
       .where(col("ta") < col("tb"))

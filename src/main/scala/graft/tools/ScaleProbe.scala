@@ -124,9 +124,15 @@ object ScaleProbe {
         .where(col("df") >= 3).count()
       val t12 = System.nanoTime()
       // PMI pair space: per-doc distinct-token self-join (120 toks/doc)
-      val dt = stored.select(col("doc_id"),
+      // restricted to the top-1000 df vocabulary first — the q79 dial.
+      // Uncapped, this corpus generates 1.4k pairs/doc (110M rows at
+      // 80k docs, ~122 s); the head cut keeps the informative pairs.
+      val dtAll = stored.select(col("doc_id"),
           explode_outer(graft.functions.TextFunctions.tokenSet(col("text"))).as("term"))
         .where(col("term").isNotNull)
+      val vocab = dtAll.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(1000).select("term")
+      val dt = dtAll.join(broadcast(vocab), Seq("term"), "left_semi")
       val pmiPairs = dt.select(col("doc_id"), col("term").as("ta"))
         .join(dt.select(col("doc_id"), col("term").as("tb")), "doc_id")
         .where(col("ta") < col("tb"))
