@@ -224,6 +224,58 @@ object EventOps {
        SELECT c.cur, c.nxt, c.c, round(c.c::DOUBLE / tot.tot::DOUBLE + 1e-9, 6) AS p
        FROM c JOIN tot USING (cur) ORDER BY cur, nxt"""
 
+  /** Mergeable-sketch rollup: per-day Apache DataSketches HLL sketches
+    * of distinct users, unioned up to the month WITHOUT touching raw
+    * rows again (hll_sketch_agg → hll_union_agg) — the warehouse
+    * pattern where daily sketch columns are stored once and any
+    * coarser rollup is a cheap sketch union. Graded like q38/q48:
+    * exact count + an estimate-within-5% flag (sketch bytes are not
+    * engine-portable; the bound is). Day→ns arithmetic is exact
+    * integer math on the raw ns longs. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "events").select(col("user_id"),
+      // ns-long → epoch days → month bucket, exact integer arithmetic
+      floor(col("ts") / lit(86400000000000L)).as("day"))
+      .withColumn("month", floor(col("day") / lit(30)))
+    val daily = e.groupBy(col("month"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val monthly = daily.groupBy(col("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = e.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(monthly, "month")
+      .select(col("month").cast("long").as("month"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+          .cast("long").as("est_within_5pct"))
+      .orderBy(col("month"))
+  }
+
+  private val q87Sql =
+    """SELECT (epoch_ns(ts) // 86400000000000) // 30 AS month,
+         count(DISTINCT user_id)::BIGINT AS exact_users,
+         1::BIGINT AS est_within_5pct
+       FROM events GROUP BY 1 ORDER BY 1"""
+
+  /** Semi-structured props: pull the numeric k out of the JSON props
+    * column (get_json_object — no fixed schema needed) and aggregate
+    * per event type. Pure map-stage extraction + one hash agg. */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("k_distinct"),
+        roundSafe(avg(col("k")), 6).as("k_avg"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"))
+
+  private val q88Sql =
+    """SELECT event_type, count(*)::BIGINT AS n,
+         count(DISTINCT k)::BIGINT AS k_distinct,
+         round(avg(k) + 1e-9, 6) AS k_avg, max(k) AS k_max
+       FROM (SELECT event_type,
+               regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k FROM events)
+       GROUP BY 1 ORDER BY 1"""
+
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
     Q("q28_sessionize", q28 _, Some(q28Sql)),
@@ -231,5 +283,7 @@ object EventOps {
     Q("q30_stream_window_agg", q30 _, Some(q30Sql)),
     Q("q41_range_join", q41 _, Some(q41Sql)),
     Q("q82_funnel", q82 _, Some(q82Sql)),
-    Q("q85_event_transitions", q85 _, Some(q85Sql)))
+    Q("q85_event_transitions", q85 _, Some(q85Sql)),
+    Q("q87_sketch_rollup", q87 _, Some(q87Sql)),
+    Q("q88_json_props", q88 _, Some(q88Sql)))
 }
