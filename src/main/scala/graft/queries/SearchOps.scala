@@ -77,7 +77,40 @@ object SearchOps {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY 1 ORDER BY 1"""
 
+  private val FuzzyPrefix = 16
+  private val MaxEdit = 1
+
+  /** Banded fuzzy self-join (entity resolution): candidate pairs come
+    * from an equi-join on a cheap blocking key (shared 16-char prefix —
+    * same family as q32's similarity key and the LSH band keys), then
+    * the exact edit-distance verifies within the block. The quadratic
+    * stays inside blocks; levenshtein runs on candidate pairs only,
+    * never all-pairs. Probe side spread per the pair-join invariant. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        substring(col("c_name"), 1, FuzzyPrefix).as("bk"))
+    val a = graft.Engine.spread(
+      c.select(col("id").as("id_a"), col("name").as("na"), col("bk")))
+    val b = c.select(col("id").as("id_b"), col("name").as("nb"), col("bk").as("bkb"))
+    a.join(b, col("bk") === col("bkb") && col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("na"), col("nb")).cast("long"))
+      .where(col("lev") <= MaxEdit)
+      .select(col("id_a"), col("id_b"), col("lev"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q89Sql =
+    s"""WITH c AS (SELECT c_custkey AS id, c_name AS name,
+            substring(c_name, 1, $FuzzyPrefix) AS bk FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+          levenshtein(a.name, b.name)::BIGINT AS lev
+        FROM c a JOIN c b ON a.bk = b.bk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= $MaxEdit
+        ORDER BY id_a, id_b"""
+
   val all: Seq[Q] = Seq(
     Q("q70_bm25_topk", q70 _, Some(q70Sql)),
-    Q("q71_bloom_join", q71 _, Some(q71Sql)))
+    Q("q71_bloom_join", q71 _, Some(q71Sql)),
+    Q("q89_fuzzy_join", q89 _, Some(q89Sql)))
 }

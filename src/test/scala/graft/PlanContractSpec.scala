@@ -195,4 +195,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "centroid join-back must broadcast")
   }
+
+  test("q78/q79 index builds aggregate with map-side partials, PMI joins stay equi") {
+    val p78 = plan("q78_inverted_index")
+    assert("HashAggregate".r.findAllIn(p78).size >= 4, "partial+final pair expected")
+    val p79 = plan("q79_token_pmi")
+    assert(!p79.contains("CartesianProduct"))
+    assert(p79.contains("TakeOrderedAndProject"), "vocab cap must be TakeOrdered")
+  }
+
+  test("q84 grouped top-k runs as ObjectHashAggregate, not a window sort") {
+    val p = plan("q84_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), "the aggregate form must not fall back to a window")
+  }
+
+  test("q87 sketch rollup re-aggregates day sketches, raw scan appears once per leg") {
+    val p = plan("q87_sketch_rollup")
+    assert(p.contains("hll_union_agg") || p.contains("HllUnionAgg"), p)
+  }
+
+  test("q89 fuzzy join blocks on the prefix key — equi-join, no cartesian") {
+    val p = plan("q89_fuzzy_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
