@@ -308,6 +308,36 @@ object TextAnalysis {
         graft.queries.roundSafe(coalesce(col("__avg"), lit(0.0)), 4).as("avg_bits"))
   }
 
+  /** Bigram conditional surprisal: −log2 P(w₂|w₁) with
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) over corpus bigram counts, averaged per
+    * document — the next step up from [[unigramSurprisal]] toward the
+    * perplexity filters LM pipelines run (CCNet-style). Two count
+    * tables (bigram, first-word marginal), each a map-side-combined
+    * hash agg; both join back onto the bigram stream un-hinted — a
+    * synthetic vocabulary broadcasts, a web-scale bigram table
+    * shuffle-joins, AQE decides per run (same posture as q67).
+    * Documents with fewer than 2 tokens report 0 bigrams / 0 bits. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val bi = toks
+      .select(col("id"), explode_outer(shingles(col("__toks"), 2)).as("bg"))
+      .where(col("bg").isNotNull)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
+    val w1Counts = bi.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val per = bi.join(biCounts, Seq("bg"))
+      .join(w1Counts, Seq("w1"))
+      .select(col("id"),
+        (-log2(col("__c2").cast("double") / col("__c1"))).as("__bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__bits")) / count(lit(1))).as("__avg"))
+    df.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        graft.queries.roundSafe(coalesce(col("__avg"), lit(0.0)), 4).as("avg_bits"))
+  }
+
   /** Deterministic global shuffle + sharding for training-data export:
     * shard by id-hash, order within each shard by the md5 of the id.
     * Rand()-free, so the exact same corpus ordering re-materializes on

@@ -352,5 +352,27 @@ object TrainingOps {
     Q("q65_segment_dedup", q65 _, Some(q65Sql)),
     Q("q66_vocab_coverage", q66 _, Some(q66Sql)),
     Q("q67_unigram_surprisal", q67 _, Some(q67Sql)),
-    Q("q68_deterministic_shuffle", q68 _, Some(q68Sql)))
+    Q("q68_deterministic_shuffle", q68 _, Some(q68Sql)),
+    // q90's SQL lives in a lazy val: `all` sits above it in source
+    // order, and object vals initialize top-to-bottom
+    Q("q90_bigram_surprisal", q90 _, Some(q90Sql)))
+
+  /** Bigram conditional surprisal (perplexity-filter step 2). */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id"))
+
+  private lazy val q90Sql =
+    s"""WITH tk AS (SELECT doc_id AS id, ${TextFunctions.sqlTokensAll("text")} AS toks
+          FROM documents),
+        bg AS (SELECT id, unnest(${TextFunctions.sqlShingles("toks", 2)}) AS bg FROM tk),
+        b2 AS (SELECT id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        c2 AS (SELECT bg, count(*)::DOUBLE AS c2 FROM b2 GROUP BY bg),
+        c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM b2 GROUP BY w1),
+        per AS (SELECT id, count(*)::BIGINT AS n_bigrams,
+                  sum(-log2(c2 / c1)) / count(*) AS avgb
+                FROM b2 JOIN c2 USING (bg) JOIN c1 USING (w1) GROUP BY id)
+        SELECT d.doc_id AS id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+          round(coalesce(avgb, 0.0) + 1e-9, 4) AS avg_bits
+        FROM documents d LEFT JOIN per ON d.doc_id = per.id ORDER BY id"""
 }
