@@ -28,7 +28,8 @@ object BloomJoin {
   /** Build the bitset: one aggregation job over the build-side keys.
     * Driver state is numBits/64 longs (bounded by construction). */
   def buildBits(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
-    require(numBits > 0 && (numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two >= 64 (one full word)")
     require(numHashes >= 1 && numHashes <= 16)
     val words = numBits / 64
     val pos = positions(col(keyCol), numBits, numHashes)

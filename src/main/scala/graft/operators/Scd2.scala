@@ -34,10 +34,18 @@ object Scd2 {
       tieCol: String,
       attrCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    // null-safe change detection: plain =!= evaluates to NULL when
+    // either side is null, which would silently drop every transition
+    // INTO or OUT OF a null attribute value. <=> treats null as a
+    // value, so null periods become versions like any other. The first
+    // row per entity has __prev = null from lag's default — genuinely
+    // indistinguishable from a change out of null, which is the right
+    // call: both open a version.
     val changes = events
       .select(col(entityCol), col(tsCol), col(tieCol), col(attrCol))
       .withColumn("__prev", lag(col(attrCol), 1).over(byTime))
-      .where(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__first", row_number().over(byTime) === 1)
+      .where(col("__first") || !(col("__prev") <=> col(attrCol)))
     changes
       .withColumn("valid_to", lead(col(tsCol), 1).over(byTime))
       .select(

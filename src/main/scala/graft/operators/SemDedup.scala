@@ -32,9 +32,15 @@ object SemDedup {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
 
-  /** Ids dropped by greedy first-occurrence-wins semantic dedup:
-    * every id that has a LOWER-id same-cluster neighbor with rounded
-    * cosine ≥ tau. Rounding before the compare keeps the drop set
+  /** Ids dropped by single-pass semantic dedup: every id with ANY
+    * lower-id same-cluster neighbor at rounded cosine ≥ tau —
+    * first-occurrence-wins in the q65 segment-dedup sense.
+    * Deliberately NOT the sequential greedy scan (which would keep an
+    * id whose only near neighbors were themselves dropped): the
+    * single-pass rule over-drops on similarity CHAINS in exchange for
+    * a fully parallel, replayable predicate; at tau high enough to
+    * mean "near-duplicate", chains are transitively near-identical
+    * anyway. Rounding before the compare keeps the drop set
     * engine-portable (identical to the q35 pair contract). */
   def dropIds(df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
       tau: Double): DataFrame = {

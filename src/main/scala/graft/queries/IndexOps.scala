@@ -85,11 +85,18 @@ object IndexOps {
       .orderBy(col("ta"), col("tb"))
   }
 
+  // the oracle mirrors the vocab cap exactly (same ordering, same
+  // limit) — it is a no-op on the 31-term driver corpus, but the
+  // oracle must replay the QUERY's semantics, not a coincidentally
+  // equal relaxation of them
   private val q79Sql =
-    s"""WITH dt AS (SELECT doc_id, unnest(${TextFunctions.sqlTokenSet("text")}) AS term
+    s"""WITH dta AS (SELECT doc_id, unnest(${TextFunctions.sqlTokenSet("text")}) AS term
           FROM documents),
         n AS (SELECT count(*)::BIGINT AS n FROM documents),
-        dfs AS (SELECT term, count(*)::BIGINT AS c FROM dt GROUP BY 1),
+        dfsa AS (SELECT term, count(*)::BIGINT AS c FROM dta GROUP BY 1),
+        vocab AS (SELECT term FROM dfsa ORDER BY c DESC, term LIMIT $PmiVocabCap),
+        dt AS (SELECT dta.* FROM dta SEMI JOIN vocab USING (term)),
+        dfs AS (SELECT dfsa.* FROM dfsa SEMI JOIN vocab USING (term)),
         p AS (SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS c_ab
               FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
               GROUP BY 1, 2 HAVING count(*) >= $MinPairDf)

@@ -357,9 +357,12 @@ object TrainingOps {
     // order, and object vals initialize top-to-bottom
     Q("q90_bigram_surprisal", q90 _, Some(q90Sql)))
 
-  /** Bigram conditional surprisal (perplexity-filter step 2). */
+  /** Bigram conditional surprisal (perplexity-filter step 2).
+    * Engine.spread: the tokenize+shingle kernel over a single-file
+    * scan would otherwise run on one core (SCALE.md invariant). */
   private def q90(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.bigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.bigramSurprisal(
+        graft.Engine.spread(table(s, dir, "documents")), "doc_id", "text")
       .orderBy(col("id"))
 
   private lazy val q90Sql =

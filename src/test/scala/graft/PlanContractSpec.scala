@@ -185,8 +185,9 @@ class PlanContractSpec extends AnyFunSuite {
   test("q76 histogram bounds come from a broadcast one-row agg") {
     val p = plan("q76_histogram")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      "one-row bounds may broadcast-nested-loop but never plain cartesian")
+    // the condition-less bounds join must plan as a broadcast nested
+    // loop (one-row build side), never an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q77 SemDeDup pair scan joins on the cluster key, centroids broadcast back") {

@@ -29,6 +29,23 @@ class StatsSpec extends AnyFunSuite {
     assert(e2.getAs[String]("attr") == "X" && e2.getAs[Long]("is_current") == 1L)
   }
 
+  test("scd2 tracks transitions into and out of null attribute values") {
+    val ev = Seq(
+      (1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None),
+      (1L, 30L, 3L, Some("A")), (2L, 5L, 4L, None))
+      .toDF("ent", "ts", "k", "attr")
+    val out = Scd2.history(ev, "ent", "ts", "k", "attr")
+      .orderBy("ent", "valid_from").collect()
+    // entity 1: A[10,20) null[20,30) A[30,null); entity 2: null[5,null)
+    assert(out.length == 4)
+    val e1 = out.filter(_.getAs[Long]("ent") == 1L)
+    assert(e1.map(r => Option(r.getAs[String]("attr"))).toSeq ==
+      Seq(Some("A"), None, Some("A")))
+    assert(e1(0).getAs[Long]("valid_to") == 20L && e1(1).getAs[Long]("valid_to") == 30L)
+    val e2 = out.filter(_.getAs[Long]("ent") == 2L).head
+    assert(e2.isNullAt(e2.fieldIndex("attr")) && e2.getAs[Long]("is_current") == 1L)
+  }
+
   test("scd2 same-timestamp changes are ordered by the tiebreak column") {
     val ev = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 10L, 3L, "B"))
       .toDF("ent", "ts", "k", "attr")
