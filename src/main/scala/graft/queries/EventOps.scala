@@ -285,5 +285,18 @@ object EventOps {
     Q("q82_funnel", q82 _, Some(q82Sql)),
     Q("q85_event_transitions", q85 _, Some(q85Sql)),
     Q("q87_sketch_rollup", q87 _, Some(q87Sql)),
-    Q("q88_json_props", q88 _, Some(q88Sql)))
+    Q("q88_json_props", q88 _, Some(q88Sql)),
+    Q("q91_stream_enrich", q91 _, Some(q91Sql)))
+
+  /** Stream–static broadcast enrichment through MicroBatchExecution
+    * (events stream ⋈ customer dim → per-segment/type aggregate). */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    StreamingIngest.enrichedEventCounts(s, dir)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
+  private lazy val q91Sql =
+    """SELECT c_mktsegment, event_type, count(*)::BIGINT AS cnt,
+         round(sum(value), 2) AS sum_val
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

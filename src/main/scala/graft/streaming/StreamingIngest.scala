@@ -83,4 +83,36 @@ object StreamingIngest {
       unix_timestamp(col("window.start")).as("day_epoch"),
       col("event_type"), col("cnt"), col("sum_val"))
   }
+
+  /** Stream–static enrichment through real MicroBatchExecution: the
+    * event stream joins a BATCH dimension (customer → market segment)
+    * inside the micro-batch, then aggregates per (segment, type). The
+    * static side is planned once and broadcast into every batch — the
+    * canonical streaming-enrichment shape (no state store involved;
+    * only the aggregation keeps state). Same AvailableNow + memory-sink
+    * + detach discipline as [[windowedEventCounts]]. */
+  def enrichedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
+    val name = "graft_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sinkSchema = spark.table(name).schema
+    val rows = spark.table(name).collect().toSeq
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
+  }
 }
