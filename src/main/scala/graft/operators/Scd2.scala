@@ -32,6 +32,17 @@ object Scd2 {
       entityCol: String,
       tsCol: String,
       tieCol: String,
+      attrCol: String): DataFrame =
+    historyKeepTie(events, entityCol, tsCol, tieCol, attrCol).drop("__tie")
+
+  /** [[history]] plus the change row's tiebreak value as `__tie` —
+    * what [[mergeHistory]] needs to replay same-timestamp version
+    * order when it rebuilds a touched entity from its versions. */
+  def historyKeepTie(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
       attrCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
     // null-safe change detection: plain =!= evaluates to NULL when
@@ -53,6 +64,47 @@ object Scd2 {
         col(attrCol),
         col(tsCol).as("valid_from"),
         col("valid_to"),
-        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"))
+        when(col("valid_to").isNull, lit(1L)).otherwise(lit(0L)).as("is_current"),
+        col(tieCol).as("__tie"))
+  }
+
+  /** Incremental SCD2: fold an APPEND-ONLY batch of new observations
+    * into standing history without re-reading prior events.
+    *
+    * Contract: every batch row's (ts, tie) must sort AFTER all prior
+    * events of its entity (the date-cutoff ingest pattern) — version
+    * collapse is lossy about in-run events, so an out-of-order row
+    * could not split a previously collapsed run correctly.
+    *
+    * Shape: untouched entities pass through with zero recompute (an
+    * anti-join against the batch's entity set — at warehouse scale the
+    * overwhelming majority); touched entities rebuild from (their
+    * standing versions replayed as pseudo-events) ∪ (their batch rows)
+    * — input sized by the BATCH's entities, not the corpus. The q92
+    * oracle pins merged == full recompute exactly.
+    *
+    * @param priorHist output of [[historyKeepTie]] (same entity/ts/
+    *                  tie/attr column names as the events)
+    */
+  def mergeHistory(
+      priorHist: DataFrame,
+      batch: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      attrCol: String): DataFrame = {
+    val touched = batch.select(col(entityCol)).distinct()
+    val untouched = priorHist
+      .join(touched, Seq(entityCol), "left_anti")
+      .drop("__tie")
+    val priorAsEvents = priorHist
+      .join(touched, Seq(entityCol), "left_semi")
+      .select(col(entityCol), col("valid_from").as(tsCol),
+        col("__tie").as(tieCol), col(attrCol))
+    val batchEvents = batch
+      .select(col(entityCol), col(tsCol), col(tieCol), col(attrCol))
+    val rebuilt = history(priorAsEvents.unionByName(batchEvents),
+      entityCol, tsCol, tieCol, attrCol)
+    untouched.unionByName(rebuilt)
   }
 }

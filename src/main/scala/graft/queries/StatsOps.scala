@@ -229,5 +229,27 @@ object StatsOps {
     Q("q81_weighted_sample", q81 _, Some(q81Sql)),
     Q("q83_chi_square", q83 _, Some(q83Sql)),
     Q("q84_topk_agg", q84 _, Some(q84Sql)),
-    Q("q86_column_profile", q86 _, Some(q86Sql)))
+    Q("q86_column_profile", q86 _, Some(q86Sql)),
+    // oracle = q73's full-recompute CTE: incremental merge must equal
+    // rebuilding the whole history from scratch
+    Q("q92_scd2_merge", q92 _, Some(q73Sql)))
+
+  /** Incremental SCD2 fold: standing history from pre-1997 orders,
+    * 1997+ orders as the append-only batch, merged without re-reading
+    * prior events — graded against full recomputation. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "orders").select(
+      col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"),
+      col("o_orderkey"),
+      col("o_orderpriority"))
+    val cutoff = lit(java.sql.Date.valueOf("1997-01-01"))
+    val prior = Scd2.historyKeepTie(ev.where(col("d") < cutoff),
+      "o_custkey", "d", "o_orderkey", "o_orderpriority")
+    Scd2.mergeHistory(prior, ev.where(col("d") >= cutoff),
+        "o_custkey", "d", "o_orderkey", "o_orderpriority")
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
+  }
 }

@@ -55,6 +55,40 @@ class StatsSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("is_current") == 1L)
   }
 
+  test("scd2 mergeHistory equals full recompute; untouched entities pass through") {
+    val prior = Seq(
+      (1L, 10L, 101L, "A"), (1L, 20L, 102L, "B"), // entity 1: A then B
+      (2L, 15L, 201L, "X")) // entity 2: untouched by the batch
+      .toDF("ent", "ts", "k", "attr")
+    val batch = Seq((1L, 30L, 103L, "A"), (3L, 40L, 301L, "Z")) // extend 1, new 3
+      .toDF("ent", "ts", "k", "attr")
+    val merged = Scd2.mergeHistory(
+      Scd2.historyKeepTie(prior, "ent", "ts", "k", "attr"),
+      batch, "ent", "ts", "k", "attr")
+    val full = Scd2.history(prior.unionByName(batch), "ent", "ts", "k", "attr")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("ent"), r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")), r.getAs[Long]("is_current"))
+    assert(merged.collect().map(key).toSet == full.collect().map(key).toSet)
+    // entity 2's open version survived untouched; entity 1 grew a third
+    // version; entity 3 appeared
+    val m = merged.collect().map(key).toSet
+    assert(m.contains((2L, "X", 15L, None, 1L)))
+    assert(m.contains((1L, "A", 30L, None, 1L)))
+    assert(m.contains((3L, "Z", 40L, None, 1L)))
+  }
+
+  test("scd2 mergeHistory batch continuing the open version does not split it") {
+    val prior = Seq((1L, 10L, 1L, "A")).toDF("ent", "ts", "k", "attr")
+    val batch = Seq((1L, 20L, 2L, "A")).toDF("ent", "ts", "k", "attr") // same attr
+    val merged = Scd2.mergeHistory(
+      Scd2.historyKeepTie(prior, "ent", "ts", "k", "attr"),
+      batch, "ent", "ts", "k", "attr").collect()
+    assert(merged.length == 1) // still one open A version from ts=10
+    assert(merged.head.getAs[Long]("valid_from") == 10L)
+    assert(merged.head.getAs[Long]("is_current") == 1L)
+  }
+
   // ---- grouped regression ----------------------------------------------
 
   test("grouped regression recovers an exact linear relationship") {
