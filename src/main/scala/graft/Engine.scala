@@ -30,6 +30,8 @@ object Engine {
       // reader refuses; read as raw ns-since-epoch longs and reduce with
       // exact integer arithmetic (see EventOps).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // engine extensions: bounded-edit-distance rewrite (GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
