@@ -92,18 +92,33 @@ object Scd2 {
       entityCol: String,
       tsCol: String,
       tieCol: String,
-      attrCol: String): DataFrame = {
-    val touched = batch.select(col(entityCol)).distinct()
-    val untouched = priorHist
-      .join(touched, Seq(entityCol), "left_anti")
+      attrCol: String): DataFrame =
+    mergeHistoryKeepTie(priorHist, batch, entityCol, tsCol, tieCol, attrCol)
       .drop("__tie")
+
+  /** [[mergeHistory]] preserving `__tie`, so the result is CLOSED
+    * under iteration: tonight's output is tomorrow's `priorHist`
+    * without ever recomputing from raw events. Null-safe on the
+    * entity key (history()'s window partitioning groups null keys as
+    * one entity; the split joins must agree or a null-keyed entity
+    * would both pass through stale AND miss its rebuild). */
+  def mergeHistoryKeepTie(
+      priorHist: DataFrame,
+      batch: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String,
+      attrCol: String): DataFrame = {
+    val touched = batch.select(col(entityCol).as("__t_ent")).distinct()
+    val onEntity = col(entityCol) <=> col("__t_ent")
+    val untouched = priorHist.join(touched, onEntity, "left_anti")
     val priorAsEvents = priorHist
-      .join(touched, Seq(entityCol), "left_semi")
+      .join(touched, onEntity, "left_semi")
       .select(col(entityCol), col("valid_from").as(tsCol),
         col("__tie").as(tieCol), col(attrCol))
     val batchEvents = batch
       .select(col(entityCol), col(tsCol), col(tieCol), col(attrCol))
-    val rebuilt = history(priorAsEvents.unionByName(batchEvents),
+    val rebuilt = historyKeepTie(priorAsEvents.unionByName(batchEvents),
       entityCol, tsCol, tieCol, attrCol)
     untouched.unionByName(rebuilt)
   }

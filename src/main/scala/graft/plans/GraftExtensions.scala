@@ -39,21 +39,36 @@ object BoundedEditDistanceRule extends Rule[LogicalPlan] {
       GreaterThanOrEqual(Levenshtein(a, b, Some(kLit)), Literal(0)))
   }
 
+  /** Extractor: `levenshtein(a, b)` (unthresholded, deterministic
+    * inputs — the guard duplicates a and b, so a non-deterministic
+    * input would be evaluated independently in guard and DP) either
+    * raw or under the bigint cast the DataFrame API produces. */
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) if a.deterministic && b.deterministic =>
+        Some((a, b))
+      case Cast(Levenshtein(a, b, None), LongType, _, _)
+          if a.deterministic && b.deterministic =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** Extractor: an int-valued literal bound (raw int or long ≤ 2³¹). */
+  private object Bound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(k: Int, IntegerType) => Some(k)
+      case Literal(k: Long, LongType) if k <= Int.MaxValue && k >= Int.MinValue =>
+        Some(k.toInt)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-        if k >= 0 =>
-      bounded(a, b, k)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-        if k >= 0 =>
-      bounded(a, b, k)
-    case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 1 =>
-      bounded(a, b, k - 1)
-    case LessThanOrEqual(Cast(Levenshtein(a, b, None), LongType, _, _),
-        Literal(k: Long, LongType)) if k >= 0 && k <= Int.MaxValue =>
-      bounded(a, b, k.toInt)
-    case GreaterThanOrEqual(Literal(k: Long, LongType),
-        Cast(Levenshtein(a, b, None), LongType, _, _)) if k >= 0 && k <= Int.MaxValue =>
-      bounded(a, b, k.toInt)
+    case LessThanOrEqual(Lev(a, b), Bound(k)) if k >= 0 => bounded(a, b, k)
+    case GreaterThanOrEqual(Bound(k), Lev(a, b)) if k >= 0 => bounded(a, b, k)
+    case LessThan(Lev(a, b), Bound(k)) if k >= 1 => bounded(a, b, k - 1)
+    case GreaterThan(Bound(k), Lev(a, b)) if k >= 1 => bounded(a, b, k - 1)
   }
 }
 

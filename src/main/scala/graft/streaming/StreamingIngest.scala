@@ -62,23 +62,7 @@ object StreamingIngest {
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
       .groupBy(window(col("event_time"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
-    val name = "graft_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // Detach from the transient memory-sink table (tiny: one row per
-    // (day, event_type)) so downstream writes don't race the sink, and
-    // drop it — otherwise every invocation leaks a catalog entry + its
-    // collected rows for the session lifetime.
-    val sinkSchema = spark.table(name).schema
-    val rows = spark.table(name).collect().toSeq
-    spark.catalog.dropTempView(name)
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows), sinkSchema)
+    val out = runAvailableNow(spark, agg, "graft_stream_")
     out.select(
       unix_timestamp(col("window.start")).as("day_epoch"),
       col("event_type"), col("cnt"), col("sum_val"))
@@ -102,17 +86,30 @@ object StreamingIngest {
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
-    val name = "graft_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    runAvailableNow(spark, agg, "graft_enrich_")
+  }
+
+  /** Run a streaming aggregation to completion through a transient
+    * complete-mode memory sink and return a DETACHED batch copy.
+    * Detach + dropTempView (on the error path too): the memory sink's
+    * collected rows and catalog entry would otherwise leak for the
+    * session lifetime, and downstream writes must not race the sink.
+    * Sound only for aggregations whose result is small (one row per
+    * group) — which is what complete-mode memory sinks are for. */
+  private def runAvailableNow(spark: SparkSession, agg: DataFrame,
+      namePrefix: String): DataFrame = {
+    val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    val sinkSchema = spark.table(name).schema
-    val rows = spark.table(name).collect().toSeq
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
+    try {
+      q.awaitTermination()
+      val sinkSchema = spark.table(name).schema
+      val rows = spark.table(name).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
+    } finally spark.catalog.dropTempView(name)
   }
 }

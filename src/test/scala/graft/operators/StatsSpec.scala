@@ -78,6 +78,35 @@ class StatsSpec extends AnyFunSuite {
     assert(m.contains((3L, "Z", 40L, None, 1L)))
   }
 
+  test("scd2 mergeHistoryKeepTie is closed under iteration (fold two batches)") {
+    val prior = Seq((1L, 10L, 1L, "A")).toDF("ent", "ts", "k", "attr")
+    val b1 = Seq((1L, 20L, 2L, "B")).toDF("ent", "ts", "k", "attr")
+    val b2 = Seq((1L, 30L, 3L, "A"), (2L, 5L, 4L, "X")).toDF("ent", "ts", "k", "attr")
+    val fold1 = Scd2.mergeHistoryKeepTie(
+      Scd2.historyKeepTie(prior, "ent", "ts", "k", "attr"), b1, "ent", "ts", "k", "attr")
+    val fold2 = Scd2.mergeHistoryKeepTie(fold1, b2, "ent", "ts", "k", "attr")
+    val full = Scd2.historyKeepTie(prior.unionByName(b1).unionByName(b2),
+      "ent", "ts", "k", "attr")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("ent"), r.getAs[String]("attr"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[Any]("valid_to")))
+    assert(fold2.collect().map(key).toSet == full.collect().map(key).toSet)
+  }
+
+  test("scd2 mergeHistory handles null entity keys like full recompute") {
+    val prior = Seq((Option.empty[java.lang.Long], 10L, 1L, "A"))
+      .toDF("ent", "ts", "k", "attr")
+    val batch = Seq((Option.empty[java.lang.Long], 20L, 2L, "B"))
+      .toDF("ent", "ts", "k", "attr")
+    val merged = Scd2.mergeHistory(
+      Scd2.historyKeepTie(prior, "ent", "ts", "k", "attr"),
+      batch, "ent", "ts", "k", "attr").orderBy("valid_from").collect()
+    // null key is ONE entity: A[10,20) closed, B[20,null) open
+    assert(merged.length == 2)
+    assert(merged(0).getAs[String]("attr") == "A" && merged(0).getAs[Long]("valid_to") == 20L)
+    assert(merged(1).getAs[String]("attr") == "B" && merged(1).getAs[Long]("is_current") == 1L)
+  }
+
   test("scd2 mergeHistory batch continuing the open version does not split it") {
     val prior = Seq((1L, 10L, 1L, "A")).toDF("ent", "ts", "k", "attr")
     val batch = Seq((1L, 20L, 2L, "A")).toDF("ent", "ts", "k", "attr") // same attr
