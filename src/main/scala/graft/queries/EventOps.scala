@@ -286,7 +286,35 @@ object EventOps {
     Q("q85_event_transitions", q85 _, Some(q85Sql)),
     Q("q87_sketch_rollup", q87 _, Some(q87Sql)),
     Q("q88_json_props", q88 _, Some(q88Sql)),
-    Q("q91_stream_enrich", q91 _, Some(q91Sql)))
+    Q("q91_stream_enrich", q91 _, Some(q91Sql)),
+    Q("q93_cohort_retention", q93 _, Some(q93Sql)))
+
+  /** Cohort retention: users bucketed by first-active week, counted in
+    * each later week as an offset from their cohort — the classic
+    * retention triangle. Exact integer week arithmetic on the raw ns
+    * longs; two user-keyed aggregations plus one distinct-count per
+    * (cohort, offset) cell. At scale every shuffle keys on user_id or
+    * the small (cohort, offset) pair — nothing global. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val weeks = table(s, dir, "events")
+      .select(col("user_id"),
+        floor(col("ts") / lit(604800000000000L)).cast("long").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private lazy val q93Sql =
+    """WITH w AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 604800000000000 AS week FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1)
+       SELECT cohort_week, week - cohort_week AS week_offset,
+         count(DISTINCT w.user_id)::BIGINT AS users
+       FROM w JOIN c USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Stream–static broadcast enrichment through MicroBatchExecution
     * (events stream ⋈ customer dim → per-segment/type aggregate). */
