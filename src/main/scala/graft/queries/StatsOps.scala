@@ -232,7 +232,49 @@ object StatsOps {
     Q("q86_column_profile", q86 _, Some(q86Sql)),
     // oracle = q73's full-recompute CTE: incremental merge must equal
     // rebuilding the whole history from scratch
-    Q("q92_scd2_merge", q92 _, Some(q73Sql)))
+    Q("q92_scd2_merge", q92 _, Some(q73Sql)),
+    Q("q94_asof_dimension", q94 _, Some(q94Sql)))
+
+  /** Point-in-time dimension lookup — the consumption side of SCD2:
+    * each fact row joins the version whose validity interval covers
+    * its date (equi-join on the entity + residual interval predicate;
+    * zero-length same-day versions self-exclude, so exactly one
+    * version matches per fact). This is the "what was the customer's
+    * priority WHEN the order happened" query the history exists for.
+    * Capped to a key slice so the verify output stays proportionate —
+    * the join shape is identical uncapped. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "orders").select(
+      col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+      col("o_orderkey"), col("o_orderpriority"))
+    val hist = Scd2.history(ev, "o_custkey", "d", "o_orderkey", "o_orderpriority")
+      .select(col("o_custkey").as("h_cust"), col("o_orderpriority").as("asof_priority"),
+        col("valid_from"), col("valid_to"))
+    ev.where(col("o_custkey") % 10 === 3)
+      .join(hist, col("o_custkey") === col("h_cust") &&
+        col("valid_from") <= col("d") &&
+        (col("valid_to").isNull || col("d") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"), col("asof_priority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private lazy val q94Sql =
+    """WITH ev AS (SELECT o_custkey, o_orderdate::DATE AS d, o_orderkey, o_orderpriority
+          FROM orders),
+        ch AS (SELECT *, lag(o_orderpriority)
+                 OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev FROM ev),
+        f AS (SELECT o_custkey, o_orderpriority, d, o_orderkey FROM ch
+              WHERE prev IS NULL OR prev <> o_orderpriority),
+        v AS (SELECT o_custkey AS h_cust, o_orderpriority AS asof_priority,
+                d AS valid_from,
+                lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS valid_to
+              FROM f)
+       SELECT e.o_orderkey, e.o_custkey, e.d, v.asof_priority
+       FROM ev e JOIN v ON e.o_custkey = v.h_cust
+         AND v.valid_from <= e.d
+         AND (v.valid_to IS NULL OR e.d < v.valid_to)
+       WHERE e.o_custkey % 10 = 3
+       ORDER BY e.o_orderkey"""
 
   /** Incremental SCD2 fold: standing history from pre-1997 orders,
     * 1997+ orders as the append-only batch, merged without re-reading
