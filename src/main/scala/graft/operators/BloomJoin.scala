@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  /** Bitset size for `nKeys` build-side keys: next power of two >=
+    * bitsPerKey*nKeys (10 bits/key with 4 hashes ≈ 1-2% false-positive
+    * rate), floored at one word and capped at 2^27 bits = 16 MB of
+    * longs — still comfortably driver/plan-literal sized. A FIXED size
+    * saturates silently as the build side grows (e.g. 2^15 bits over
+    * 30k keys sets ~3.7 bits per key → ~90% false positives: the probe
+    * pays k hashes per row and prunes nothing), so callers should size
+    * from a cheap count of the filtered build side. */
+  def sizedBits(nKeys: Long, bitsPerKey: Int = 10): Int = {
+    require(nKeys >= 0 && bitsPerKey >= 1)
+    val want = nKeys.max(1L) * bitsPerKey
+    val cap = 1 << 27
+    if (want >= cap) cap
+    else math.max(64, java.lang.Long.highestOneBit(want * 2 - 1).toInt)
+  }
+
   /** Build the bitset: one aggregation job over the build-side keys.
     * Driver state is numBits/64 longs (bounded by construction). */
   def buildBits(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {

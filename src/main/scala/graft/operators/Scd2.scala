@@ -74,7 +74,14 @@ object Scd2 {
     * Contract: every batch row's (ts, tie) must sort AFTER all prior
     * events of its entity (the date-cutoff ingest pattern) — version
     * collapse is lossy about in-run events, so an out-of-order row
-    * could not split a previously collapsed run correctly.
+    * could not split a previously collapsed run correctly. The
+    * violation mode is SILENT: an out-of-order batch produces history
+    * that diverges from a full recompute rather than failing (the
+    * late row lands between collapsed versions whose in-run events are
+    * gone). Ingest paths that cannot prove the cutoff should run
+    * [[appendOnlyViolations]] first and fail/quarantine on non-empty —
+    * one entity-keyed join against the prior open versions, cheap
+    * relative to the merge itself.
     *
     * Shape: untouched entities pass through with zero recompute (an
     * anti-join against the batch's entity set — at warehouse scale the
@@ -95,6 +102,28 @@ object Scd2 {
       attrCol: String): DataFrame =
     mergeHistoryKeepTie(priorHist, batch, entityCol, tsCol, tieCol, attrCol)
       .drop("__tie")
+
+  /** Batch rows that violate [[mergeHistory]]'s append-only contract:
+    * rows whose (ts, tie) does not sort strictly after every prior
+    * event of their entity. The prior side needs only the LATEST
+    * version per entity — its valid_from/__tie is the entity's max
+    * prior (ts, tie) by construction (later events always reopen a
+    * version). One small aggregation over priorHist plus one
+    * entity-keyed equi-join; empty result ⇒ the merge is sound.
+    * Null-safe on the entity key, like the merge's own joins. */
+  def appendOnlyViolations(
+      priorHist: DataFrame,
+      batch: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val lastPrior = priorHist
+      .groupBy(col(entityCol).as("__p_ent"))
+      .agg(max(struct(col("valid_from"), col("__tie"))).as("__p_max"))
+    batch.join(lastPrior, col(entityCol) <=> col("__p_ent"), "inner")
+      .where(!(struct(col(tsCol), col(tieCol)) > col("__p_max")))
+      .drop("__p_ent", "__p_max")
+  }
 
   /** [[mergeHistory]] preserving `__tie`, so the result is CLOSED
     * under iteration: tonight's output is tomorrow's `priorHist`

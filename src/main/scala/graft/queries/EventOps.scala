@@ -234,9 +234,13 @@ object EventOps {
     * integer math on the raw ns longs. */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "events").select(col("user_id"),
-      // ns-long → epoch days → month bucket, exact integer arithmetic
-      floor(col("ts") / lit(86400000000000L)).as("day"))
-      .withColumn("month", floor(col("day") / lit(30)))
+      // ns-long → epoch days → month bucket. `div`, not `/`: Spark's
+      // `/` on longs is DOUBLE division (ulp ~256 ns at 2024-epoch
+      // magnitudes), so a ts within a few hundred ns of a boundary
+      // could floor into a different bucket than the oracle's exact
+      // integer `//`. Same idiom as epochSec elsewhere in this file.
+      expr("ts div 86400000000000").as("day"))
+      .withColumn("month", expr("day div 30"))
     val daily = e.groupBy(col("month"), col("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
     val monthly = daily.groupBy(col("month"))
@@ -298,7 +302,8 @@ object EventOps {
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val weeks = table(s, dir, "events")
       .select(col("user_id"),
-        floor(col("ts") / lit(604800000000000L)).cast("long").as("week"))
+        // integer `div` for exact oracle parity (see q87's day bucket)
+        expr("ts div 604800000000000").as("week"))
       .distinct()
     val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     weeks.join(cohorts, "user_id")

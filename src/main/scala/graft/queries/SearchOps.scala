@@ -47,19 +47,23 @@ object SearchOps {
         ORDER BY score DESC, doc_id LIMIT $TopK"""
   }
 
-  private val BloomBits = 1 << 15
   private val BloomHashes = 4
 
   /** Bloom-pruned join: urgent orders' keys → bitset → prune lineitem
     * before its shuffle → exact join → monthly revenue. The bitset
     * build is one job over the (filtered, small) build side, run at
     * query execution like any action — its cost is part of the
-    * query's real cost, as with q18's Auto probe. */
+    * query's real cost, as with q18's Auto probe. The bitset is SIZED
+    * from a count of the build side (~10 bits/key): a fixed size
+    * saturates as the build side grows and the "pruning" becomes pure
+    * overhead (see [[BloomJoin.sizedBits]]); the count is one cheap
+    * pushdown-filtered scan of orders. */
   private def q71(s: SparkSession, dir: String): DataFrame = {
     val urgent = table(s, dir, "orders")
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val bits = BloomJoin.buildBits(urgent, "o_orderkey", BloomBits, BloomHashes)
+    val bits = BloomJoin.buildBits(urgent, "o_orderkey",
+      BloomJoin.sizedBits(urgent.count()), BloomHashes)
     val li = BloomJoin.pruned(table(s, dir, "lineitem"), "l_orderkey", bits, BloomHashes)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))

@@ -65,6 +65,16 @@ class SearchSpec extends AnyFunSuite {
     assert(kept.size < members.size + 100, s"too many false positives: ${kept.size}")
   }
 
+  test("sizedBits: next pow2 >= 10 bits/key, floored at a word, capped at 2^27") {
+    assert(BloomJoin.sizedBits(0) == 64)
+    assert(BloomJoin.sizedBits(6) == 64) // 60 bits -> one word floor
+    assert(BloomJoin.sizedBits(7) == 128) // 70 bits -> 128
+    assert(BloomJoin.sizedBits(1638) == 16384) // 16380 -> 2^14
+    assert(BloomJoin.sizedBits(30000) == 1 << 19) // 300k bits -> 2^19: ~10b/key
+    assert(BloomJoin.sizedBits(1L << 40) == 1 << 27) // cap
+    assert(BloomJoin.sizedBits(1024, bitsPerKey = 16) == 16384) // exact pow2
+  }
+
   test("bloom-pruned join equals plain join exactly") {
     val build = Seq(3L, 9L, 12L, 77L).toDF("k")
     val probe = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")

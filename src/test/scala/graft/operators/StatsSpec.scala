@@ -78,6 +78,24 @@ class StatsSpec extends AnyFunSuite {
     assert(m.contains((3L, "Z", 40L, None, 1L)))
   }
 
+  test("scd2 appendOnlyViolations flags out-of-order batch rows, passes clean batches") {
+    val prior = Scd2.historyKeepTie(
+      Seq((1L, 10L, 101L, "A"), (1L, 20L, 102L, "B"), (2L, 15L, 201L, "X"))
+        .toDF("ent", "ts", "k", "attr"),
+      "ent", "ts", "k", "attr")
+    // clean: strictly after each entity's max prior (ts, tie)
+    val clean = Seq((1L, 30L, 103L, "A"), (2L, 20L, 103L, "Y"), (3L, 1L, 1L, "Z"))
+      .toDF("ent", "ts", "k", "attr")
+    assert(Scd2.appendOnlyViolations(prior, clean, "ent", "ts", "k").isEmpty)
+    // dirty: ts before entity 1's last version open (20), equal-(ts,tie)
+    // replay of entity 2's latest, plus one clean row that must NOT flag
+    val dirty = Seq((1L, 15L, 999L, "C"), (2L, 15L, 201L, "X"), (2L, 16L, 1L, "Y"))
+      .toDF("ent", "ts", "k", "attr")
+    val bad = Scd2.appendOnlyViolations(prior, dirty, "ent", "ts", "k")
+      .select("ent", "ts").as[(Long, Long)].collect().toSet
+    assert(bad == Set((1L, 15L), (2L, 15L)))
+  }
+
   test("scd2 mergeHistoryKeepTie is closed under iteration (fold two batches)") {
     val prior = Seq((1L, 10L, 1L, "A")).toDF("ent", "ts", "k", "attr")
     val b1 = Seq((1L, 20L, 2L, "B")).toDF("ent", "ts", "k", "attr")
