@@ -20,16 +20,32 @@ object Bench {
   def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Release everything the finished query left behind: operator
+    * caches (pageRank/mergeClusters/ANN indexes pin their plans'
+    * working sets) and scratch-parquet dirs (CC rounds, matching
+    * staging). Without this a 94-query session accumulates dozens of
+    * MEMORY_AND_DISK caches whose eviction churn inflated later
+    * queries 5-20x in the round-3 driver bench — the medians were
+    * measuring cache pressure, not the engine. Clearing BETWEEN
+    * queries keeps iterations 2..n of each query warm (that is the
+    * measurement) while making query order irrelevant. */
+  def resetSession(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    graft.operators.Scratch.releaseAll()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Engine.session("graft-bench", cpus)
+    val loadAvgStart = loadAvg
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       SparkEntry.queries.foreach { case (_, fn) =>
         try exec(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => }
       }
+      resetSession(spark)
     }
 
     // median of three warm runs (the first at the measured SF still
@@ -46,6 +62,7 @@ object Bench {
         try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
+      resetSession(spark)
       // upper median on even counts — deterministic, no interpolation
       name -> (if (times.nonEmpty) times.sorted.apply(times.length / 2) else -1.0)
     }
@@ -58,7 +75,19 @@ object Bench {
     // stays valid JSON either way
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    // machine context so a contended run is identifiable from the JSON
+    // alone (the round-3 driver bench overlapped builder activity and
+    // the 5-20x inflation was indistinguishable from regression):
+    // 1-minute load average at start and end, JVM heap cap, core count
+    val env = s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvg,""" +
+      s""""driver_max_mem_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
+      s""""cpus":$cpus"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,$env}""")
     spark.stop()
   }
+
+  /** 1-minute system load average (-1.0 where unsupported). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 }

@@ -11,10 +11,15 @@ object TimeQ {
     val (dir, queries) =
       if (args.nonEmpty && args.last.contains("/")) (args.last, args.dropRight(1))
       else ("/root/testdata/sf0.1", args)
-    for (q <- queries; i <- 1 to iters) {
-      val t0 = System.nanoTime()
-      Bench.exec(SparkEntry.queries(q)(spark, dir))
-      println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    for (q <- queries) {
+      for (i <- 1 to iters) {
+        val t0 = System.nanoTime()
+        Bench.exec(SparkEntry.queries(q)(spark, dir))
+        println(f"$q run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      // between-query hygiene, matching Bench: a multi-query TimeQ run
+      // must time each query from the same clean-session footing
+      Bench.resetSession(spark)
     }
     spark.stop()
   }

@@ -89,22 +89,30 @@ object Matching {
   def score(offers: DataFrame, cvs: DataFrame,
       clock: Option[java.sql.Timestamp] = None,
       maxBlockSize: Option[Int] = None): DataFrame = {
-    // Engine.spread: blocked joins emit O(block^2) candidates; the
-    // probe side must not inherit a single-split scan's parallelism.
-    // Both sides persist (lazily — no job here): each feeds TWO block
-    // joins plus the attribute join-back, and the CV side's lineage is
-    // typically a multi-join skill-profile build that must not run
-    // three times. The caches are the returned plan's working set.
-    val o = graft.Engine.spread(offers.select(
+    // Both sides are STAGED to scratch parquet (one eager write job
+    // each, at call time): each feeds TWO block joins plus the
+    // attribute join-back, and the CV side's lineage is typically a
+    // multi-join skill-profile build (orders⋈lineitem⋈part + explode +
+    // collect_set in the q50 shape) that must not run three times.
+    // Staging beats persist() here — the round-3 verdict measured the
+    // cache fill of the wide-array profile at ~4x the whole warm query
+    // on first run, and the two MEMORY_AND_DISK pins outlived the call
+    // as session-wide cache pollution. The staged files are narrow
+    // (ids, block keys, skill arrays), carry real stats into join
+    // planning, and leave nothing in the CacheManager. Engine.spread
+    // on the read-back: blocked joins emit O(block^2) candidates and
+    // the staged files are small enough that Spark's openCost packing
+    // would otherwise hand the whole join to one or two splits.
+    val o = graft.Engine.spread(graft.operators.Scratch.stage(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
-      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = cvs.select(
+      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")),
+      "graft-match-o"))
+    val c = graft.Engine.spread(graft.operators.Scratch.stage(cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
-      col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years")),
+      "graft-match-c"))
 
     // one blocked equi-join, projected to bare id pairs IMMEDIATELY:
     // the union/dedup below shuffles O(pairs) rows, so those rows must

@@ -272,23 +272,10 @@ object Dedup {
         s"connectedComponents needs integral id columns; '$c' is ${dt.simpleString}. " +
           "Hash or cast ids to long before clustering.")
     }
-    // scratch space for per-round materialization: FS-qualified so a
-    // cluster deployment lands it on the checkpoint filesystem (set
-    // spark.sparkContext.setCheckpointDir to shared storage), not on a
-    // driver-local java.io.tmpdir path that the executors can't read.
-    // Backing files live until JVM exit (the returned plan reads the
-    // final round's parquet); one process-wide hook cleans every run's
-    // dir through the owning Hadoop FileSystem.
-    val (fs, ckDir) = {
-      val base = spark.sparkContext.getCheckpointDir
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val p = new org.apache.hadoop.fs.Path(
-        base, s"graft-cc-${java.util.UUID.randomUUID()}")
-      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fsys.mkdirs(p)
-      (fsys, fsys.makeQualified(p))
-    }
-    registerScratchDir(fs, ckDir)
+    // scratch space for per-round materialization — see [[Scratch]]
+    // for the placement (checkpoint FS) and lifetime (JVM-exit hook /
+    // harness releaseAll) story
+    val (_, ckDir) = Scratch.newDir(spark, "graft-cc")
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$ckDir/$name")
       spark.read.parquet(s"$ckDir/$name")
@@ -379,26 +366,6 @@ object Dedup {
   /** Residual-edge cap for [[connectedComponents]]'s driver-side
     * union-find finish: 2M edges ~ 32 MB collected. */
   private val DriverUnionFindMaxEdges = 2000000L
-
-  /** One process-wide shutdown hook deleting every CC scratch dir via
-    * its owning Hadoop FileSystem — repeated calls must not stack one
-    * hook (and one leaked dir registration) each. */
-  private val scratchDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
-  private lazy val scratchHook: Unit = {
-    sys.addShutdownHook {
-      scratchDirs.forEach { case (fs, p) =>
-        try fs.delete(p, true) catch { case _: Throwable => () }
-      }
-    }
-    ()
-  }
-  private def registerScratchDir(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    scratchHook
-    scratchDirs.add((fs, p))
-  }
 
   /** End-to-end near-dedup: MinHash-LSH pairs -> connected components
     * -> keep one survivor (min id) per duplicate cluster. Returns the
@@ -492,7 +459,8 @@ object Dedup {
     * @return updated (id, cluster_id) covering prior ids plus every id
     *         appearing in newPairs
     */
-  def mergeClusters(prior: DataFrame, newPairs: DataFrame): DataFrame = {
+  def mergeClusters(prior: DataFrame, newPairs: DataFrame,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     val pr = prior.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"))
     // newPairs is typically an LSH pair-generation plan, and it feeds
@@ -500,10 +468,10 @@ object Dedup {
     // three lineage evaluations without a cache. persist() is lazy (no
     // job here); the fill happens inside connectedComponents' eager
     // pairs materialization below, and the cache stays part of the
-    // returned plan's working set (newIds reads it on every action).
-    val np = newPairs
-      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // returned plan's working set (newIds reads it on every action) —
+    // release it by closing `scope` once done acting on the result.
+    val np = scope.pin(newPairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b")))
     def rooted(side: String): Column = coalesce(col(s"r_$side"), col(s"id_$side"))
     val rootPairs = np
       .join(pr.select(col("id").as("id_a"), col("cluster_id").as("r_a")), Seq("id_a"), "left")

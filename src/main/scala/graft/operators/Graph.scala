@@ -24,10 +24,14 @@ object Graph {
   /** @param edges    directed (src, dst) string-id pairs, pre-deduped
     * @param iters    power iterations (plan depth grows linearly)
     * @param damping  walk-follow probability (teleport = 1 - damping)
+    * @param scope    release handle for the two caches this call pins
+    *                 ([[graft.CacheScope]]); close it when done acting
+    *                 on the returned plan
     * @return (node, pr) for every node appearing in `edges`, where pr
     *         sums to ~1 over nodes reachable of the teleport+walk mix
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
@@ -37,14 +41,12 @@ object Graph {
     // build still runs zero jobs — and turns k-iteration plans from k
     // re-executions of the edge build into one fill + k cache scans.
     // The caches are part of the returned plan's working set (every
-    // action re-reads them), not a leak; callers doing one-shot runs
-    // can clearCache() after their action.
-    val withDeg = e.join(
-      e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // action re-reads them), not a leak; one-shot callers release them
+    // by closing `scope` after their action.
+    val withDeg = scope.pin(e.join(
+      e.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src"))
+    val nodes = scope.pin(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
     val nCount = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val r0 = nodes.join(broadcast(nCount))
       .select(col("node"), (lit(1.0) / col("__n")).as("pr"))

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared scratch-parquet staging — the repo's alternative to persist()
+  * for expensive intermediate lineages (first used by
+  * [[Dedup.connectedComponents]]'s per-round materialization, now also
+  * the matching profile build).
+  *
+  * Why parquet instead of cache: a staged frame is a clean leaf with
+  * real file statistics (join planning sees true sizes, not compounded
+  * estimates), it costs nothing to "fill" on re-read, and — decisive
+  * for long sessions and benchmarks — it leaves NOTHING registered in
+  * the CacheManager to evict, spill, or remember to release. The write
+  * is one eager job at operator-construction time; callers for whom
+  * plan laziness matters should keep persist() (see [[graft.CacheScope]]).
+  *
+  * Dirs are FS-qualified so a cluster deployment lands them on the
+  * checkpoint filesystem (set `spark.sparkContext.setCheckpointDir` to
+  * shared storage), not on a driver-local java.io.tmpdir the executors
+  * can't read. Backing files live until JVM exit (returned plans read
+  * them); one process-wide shutdown hook deletes every registered dir
+  * through its owning Hadoop FileSystem, and harnesses that KNOW all
+  * staged plans are dead (Bench, between queries) can reclaim disk
+  * eagerly with [[releaseAll]].
+  */
+object Scratch {
+
+  /** Create and register a fresh scratch dir under the checkpoint dir
+    * (or java.io.tmpdir). Returns the owning FileSystem and the
+    * qualified path. */
+  def newDir(spark: org.apache.spark.sql.SparkSession, prefix: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val base = spark.sparkContext.getCheckpointDir
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val p = new org.apache.hadoop.fs.Path(
+      base, s"$prefix-${java.util.UUID.randomUUID()}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val q = fs.makeQualified(p)
+    register(fs, q)
+    (fs, q)
+  }
+
+  /** Materialize `df` to a fresh scratch dir and return the
+    * parquet-backed read — one eager write job now, stat-bearing leaf
+    * forever after. */
+  def stage(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val (_, dir) = newDir(spark, prefix)
+    df.write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Delete every registered scratch dir NOW. Only sound when every
+    * plan built over staged frames has been discarded (a later action
+    * on such a plan would fail on the missing files) — i.e. harness
+    * boundaries: Bench between queries, test teardown. */
+  def releaseAll(): Unit = {
+    var e = dirs.poll()
+    while (e != null) {
+      try e._1.delete(e._2, true) catch { case _: Throwable => () }
+      e = dirs.poll()
+    }
+  }
+
+  /** One process-wide shutdown hook deleting every scratch dir via its
+    * owning Hadoop FileSystem — repeated calls must not stack one hook
+    * (and one leaked dir registration) each. */
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
+  private lazy val hook: Unit = {
+    sys.addShutdownHook(releaseAll())
+    ()
+  }
+  private def register(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    hook
+    dirs.add((fs, p))
+  }
+}

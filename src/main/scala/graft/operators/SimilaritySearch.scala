@@ -79,15 +79,15 @@ object SimilaritySearch {
     * over the whole corpus. Production form: write it out bucketed by
     * list instead. */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, seed: Long = 42L): IvfIndex = {
+      nLists: Int, seed: Long = 42L,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): IvfIndex = {
     val feats = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", toVec(col("vec")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(20).fit(feats)
-    val assigned = model.transform(feats)
+    val assigned = scope.pin(model.transform(feats)
       .select(col("id"), col("vec"), l2Norm(col("vec")).as("norm"),
-        col("prediction").as("bucket"))
-      .persist()
+        col("prediction").as("bucket")))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     IvfIndex(assigned, centroids)
@@ -142,7 +142,8 @@ object SimilaritySearch {
     * the encoded corpus is persisted — it IS the index, 32x smaller
     * than the float vectors. */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, seed: Long = 42L): PqIndex = {
+      m: Int, k: Int, seed: Long = 42L,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): PqIndex = {
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v")).persist()
     val dim = base.select(size(col("v"))).first().getInt(0)
@@ -172,7 +173,8 @@ object SimilaritySearch {
         }
         best
       })
-    val codes = base.select(col("id"), encode(col("v")).as("codes")).persist()
+    val codes = scope.pin(
+      base.select(col("id"), encode(col("v")).as("codes")))
     codes.count()
     base.unpersist()
     PqIndex(codes, codebooks)

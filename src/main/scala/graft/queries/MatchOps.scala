@@ -44,10 +44,16 @@ object MatchOps {
           .otherwise("Non spécifié").as("niveau_experience"))
     // CV skill profile = distinct competence ids over everything the
     // customer ordered; one shuffle (the groupBy), joins are plain FK
-    // equi-joins Catalyst plans with AQE
-    val cvSkills = table(s, dir, "orders")
+    // equi-joins Catalyst plans with AQE. Engine.spread between the
+    // join and the explode: AQE coalesces the small join output toward
+    // one partition, which would run the explode + competence-id
+    // kernel + partial collect_set single-core (the per-row kernel
+    // invariant, SCALE.md) — spreading 600k narrow rows is far cheaper
+    // than serializing the 5x-exploded kernel work.
+    val cvSkills = graft.Engine.spread(table(s, dir, "orders")
       .join(table(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .join(table(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"o_custkey", $"p_name"))
       .select($"o_custkey", explode(split($"p_name", " ")).as("w"))
       .groupBy($"o_custkey")
       .agg(collect_set(Ids.competenceId($"w")).as("competences_ids"))
