@@ -158,7 +158,24 @@ object SimilaritySearch {
         .setK(k).setSeed(seed + s).setMaxIter(20).fit(feats)
         .clusterCenters.map(_.toArray)
     }.toArray
+    val index = pqEncode(corpus, idCol, vecCol, codebooks, scope)
+    base.unpersist()
+    index
+  }
+
+  /** Encode `corpus` against GIVEN codebooks (nearest centroid per
+    * subspace, squared L2 summed low-index-first, strict-< argmin so
+    * the lowest centroid id wins ties). Split out of [[pqIndex]] so a
+    * deterministic fixture codebook can drive the whole ADC path —
+    * with fixed codebooks every arithmetic step here and in
+    * [[pqSearch]] is an exact left-to-right double fold, replayable by
+    * the q96 DuckDB oracle (KMeans-trained codebooks are not). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): PqIndex = {
     val cb = codebooks // ships in the encode closure
+    val m = cb.length
+    val dsub = cb(0)(0).length
     val encode = udf((v: Seq[Double]) =>
       (0 until m).map { s =>
         var best = 0; var bestD = Double.MaxValue
@@ -173,10 +190,9 @@ object SimilaritySearch {
         }
         best
       })
-    val codes = scope.pin(
-      base.select(col("id"), encode(col("v")).as("codes")))
+    val codes = scope.pin(corpus.select(col(idCol).as("id"),
+      encode(transform(col(vecCol), x => x.cast("double"))).as("codes")))
     codes.count()
-    base.unpersist()
     PqIndex(codes, codebooks)
   }
 

@@ -280,6 +280,11 @@ object EventOps {
                regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k FROM events)
        GROUP BY 1 ORDER BY 1"""
 
+  // NOTE: initialization order — constants referenced by the (lazy)
+  // SQL vals that `all` forces must be declared ABOVE `all`, or they
+  // read as zero/null during object init (the q97 "+ 0" bug).
+  private val AttrDelaySec = 3600L
+
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
     Q("q28_sessionize", q28 _, Some(q28Sql)),
@@ -291,7 +296,8 @@ object EventOps {
     Q("q87_sketch_rollup", q87 _, Some(q87Sql)),
     Q("q88_json_props", q88 _, Some(q88Sql)),
     Q("q91_stream_enrich", q91 _, Some(q91Sql)),
-    Q("q93_cohort_retention", q93 _, Some(q93Sql)))
+    Q("q93_cohort_retention", q93 _, Some(q93Sql)),
+    Q("q97_stream_interval_join", q97 _, Some(q97Sql)))
 
   /** Cohort retention: users bucketed by first-active week, counted in
     * each later week as an offset from their cohort — the classic
@@ -332,4 +338,25 @@ object EventOps {
          round(sum(value), 2) AS sum_val
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Watermarked stream-stream interval join through real
+    * MicroBatchExecution (view ⋈ click within the attribution window,
+    * keyed on user) — q91's batch-replay pattern applied to the
+    * two-stream stateful join: an inner interval join emits matches
+    * as they arrive, so the availableNow run equals the batch interval
+    * join the oracle states. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    StreamingIngest.attributedClicks(s, dir, AttrDelaySec)
+      .orderBy(col("imp_id"), col("imp_at"), col("clk_at"))
+
+  private lazy val q97Sql =
+    s"""WITH v AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+                   FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+               FROM events WHERE event_type = 'click')
+        SELECT v.user_id AS imp_id, v.user_id AS user_id,
+               v.sec AS imp_at, c.sec AS clk_at
+        FROM v JOIN c ON v.user_id = c.user_id
+             AND c.sec >= v.sec AND c.sec <= v.sec + $AttrDelaySec
+        ORDER BY imp_id, imp_at, clk_at"""
 }

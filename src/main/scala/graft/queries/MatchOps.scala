@@ -20,17 +20,31 @@ import graft.textkit.Ids
   * join has real (and overlapping) block structure; salary grids are
   * chosen so every match ratio terminates well inside round-6 (no
   * cross-engine half-rounding hazard).
+  *
+  * Two driver gates share the derivation:
+  *  - q50: exact blocked matching (maxBlockSize off);
+  *  - q95: the SKEW-CAPPED path (maxBlockSize on) — the dial q50
+  *    leaves at its default, oracle-replayed via the deterministic
+  *    sub-block construction ([[graft.operators.Skew.capBlocks]]:
+  *    rank-within-block / cap = sub-block index, same-index sub-blocks
+  *    pair) which is plain window SQL.
   */
 object MatchOps {
+
+  /** q95's cap: small enough that sector blocks (~36 offers / ~54 CVs
+    * per block at sf0.01) split into several sub-blocks on every SF
+    * the driver runs, so the capped path differs from q50's exact
+    * answer and the oracle really pins the sub-block semantics. */
+  private val CapSize = 20
 
   /** SQL fragment: F24 competence id of expr `e` (lower, ' '/'-' ->
     * '_', first 20 — load_to_bigquery.py:73-78). */
   private def sqlCompId(e: String): String =
     s"'COMP_' || substring(replace(replace(lower($e), ' ', '_'), '-', '_'), 1, 20)"
 
-  private def q50(s: SparkSession, dir: String): DataFrame = {
+  private def offersDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val offers = table(s, dir, "part")
+    table(s, dir, "part")
       .where($"p_partkey" % 8 === 0) // eighth of parts post offers
       .select(
         $"p_partkey".as("offre_id"),
@@ -42,6 +56,10 @@ object MatchOps {
           .when($"p_size" % 4 === 1, "Intermédiaire")
           .when($"p_size" % 4 === 2, "Senior")
           .otherwise("Non spécifié").as("niveau_experience"))
+  }
+
+  private def cvsDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // CV skill profile = distinct competence ids over everything the
     // customer ordered; one shuffle (the groupBy), joins are plain FK
     // equi-joins Catalyst plans with AQE. Engine.spread between the
@@ -57,7 +75,7 @@ object MatchOps {
       .select($"o_custkey", explode(split($"p_name", " ")).as("w"))
       .groupBy($"o_custkey")
       .agg(collect_set(Ids.competenceId($"w")).as("competences_ids"))
-    val cvs = table(s, dir, "customer")
+    table(s, dir, "customer")
       .where($"c_custkey" % 4 === 0) // quarter of customers seek jobs
       .join(cvSkills, $"c_custkey" === $"o_custkey", "left")
       .select(
@@ -67,14 +85,26 @@ object MatchOps {
         $"competences_ids",
         (($"c_custkey" % 8 + 1) * 100000).as("salaire_souhaite"),
         ($"c_custkey" % 12).as("annees_experience"))
-    Matching.topKPerCandidate(Matching.score(offers, cvs), 5)
+  }
+
+  private def presentTopK(s: SparkSession, scores: DataFrame): DataFrame = {
+    import s.implicits._
+    Matching.topKPerCandidate(scores, 5)
       .select($"candidate_id", $"job_id", $"match_score", $"skill_match_pct",
         $"salary_match_pct", $"location_match_pct", $"rank".cast("long").as("rank"))
       .orderBy($"candidate_id", $"rank")
   }
 
-  private val q50Sql =
-    s"""WITH offers AS (
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    presentTopK(s, Matching.score(offersDf(s, dir), cvsDf(s, dir)))
+
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    presentTopK(s, Matching.score(offersDf(s, dir), cvsDf(s, dir),
+      clock = None, maxBlockSize = Some(CapSize)))
+
+  /** Shared CTE prefix: the offer/CV derivations. */
+  private val baseCtes =
+    s"""offers AS (
           SELECT p_partkey AS job_id,
                  'LOC_' || (p_partkey % 10) AS o_loc,
                  'SECT_' || (p_partkey % 7) AS o_sect,
@@ -97,13 +127,12 @@ object MatchOps {
                  (c_custkey % 8 + 1) * 100000 AS c_sal,
                  (c_custkey % 12) AS c_years
           FROM customer LEFT JOIN cvsk ON c_custkey = k
-          WHERE c_custkey % 4 = 0),
-        cand AS (
-          SELECT DISTINCT job_id, candidate_id FROM (
-            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_sect = c.c_sect
-            UNION ALL
-            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_loc = c.c_loc)),
-        scored AS (
+          WHERE c_custkey % 4 = 0)"""
+
+  /** Shared scoring/ranking tail over a `cand(job_id, candidate_id)`
+    * CTE — the component formulas of [[Matching]] verbatim. */
+  private val scoreTail =
+    """scored AS (
           SELECT job_id, candidate_id,
             CASE WHEN c.c_comp IS NULL OR len(list_distinct(c.c_comp)) = 0 THEN 0.0
                  ELSE len(list_intersect(list_distinct(o.o_comp), list_distinct(c.c_comp)))::DOUBLE
@@ -142,6 +171,39 @@ object MatchOps {
                salary_match_pct, location_match_pct, rank::BIGINT AS rank
         FROM ranked WHERE rank <= 5 ORDER BY candidate_id, rank"""
 
+  private val q50Sql =
+    s"""WITH $baseCtes,
+        cand AS (
+          SELECT DISTINCT job_id, candidate_id FROM (
+            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_sect = c.c_sect
+            UNION ALL
+            SELECT o.job_id, c.candidate_id FROM offers o JOIN cvs c ON o.o_loc = c.c_loc)),
+        $scoreTail"""
+
+  /** q95 oracle: capBlocks' sub-block key — rank within block by the
+    * side's id, (rank-1)//cap = sub-block index, key "<block>#<i>" —
+    * replayed as window SQL on each of the four (side x block-key)
+    * combinations; only same-index sub-blocks pair. */
+  private def cappedSide(src: String, block: String, id: String): String =
+    s"""SELECT *, $block || '#' ||
+          CAST((row_number() OVER (PARTITION BY $block ORDER BY $id) - 1) // $CapSize
+               AS VARCHAR) AS cb
+        FROM $src"""
+
+  private val q95Sql =
+    s"""WITH $baseCtes,
+        cand AS (
+          SELECT DISTINCT job_id, candidate_id FROM (
+            SELECT o.job_id, c.candidate_id
+            FROM (${cappedSide("offers", "o_sect", "job_id")}) o
+            JOIN (${cappedSide("cvs", "c_sect", "candidate_id")}) c ON o.cb = c.cb
+            UNION ALL
+            SELECT o.job_id, c.candidate_id
+            FROM (${cappedSide("offers", "o_loc", "job_id")}) o
+            JOIN (${cappedSide("cvs", "c_loc", "candidate_id")}) c ON o.cb = c.cb)),
+        $scoreTail"""
+
   val all: Seq[Q] = Seq(
-    Q("q50_matching_scores", q50 _, Some(q50Sql)))
+    Q("q50_matching_scores", q50 _, Some(q50Sql)),
+    Q("q95_matching_capped", q95 _, Some(q95Sql)))
 }

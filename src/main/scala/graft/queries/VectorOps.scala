@@ -186,10 +186,71 @@ object VectorOps {
           round(ka.mc + 1e-9, 6) AS mean_cent_cos
         FROM t LEFT JOIN ka ON t.cl = ka.cl ORDER BY t.cl"""
 
+  // ---- q96: PQ/ADC search against a FIXTURE codebook ------------------
+  //
+  // The KMeans-trained PQ index stays spec-gated (AnnSpec recall);
+  // q96 drives the SAME encode + ADC machinery with a deterministic
+  // codebook so the driver oracle pins the arithmetic end-to-end:
+  // encode = per-subspace argmin of a low-index-first squared-L2 fold
+  // (strict <, lowest centroid wins ties), ADC = per-query [m][k]
+  // distance table + m lookups summed low-subspace-first. Both engines
+  // execute the identical left-to-right double folds, so rounded
+  // distances (and the ranks derived from the raw ones) hash-match.
+
+  private val PqM = 8 // subspaces over dim 64 -> dsub 8
+  private val PqK = 8 // centroids per subspace
+
+  /** Fixture codebook entry (s, c, i): small-integer lattice mapped
+    * into the embedding data range [-0.2, 0.2]; the mixed-radix
+    * product spreads centroids so argmins are well-separated. */
+  private def fixtureCodebooks: Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqK, 8)((s, c, i) =>
+      (((s + 1) * (c + 2) * (i + 3)) % 17 - 8) / 40.0)
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.pqSearch(
+      SimilaritySearch.pqEncode(
+        table(s, dir, "embeddings"), "vec_id", "embedding", fixtureCodebooks),
+      table(s, dir, "embeddings"), "vec_id", "embedding", QueryIds, 5)
+      .select(col("query_id"), col("cand_id"),
+        roundSafe(col("approx_d2"), 6).as("approx_d2"), col("rank"))
+      .orderBy("query_id", "rank")
+
+  private val q96Sql = {
+    val idx8 = "[0, 1, 2, 3, 4, 5, 6, 7]"
+    val cbEntry = "((((s + 1) * (c + 2) * (i + 3)) % 17) - 8) / 40.0"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT s::INT AS s, c::INT AS c FROM range(8) t1(s), range(8) t2(c)),
+        dist AS (SELECT vec_id, s, c,
+            list_reduce(
+              list_transform(
+                list_transform($idx8, i -> v[s * 8 + i + 1] - ($cbEntry)),
+                t -> t * t),
+              (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cent),
+        code AS (SELECT vec_id, s, c AS code FROM (
+            SELECT vec_id, s, c,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+            FROM dist) z
+          WHERE rn = 1),
+        cl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM code GROUP BY vec_id),
+        qt AS (SELECT vec_id AS query_id, list(d ORDER BY s, c) AS t FROM dist
+               WHERE vec_id IN $queryIdList GROUP BY vec_id),
+        sc AS (SELECT query_id, cl.vec_id AS cand_id,
+            list_reduce(list_transform($idx8, s -> t[s * 8 + codes[s + 1] + 1]),
+              (x, y) -> x + y) AS d2
+          FROM qt CROSS JOIN cl WHERE cl.vec_id <> query_id)
+        SELECT query_id, cand_id, round(d2 + 1e-9, 6) AS approx_d2, rank::BIGINT AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2 ASC, cand_id) AS rank FROM sc) x
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q25_cosine_topk", q25 _, Some(q25Sql)),
     Q("q26_cosine_bucketed", q26 _, Some(q26Sql)),
     Q("q35_embedding_neardup", q35 _, Some(q35Sql)),
     Q("q63_quantized_topk", q63 _, Some(q63Sql)),
-    Q("q77_semantic_dedup", q77 _, Some(q77Sql)))
+    Q("q77_semantic_dedup", q77 _, Some(q77Sql)),
+    Q("q96_pq_adc_topk", q96 _, Some(q96Sql)))
 }

@@ -89,18 +89,45 @@ object StreamingIngest {
     runAvailableNow(spark, agg, "graft_enrich_")
   }
 
-  /** Run a streaming aggregation to completion through a transient
-    * complete-mode memory sink and return a DETACHED batch copy.
-    * Detach + dropTempView (on the error path too): the memory sink's
-    * collected rows and catalog entry would otherwise leak for the
-    * session lifetime, and downstream writes must not race the sink.
-    * Sound only for aggregations whose result is small (one row per
-    * group) — which is what complete-mode memory sinks are for. */
+  /** Watermarked stream-stream interval join through real
+    * MicroBatchExecution: each `view` impression pairs with the same
+    * user's `click`s that follow within `maxDelaySec`
+    * ([[StreamOps.clickAttribution]] — equi-join on user plus an
+    * event-time range; both sides buffered in watermark-bounded state).
+    * Driven over the events table with AvailableNow and an APPEND-mode
+    * memory sink: an inner stream-stream join emits matches as they
+    * arrive (the watermark only bounds state eviction), so the single
+    * availableNow batch emits exactly the batch interval join — which
+    * is the q97 oracle. */
+  def attributedClicks(spark: SparkSession, sfDir: String,
+      maxDelaySec: Long): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val imp = stream.where(col("event_type") === "view")
+      .select(col("user_id").as("imp_id"), col("user_id"),
+        expr("ts div 1000000000").as("imp_sec"))
+    val clk = stream.where(col("event_type") === "click")
+      .select(col("user_id").as("clk_imp_id"),
+        expr("ts div 1000000000").as("clk_sec"))
+    val joined = StreamOps.clickAttribution(imp, clk, maxDelaySec,
+      watermarkDelay = "1 hour")
+    runAvailableNow(spark, joined, "graft_attr_", outputMode = "append")
+  }
+
+  /** Run a streaming query to completion through a transient memory
+    * sink and return a DETACHED batch copy. Detach + dropTempView (on
+    * the error path too): the memory sink's collected rows and catalog
+    * entry would otherwise leak for the session lifetime, and
+    * downstream writes must not race the sink. Sound only for results
+    * that are small — one row per group in the complete-mode
+    * aggregation uses, bounded match sets in the append-mode join use. */
   private def runAvailableNow(spark: SparkSession, agg: DataFrame,
-      namePrefix: String): DataFrame = {
+      namePrefix: String, outputMode: String = "complete"): DataFrame = {
     val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
