@@ -93,6 +93,38 @@ object SimilaritySearch {
     IvfIndex(assigned, centroids)
   }
 
+  /** Assign every vector to its nearest centroid from a GIVEN centroid
+    * table (squared L2 summed low-index-first, strict-< argmin so the
+    * lowest centroid id wins ties) — the deterministic counterpart of
+    * [[ivfIndex]]'s KMeans training. With fixture centroids the whole
+    * probe+search path ([[ivfSearch]]) is exact double arithmetic,
+    * replayable by the q98 DuckDB oracle; KMeans-trained indexes stay
+    * spec-gated (AnnSpec). Centroids must be sorted by id. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])],
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): IvfIndex = {
+    val cents = centroids // ships in the closure
+    val assignU = udf((v: Seq[Double]) => {
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)._2
+        var d = 0.0; var i = 0
+        while (i < v.length && i < c.length) {
+          val t = v(i) - c(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = cents(j)._1 }
+        j += 1
+      }
+      best
+    })
+    val assigned = scope.pin(corpus.select(col(idCol).as("id"),
+      col(vecCol).as("vec"), l2Norm(col(vecCol)).as("norm"),
+      assignU(transform(col(vecCol), x => x.cast("double"))).as("bucket")))
+    IvfIndex(assigned, centroids)
+  }
+
   /** Probe the nProbe nearest lists per query, exact cosine inside. */
   def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {

@@ -284,6 +284,8 @@ object EventOps {
   // SQL vals that `all` forces must be declared ABOVE `all`, or they
   // read as zero/null during object init (the q97 "+ 0" bug).
   private val AttrDelaySec = 3600L
+  private val SessGapSec = 21600L
+  private val SessWatermarkSec = 3600L
 
   val all: Seq[Q] = Seq(
     Q("q27_time_bucket_agg", q27 _, Some(q27Sql)),
@@ -297,7 +299,8 @@ object EventOps {
     Q("q88_json_props", q88 _, Some(q88Sql)),
     Q("q91_stream_enrich", q91 _, Some(q91Sql)),
     Q("q93_cohort_retention", q93 _, Some(q93Sql)),
-    Q("q97_stream_interval_join", q97 _, Some(q97Sql)))
+    Q("q97_stream_interval_join", q97 _, Some(q97Sql)),
+    Q("q99_stream_session_window", q99 _, Some(q99Sql)))
 
   /** Cohort retention: users bucketed by first-active week, counted in
     * each later week as an offset from their cohort — the classic
@@ -359,4 +362,40 @@ object EventOps {
         FROM v JOIN c ON v.user_id = c.user_id
              AND c.sec >= v.sec AND c.sec <= v.sec + $AttrDelaySec
         ORDER BY imp_id, imp_at, clk_at"""
+
+  /** Native session_window through MicroBatchExecution: per-user
+    * inactivity-gap sessions over the events table, append-mode
+    * emission of watermark-closed sessions only. Oracle =
+    * gaps-and-islands replay (sessions [min, last+gap), break only
+    * when the gap EXCEEDS SessGapSec: Spark merges touching windows —
+    * an event exactly gap seconds after the last extends the session;
+    * sf0.1 has exactly one such pair and StreamOpsSpec pins the rule)
+    * filtered to ends the final watermark passed (inclusive:
+    * end == watermark emits, also spec-pinned). */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    StreamingIngest.sessionizedEvents(s, dir, SessGapSec, SessWatermarkSec)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), roundSafe(col("value_sum"), 2).as("value_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private lazy val q99Sql =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+                    FROM events),
+        wm AS (SELECT max(sec) - $SessWatermarkSec AS w FROM ev),
+        brk AS (SELECT user_id, sec, value,
+            CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+                 OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+                    > $SessGapSec
+                 THEN 1 ELSE 0 END AS is_new
+          FROM ev),
+        grp AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+                  ROWS UNBOUNDED PRECEDING) AS sid FROM brk),
+        sess AS (SELECT user_id, min(sec) AS session_start,
+                   max(sec) + $SessGapSec AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value) + 1e-9, 2) AS value_sum
+                 FROM grp GROUP BY user_id, sid)
+        SELECT user_id, session_start, session_end, n_events, value_sum
+        FROM sess CROSS JOIN wm WHERE session_end <= w
+        ORDER BY user_id, session_start"""
 }

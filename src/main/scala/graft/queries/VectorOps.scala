@@ -246,11 +246,79 @@ object VectorOps {
         WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  // ---- q98: IVF probe+search against FIXTURE centroids -----------------
+  //
+  // Same deterministic-fixture idea as q96, applied to the IVF path:
+  // assign every vector to its nearest fixture centroid (argmin of a
+  // low-index-first squared-L2 fold), probe the nProbe nearest lists
+  // per query (rank by that same distance, centroid id tiebreak), then
+  // exact rounded cosine inside the probed lists only. Pins
+  // ivfAssign + ivfSearch end-to-end; the KMeans-trained quantizer
+  // stays spec-gated (AnnSpec recall).
+
+  private val IvfLists = 8
+  private val IvfProbe = 2
+
+  /** Fixture centroid (c, i): same small-integer lattice family as the
+    * q96 codebooks, spanning the full 64-dim vector. */
+  private def fixtureCentroids: Array[(Int, Array[Double])] =
+    Array.tabulate(IvfLists)(c =>
+      c -> Array.tabulate(64)(i => ((c + 2) * (i + 3) % 17 - 8) / 40.0))
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    SimilaritySearch.ivfSearch(
+      SimilaritySearch.ivfAssign(emb, "vec_id", "embedding", fixtureCentroids),
+      emb.where(col("vec_id").isin(QueryIds: _*)), "vec_id", "embedding",
+      k = 5, nProbe = IvfProbe)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val q98Sql = {
+    val centEntry = "(((c + 2) * (i + 3)) % 17 - 8) / 40.0"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT c::INT AS c FROM range($IvfLists) t(c)),
+        ad AS (SELECT vec_id, c,
+            list_reduce(
+              list_transform(
+                list_transform(range(0, 64), i -> v[i + 1] - ($centEntry)),
+                t -> t * t),
+              (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cent),
+        assign AS (SELECT vec_id, c AS bucket FROM (
+            SELECT vec_id, c, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, c) AS rn FROM ad) z
+          WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, c AS bucket FROM (
+            SELECT vec_id, c, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM ad WHERE vec_id IN $queryIdList) z
+          WHERE rn <= $IvfProbe),
+        sc AS (SELECT p.query_id, ce.vec_id AS cand_id,
+            round(CASE WHEN sqrt(${sqlDot("qe.v", "qe.v")}) * sqrt(${sqlDot("ce.v", "ce.v")}) = 0
+                       THEN 0.0
+                       ELSE ${sqlDot("qe.v", "ce.v")} /
+                            (sqrt(${sqlDot("qe.v", "qe.v")}) * sqrt(${sqlDot("ce.v", "ce.v")})) END, 6)
+              AS cos_sim
+          FROM probe p
+               JOIN e qe ON qe.vec_id = p.query_id
+               JOIN assign a ON a.bucket = p.bucket
+               JOIN e ce ON ce.vec_id = a.vec_id
+          WHERE ce.vec_id <> p.query_id)
+        SELECT query_id, cand_id, cos_sim, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+          FROM sc) x
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val all: Seq[Q] = Seq(
     Q("q25_cosine_topk", q25 _, Some(q25Sql)),
     Q("q26_cosine_bucketed", q26 _, Some(q26Sql)),
     Q("q35_embedding_neardup", q35 _, Some(q35Sql)),
     Q("q63_quantized_topk", q63 _, Some(q63Sql)),
     Q("q77_semantic_dedup", q77 _, Some(q77Sql)),
-    Q("q96_pq_adc_topk", q96 _, Some(q96Sql)))
+    Q("q96_pq_adc_topk", q96 _, Some(q96Sql)),
+    Q("q98_ivf_topk", q98 _, Some(q98Sql)))
 }

@@ -116,6 +116,28 @@ object StreamingIngest {
     runAvailableNow(spark, joined, "graft_attr_", outputMode = "append")
   }
 
+  /** Native session_window aggregation through real
+    * MicroBatchExecution over the events table
+    * ([[StreamOps.sessionAgg]]): per-user inactivity-gap sessions,
+    * append mode — a session is emitted once the watermark (max event
+    * time - `watermarkSec`) passes its end, so the availableNow run
+    * returns exactly the CLOSED sessions; the trailing sessions within
+    * the watermark delay of the stream's end stay open and unemitted.
+    * The q99 oracle replays this as gaps-and-islands SQL (break when
+    * gap >= `gapSec`, end = last event + gap) filtered to
+    * session_end <= watermark. */
+  def sessionizedEvents(spark: SparkSession, sfDir: String,
+      gapSec: Long, watermarkSec: Long): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"), col("value"))
+    val agg = StreamOps.sessionAgg(stream, "user_id", "sec",
+      gap = s"$gapSec seconds", watermarkDelay = s"$watermarkSec seconds")
+    runAvailableNow(spark, agg, "graft_sess_", outputMode = "append")
+  }
+
   /** Run a streaming query to completion through a transient memory
     * sink and return a DETACHED batch copy. Detach + dropTempView (on
     * the error path too): the memory sink's collected rows and catalog

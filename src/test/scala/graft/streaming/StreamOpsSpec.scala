@@ -51,6 +51,53 @@ class StreamOpsSpec extends AnyFunSuite {
       s"unexpected closed-session set: ${out.mkString("; ")}")
   }
 
+  test("session_window watermark boundary: a session ending EXACTLY at the watermark is emitted") {
+    // pins the emission predicate the q99 oracle replays as
+    // `session_end <= watermark`: gap 30 + watermark 10, user 1's
+    // session is [100, 130); the far event at 140 advances the
+    // watermark to exactly 130. If Spark's predicate were strict (<),
+    // this session would stay open and the oracle would need `<`.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swb").toString
+    Seq((1L, 100L, 1.0), (2L, 140L, 9.0))
+      .toDF("user_id", "sec", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def stream = spark.readStream
+      .schema("user_id LONG, sec LONG, value DOUBLE")
+      .parquet(s"$tmp/in")
+    runOnce(s"$tmp/out", s"$tmp/chk")(
+      StreamOps.sessionAgg(stream, "user_id", "sec",
+        gap = "30 seconds", watermarkDelay = "10 seconds"))
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "session_start", "session_end")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 100L, 130L)),
+      s"expected the end==watermark session emitted, got: $out")
+  }
+
+  test("session_window gap boundary: an event EXACTLY gap seconds after the last one merges") {
+    // the second predicate the q99 oracle replays: Spark merges
+    // TOUCHING windows ([100,130) + [130,160) -> one session
+    // [100,160)), so the gaps-and-islands break condition is
+    // `diff > gap`, not `>=`. Found the hard way: sf0.1 has exactly
+    // one user with consecutive events 21600s apart and the `>=`
+    // oracle came out one session high.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sgb").toString
+    Seq((1L, 100L, 1.0), (1L, 130L, 2.0), (2L, 10000L, 9.0))
+      .toDF("user_id", "sec", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def stream = spark.readStream
+      .schema("user_id LONG, sec LONG, value DOUBLE")
+      .parquet(s"$tmp/in")
+    runOnce(s"$tmp/out", s"$tmp/chk")(
+      StreamOps.sessionAgg(stream, "user_id", "sec",
+        gap = "30 seconds", watermarkDelay = "10 seconds"))
+    val out = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 100L, 160L, 2L)),
+      s"expected one merged session [100,160) with 2 events, got: $out")
+  }
+
   test("stream-stream interval join attributes clicks within the delay bound") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
     Seq((10L, 7L, 1000L), (11L, 7L, 2000L), (12L, 8L, 3000L))
