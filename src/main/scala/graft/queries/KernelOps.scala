@@ -295,7 +295,9 @@ object KernelOps {
         HtmlExtract.locationUdf($"html").as("location"),
         HtmlExtract.salaryTextUdf($"html").as("salary_text"),
         HtmlExtract.contractTypeUdf($"html").as("contract_type"))
-      .orderBy($"id")
+    // no ORDER BY: the driver compare row-sorts both sides, and a
+    // global sort of 150k wide string rows only burns bench time
+    // (CLAUDE.md oracle conventions)
   }
 
   private val DescText =
@@ -328,7 +330,7 @@ object KernelOps {
           CASE WHEN par = 0 THEN amt || ' FCFA' ELSE amt::VARCHAR END AS salary_text,
           CASE WHEN m = 6 THEN 'Non spécifié' ELSE ([$contracts])[m + 1] END
             AS contract_type
-        FROM base ORDER BY id"""
+        FROM base"""
   }
 
   // ---------------------------------------------------------------- q61
