@@ -130,15 +130,27 @@ object TextAnalysis {
 
   /** Stratified hash-sampling: keep a row iff its [[sampleBucket]]
     * falls under its stratum's percentage. Map-side only — no shuffle,
-    * no RNG state; rates ride along as a broadcast-literal map. */
+    * no RNG state; rates ride along as a broadcast-literal map.
+    *
+    * The `stratum` expression may be expensive (e.g. [[langId]]'s
+    * marker-scan classifier), and Catalyst pushes the keep-predicate
+    * through the projection — staging the stratum as a column would
+    * just be re-inlined into the filter. The lever that actually cuts
+    * work is the bucket bounds: `bucket < min(rates)` always keeps and
+    * `bucket >= max(rates)` always drops regardless of stratum, and
+    * And/Or codegen short-circuits left-to-right, so the classifier
+    * runs in the filter only on the undecided bucket band (and in the
+    * projection only on kept rows). */
   def stratifiedHashSample(df: DataFrame, idCol: String, stratum: Column,
       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
     val rate = coalesce(
       element_at(typedLit(ratesPct), stratum).cast("long"),
       lit(defaultPct.toLong))
+    val allRates = ratesPct.values.toSeq :+ defaultPct
     df.withColumn("stratum", stratum)
       .withColumn("bucket", sampleBucket(col(idCol)))
-      .where(col("bucket") < rate)
+      .where(col("bucket") < lit(allRates.min.toLong) ||
+        (col("bucket") < lit(allRates.max.toLong) && col("bucket") < rate))
   }
 
   /** Sequence packing accounting for LLM pretraining (concat-then-chunk:

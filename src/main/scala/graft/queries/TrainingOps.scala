@@ -17,10 +17,12 @@ object TrainingOps {
   private val SampleRates = Map("en" -> 50, "fr" -> 30)
   private val DefaultRate = 10
 
-  /** Deterministic stratified hash-sample by predicted language. */
+  /** Deterministic stratified hash-sample by predicted language.
+    * Spread: the langId kernel over a single-file scan would otherwise
+    * run on one core (SCALE.md). */
   private def q43(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.stratifiedHashSample(
-      table(s, dir, "documents"), "doc_id",
+      graft.Engine.spread(table(s, dir, "documents")), "doc_id",
       TextAnalysis.langId(col("text")), SampleRates, DefaultRate)
       .select(col("doc_id"), col("stratum"), col("bucket"))
       .orderBy(col("doc_id"))
