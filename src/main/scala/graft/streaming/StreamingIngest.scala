@@ -144,10 +144,27 @@ object StreamingIngest {
     * entry would otherwise leak for the session lifetime, and
     * downstream writes must not race the sink. Sound only for results
     * that are small — one row per group in the complete-mode
-    * aggregation uses, bounded match sets in the append-mode join use. */
+    * aggregation uses, bounded match sets in the append-mode join use.
+    *
+    * State partitions are scoped to [[StatePartitions]] for the run:
+    * every stateful operator commits one state store (four for a
+    * stream-stream join) per shuffle partition per batch, so at the
+    * session default (= cores) the snapshot/commit file IO dominates
+    * these bounded runs. The partition count is baked into a
+    * checkpoint at its first batch — these runs use transient
+    * checkpoints, so scoping the conf around start() is sound; a
+    * production restart-from-checkpoint keeps whatever the checkpoint
+    * was created with. Restored in the same finally as the sink
+    * cleanup (queries run one-at-a-time per session — Bench/Verify
+    * reset between queries). */
+  private val StatePartitions = "8"
+
   private def runAvailableNow(spark: SparkSession, agg: DataFrame,
       namePrefix: String, outputMode: String = "complete"): DataFrame = {
     val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val priorParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, StatePartitions)
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -159,6 +176,9 @@ object StreamingIngest {
       val sinkSchema = spark.table(name).schema
       val rows = spark.table(name).collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
-    } finally spark.catalog.dropTempView(name)
+    } finally {
+      spark.conf.set(partsKey, priorParts)
+      spark.catalog.dropTempView(name)
+    }
   }
 }
