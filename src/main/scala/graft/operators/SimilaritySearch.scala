@@ -81,7 +81,10 @@ object SimilaritySearch {
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, seed: Long = 42L,
       scope: graft.CacheScope = graft.CacheScope.unmanaged): IvfIndex = {
-    val feats = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // spread: the toVec/transform UDF kernels over a single-file
+    // corpus scan would otherwise fill the index on one core (SCALE.md)
+    val feats = graft.Engine.spread(corpus)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", toVec(col("vec")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(20).fit(feats)
@@ -119,9 +122,12 @@ object SimilaritySearch {
       }
       best
     })
-    val assigned = scope.pin(corpus.select(col(idCol).as("id"),
-      col(vecCol).as("vec"), l2Norm(col(vecCol)).as("norm"),
-      assignU(transform(col(vecCol), x => x.cast("double"))).as("bucket")))
+    // spread before the assignment UDF — same single-core-fill trap
+    // as [[ivfIndex]]
+    val assigned = scope.pin(graft.Engine.spread(corpus)
+      .select(col(idCol).as("id"),
+        col(vecCol).as("vec"), l2Norm(col(vecCol)).as("norm"),
+        assignU(transform(col(vecCol), x => x.cast("double"))).as("bucket")))
     IvfIndex(assigned, centroids)
   }
 
@@ -140,9 +146,11 @@ object SimilaritySearch {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
-    val cand = graft.Engine.spread(index.assigned.select(col("id").as("cand_id"),
+    // the index is spread at build time (ivfIndex/ivfAssign), so the
+    // cached assignment already carries full parallelism — no re-spread
+    val cand = index.assigned.select(col("id").as("cand_id"),
       col("vec").as("c_vec"), col("norm").as("c_norm"),
-      col("bucket")))
+      col("bucket"))
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
@@ -222,8 +230,11 @@ object SimilaritySearch {
         }
         best
       })
-    val codes = scope.pin(corpus.select(col(idCol).as("id"),
-      encode(transform(col(vecCol), x => x.cast("double"))).as("codes")))
+    // spread before the encode UDF — the per-row argmin kernel over a
+    // single-file corpus scan would otherwise fill on one core
+    val codes = scope.pin(graft.Engine.spread(corpus)
+      .select(col(idCol).as("id"),
+        encode(transform(col(vecCol), x => x.cast("double"))).as("codes")))
     codes.count()
     PqIndex(codes, codebooks)
   }

@@ -123,8 +123,9 @@ object StreamingIngest {
     * time - `watermarkSec`) passes its end, so the availableNow run
     * returns exactly the CLOSED sessions; the trailing sessions within
     * the watermark delay of the stream's end stay open and unemitted.
-    * The q99 oracle replays this as gaps-and-islands SQL (break when
-    * gap >= `gapSec`, end = last event + gap) filtered to
+    * The q99 oracle replays this as gaps-and-islands SQL (break only
+    * when the gap STRICTLY exceeds `gapSec` — touching windows MERGE,
+    * StreamOpsSpec pins it; end = last event + gap) filtered to
     * session_end <= watermark. */
   def sessionizedEvents(spark: SparkSession, sfDir: String,
       gapSec: Long, watermarkSec: Long): DataFrame = {
@@ -165,20 +166,24 @@ object StreamingIngest {
     val partsKey = "spark.sql.shuffle.partitions"
     val priorParts = spark.conf.get(partsKey)
     spark.conf.set(partsKey, StatePartitions)
-    val q = agg.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // start() is inside the try: a start-time AnalysisException must
+    // still restore the session's partition conf (Verify/Bench catch
+    // per-query failures and keep going in the same session)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q = agg.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
       val sinkSchema = spark.table(name).schema
       val rows = spark.table(name).collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
     } finally {
       spark.conf.set(partsKey, priorParts)
-      spark.catalog.dropTempView(name)
+      if (q != null) spark.catalog.dropTempView(name)
     }
   }
 }
