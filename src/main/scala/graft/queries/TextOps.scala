@@ -159,7 +159,8 @@ object TextOps {
   private def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scores = TextAnalysis.langScores($"text")
-    table(s, dir, "documents")
+    // spread: marker-scan kernels over a single-file scan (SCALE.md)
+    graft.Engine.spread(table(s, dir, "documents"))
       .select($"doc_id" +: TextAnalysis.langId($"text").as("pred_lang") +:
         scores.map { case (n, c) => c.as(n) }: _*)
       .orderBy($"doc_id")
@@ -176,7 +177,8 @@ object TextOps {
 
   /** Quality scoring: token counts, distinct ratio, stopword ratio. */
   private def q22(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.qualityScore(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val q22Sql = {
@@ -196,7 +198,8 @@ object TextOps {
 
   /** Token accounting: whitespace tokens, BPE-ish pieces, chars. */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tokenStats(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.tokenStats(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val q23Sql =
@@ -210,7 +213,8 @@ object TextOps {
 
   /** Canonical-text fingerprints. */
   private def q24(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.fingerprints(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val q24Sql = {

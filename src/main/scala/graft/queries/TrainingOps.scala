@@ -76,7 +76,8 @@ object TrainingOps {
 
   /** PII match counting + redaction accounting. */
   private def q45(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.piiScrub(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.piiScrub(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val q45Sql = {
@@ -130,7 +131,8 @@ object TrainingOps {
   /** Intra-doc repetition signals (Gopher-style): dup and modal-gram
     * fractions over 3-grams. */
   private def q55(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.repetitionStats(table(s, dir, "documents"), "doc_id", "text", RepN)
+    TextAnalysis.repetitionStats(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text", RepN)
       .orderBy(col("id"))
 
   private val q55Sql = {
