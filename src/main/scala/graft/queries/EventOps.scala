@@ -264,7 +264,7 @@ object EventOps {
     * column (get_json_object — no fixed schema needed) and aggregate
     * per event type. Pure map-stage extraction + one hash agg. */
   private def q88(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
+    graft.Engine.spread(table(s, dir, "events"))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))

@@ -44,7 +44,7 @@ object TextOps {
 
   /** Exact dedup by content digest (hash-groupBy; one shuffle). */
   private def q16(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+    Dedup.exact(graft.Engine.spread(table(s, dir, "documents")), "doc_id", "text")
       .orderBy(col("digest"))
 
   private val q16Sql =
@@ -55,7 +55,8 @@ object TextOps {
     * comma-joined string (the driver's comparator sorts rows by every
     * output column, which array-typed cells break). */
   private def q17(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(table(s, dir, "documents"), "doc_id", "text", MinhashK)
+    Dedup.minhashSignatures(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text", MinhashK)
       .select(col("doc_id"),
         concat_ws(",", transform(col("sig"), x => x.cast("string"))).as("sig"))
       .orderBy(col("doc_id"))
@@ -113,7 +114,8 @@ object TextOps {
 
   /** SimHash (32-bit) per document. */
   private def q19(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", SimhashBits)
+    Dedup.simhash(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text", SimhashBits)
       .orderBy(col("id"))
 
   private val q19Sql = {

@@ -103,7 +103,7 @@ object TrainingOps {
     * benchmark; stats = each doc's 5-gram overlap with its universe. */
   private def q54(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.contaminationStats(
-      table(s, dir, "documents"), "doc_id", "text",
+      graft.Engine.spread(table(s, dir, "documents")), "doc_id", "text",
       table(s, dir, "documents").where(col("doc_id") % 50 === 0), "text",
       DecontamN)
       .orderBy(col("id"))
@@ -160,7 +160,8 @@ object TrainingOps {
     * filter (a scan + tiny agg + broadcast-filter scan; no corpus
     * shuffle), the shape that survives any corpus size. */
   private def q57(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.qualityScore(table(s, dir, "documents"), "doc_id", "text")
+    val scored = TextAnalysis.qualityScore(
+        graft.Engine.spread(table(s, dir, "documents")), "doc_id", "text")
       .select(col("doc_id"), col("quality"))
     val threshold = scored.agg(
       expr("percentile(quality, 0.5)").as("p50"))
@@ -195,8 +196,8 @@ object TrainingOps {
     * the rest split the leftover; output is the per-source sampling
     * table a data loader consumes. */
   private def q58(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.mixtureWeights(table(s, dir, "documents"), "source", "text",
-        MixShares, MixBudget)
+    TextAnalysis.mixtureWeights(graft.Engine.spread(table(s, dir, "documents")),
+        "source", "text", MixShares, MixBudget)
       .orderBy(col("source"))
 
   private val q58Sql =
@@ -227,8 +228,8 @@ object TrainingOps {
   /** Overlapping token-window chunking (64-token windows, 16 overlap)
     * — the retrieval/embedding prep step. Shuffle-free generate. */
   private def q64(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.chunkDocuments(table(s, dir, "documents"), "doc_id", "text",
-        ChunkTokens, ChunkOverlap)
+    TextAnalysis.chunkDocuments(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
       .orderBy(col("id"), col("chunk_idx"))
 
   private val q64Sql = {
@@ -312,7 +313,8 @@ object TrainingOps {
 
   /** Unigram-LM surprisal (perplexity-filter stand-in). */
   private def q67(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+    TextAnalysis.unigramSurprisal(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text")
       .orderBy(col("id"))
 
   private val q67Sql =
