@@ -139,7 +139,7 @@ object Dedup {
     }
     def scored(cand: DataFrame, jaccard: Column): DataFrame =
       cand.select(col("id_a"), col("id_b"),
-          round(jaccard + 1e-9, 6).as("jaccard"))
+          graft.queries.roundSafe(jaccard, 6).as("jaccard"))
         .where(col("jaccard") >= threshold)
 
     def bitmap(vocab: Array[Long]): DataFrame =
@@ -433,7 +433,8 @@ object Dedup {
       .join(newToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(corpusToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
-        round(graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")) + 1e-9, 6)
+        graft.queries.roundSafe(
+          graft.functions.ArrayOps.sortedJaccard(col("toks_a"), col("toks_b")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -534,7 +535,8 @@ object Dedup {
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"),
-        round(graft.functions.ArrayOps.sortedJaccard(col("sh_a"), col("sh_b")) + 1e-9, 6)
+        graft.queries.roundSafe(
+          graft.functions.ArrayOps.sortedJaccard(col("sh_a"), col("sh_b")), 6)
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

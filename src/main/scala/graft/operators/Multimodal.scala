@@ -43,6 +43,14 @@ object Multimodal {
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]]
+    /** Batch decode seam: real codecs override with vectorized / GPU /
+      * JNI-amortized decode; the default just maps the scalar form, so
+      * [[extractFeatures]]' batching costs nothing when no batch
+      * implementation exists. Must return one vector per input, in
+      * order. */
+    def decodeFeaturesBatch(items: Seq[(String, Array[Byte])],
+        dim: Int): Seq[Array[Float]] =
+      items.map { case (kind, bytes) => decodeFeatures(kind, bytes, dim) }
   }
 
   /** STUB codec — a deterministic fake standing in for real image/audio
@@ -92,8 +100,11 @@ object Multimodal {
 
   /** Batched feature extraction: range-partition on id (spread skewed
     * payload sizes), then decode per-partition in fixed-size batches —
-    * the JVM analogue of mapInPandas with a bounded batch, keeping peak
-    * memory at batchSize payloads per task. */
+    * the JVM analogue of mapInPandas with a bounded batch. The batch
+    * buffers AT MOST batchSize payloads per task (that is its memory
+    * cost, not a saving — a scalar loop would hold one) in exchange for
+    * the [[MediaCodec.decodeFeaturesBatch]] vectorization seam: real
+    * codecs amortize model/library init or offload whole batches. */
   def extractFeatures(media: DataFrame, codec: MediaCodec, dim: Int,
       numPartitions: Int = 0, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -112,8 +123,10 @@ object Multimodal {
         val bytes = if (ir.isNullAt(2)) Array.emptyByteArray else ir.getBinary(2)
         (id, kind, bytes)
       }.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { case (id, kind, bytes) =>
-          Row(id, kind, codec.decodeFeatures(kind, bytes, dim))
+        val feats = codec.decodeFeaturesBatch(
+          batch.map { case (_, kind, bytes) => (kind, bytes) }, dim)
+        batch.iterator.zip(feats.iterator).map {
+          case ((id, kind, _), f) => Row(id, kind, f)
         }
       }
     }
@@ -148,6 +161,8 @@ object Multimodal {
   /** Deterministic frame sampling: one output row per kept frame,
     * exploded per-partition (no payload shuffle). */
   def sampleFrames(media: DataFrame, codec: MediaCodec, everyNth: Int): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth " +
+      "(0 divides by zero inside executor tasks; negatives keep only frame 0)")
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -103,14 +103,22 @@ object Scd2 {
     mergeHistoryKeepTie(priorHist, batch, entityCol, tsCol, tieCol, attrCol)
       .drop("__tie")
 
-  /** Batch rows that violate [[mergeHistory]]'s append-only contract:
-    * rows whose (ts, tie) does not sort strictly after every prior
-    * event of their entity. The prior side needs only the LATEST
-    * version per entity — its valid_from/__tie is the entity's max
-    * prior (ts, tie) by construction (later events always reopen a
-    * version). One small aggregation over priorHist plus one
-    * entity-keyed equi-join; empty result ⇒ the merge is sound.
-    * Null-safe on the entity key, like the merge's own joins. */
+  /** Batch rows that violate [[mergeHistory]]'s append-only contract
+    * AS WITNESSED BY the collapsed history: rows whose (ts, tie) does
+    * not sort strictly after the entity's latest version's
+    * (valid_from, __tie). NECESSARY but not SUFFICIENT for the full
+    * contract: history() collapses same-attr runs, so a prior event
+    * that did not open a version (same value as its predecessor)
+    * leaves no trace here — a batch row landing between the last
+    * CHANGE and a later run-interior event passes this check, and the
+    * merge then diverges from a recompute over the RAW event log
+    * (while still equaling a recompute over the collapsed prior
+    * events, which is all this table can witness). Guard against that
+    * residual case upstream, e.g. with a per-entity max-event-ts
+    * watermark carried beside the history. One small aggregation over
+    * priorHist plus one entity-keyed equi-join; empty result ⇒ the
+    * merge is sound relative to collapsed priors. Null-safe on the
+    * entity key, like the merge's own joins. */
   def appendOnlyViolations(
       priorHist: DataFrame,
       batch: DataFrame,

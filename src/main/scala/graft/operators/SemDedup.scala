@@ -70,13 +70,19 @@ object SemDedup {
     val kept = e.join(drops, col("vid") === col("drop_id"), "left_anti")
     val cents = centroids(df, clusterCol, vecCol)
       .withColumn("cnrm", SimilaritySearch.l2Norm(col("centroid")))
-    val keptStats = kept.join(broadcast(cents), "cl")
+    // null-SAFE joins throughout: a null cluster key is a legitimate
+    // group (groupBy keeps it, dropIds' equi-join never drops from it),
+    // but equi-joining on cl would exclude it from keptStats and then
+    // report its rows as 100% dropped when none were
+    val keptStats = kept.join(broadcast(cents.withColumnRenamed("cl", "__c_cl")),
+        col("cl") <=> col("__c_cl"))
       .withColumn("ccos", when(col("nrm") * col("cnrm") === 0.0, 0.0)
         .otherwise(SimilaritySearch.dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))))
       .groupBy(col("cl"))
       .agg(count(lit(1)).as("n_kept"), avg(col("ccos")).as("mean_cent_cos"))
+      .withColumnRenamed("cl", "__k_cl")
     e.groupBy(col("cl")).agg(count(lit(1)).as("n"))
-      .join(keptStats, Seq("cl"), "left")
+      .join(keptStats, col("cl") <=> col("__k_cl"), "left")
       .select(col("cl"), col("n"),
         (col("n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -37,12 +37,18 @@ object Stats {
     * anything wider than the group key. */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String, k: Double): DataFrame = {
     val v = col(valueCol).cast("double")
+    // null-SAFE join-backs: groupBy keeps a null group, so the medians
+    // exist for it — an equi-join would silently drop its rows from the
+    // output (groupedRegression reports the null group; so must this)
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withMed = df.select(col(groupCol), v.as("__v")).join(broadcast(med), groupCol)
+      .withColumnRenamed(groupCol, "__g_med")
+    val withMed = df.select(col(groupCol), v.as("__v"))
+      .join(broadcast(med), col(groupCol) <=> col("__g_med")).drop("__g_med")
     val mad = withMed.groupBy(col(groupCol))
       .agg(expr("percentile(abs(__v - med), 0.5)").as("mad"))
-    withMed.join(broadcast(mad), groupCol)
+      .withColumnRenamed(groupCol, "__g_mad")
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__g_mad")).drop("__g_mad")
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),

@@ -168,7 +168,10 @@ object TextAnalysis {
     val toksN = wsTokenCount(col(textCol))
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), (col(idCol) % lit(nShards.toLong)).as("shard"),
+    // pmod, not %: hashed (xxhash64) ids are frequently negative, and
+    // `%` keeps the dividend's sign — 2*nShards-1 distinct shards and
+    // negative labels (sampleBucket/deterministicShuffle use pmod too)
+    df.select(col(idCol), pmod(col(idCol), lit(nShards.toLong)).as("shard"),
         toksN.as("n_tokens"))
       .withColumn("end_token", sum(col("n_tokens")).over(w))
       .withColumn("start_token", col("end_token") - col("n_tokens"))

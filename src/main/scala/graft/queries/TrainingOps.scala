@@ -57,7 +57,7 @@ object TrainingOps {
       .orderBy(col("doc_id"))
 
   private val q44Sql =
-    s"""WITH t AS (SELECT doc_id, doc_id % $NShards AS shard,
+    s"""WITH t AS (SELECT doc_id, ((doc_id % $NShards) + $NShards) % $NShards AS shard,
           len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0))::BIGINT
             AS n_tokens
           FROM documents),
