@@ -64,6 +64,43 @@ object Dedup {
         transform(tokenSet(col(textCol)), t => tokenHashMod(t)).as("__h"))
       .select(col(idCol), minhashFromHashes(col("__h"), k).as("sig"))
 
+  // ---- shared LSH banding machinery: the self-join
+  // ([[minhashLshPairs]]) and incremental ([[incrementalLshPairs]])
+  // paths must emit IDENTICAL candidate sets, so the token prep, band
+  // keys, and first-band-wins condition are defined exactly once ----
+
+  /** id + sorted distinct mod-P token hashes. Hash each distinct token
+    * ONCE; signatures and the verification Jaccard both work over the
+    * int64 hashes, re-distincted AFTER hashing (the 31-bit ring can
+    * collide within a document, and sortedJaccard requires set
+    * semantics — matching the oracle's list_distinct). Kept sorted for
+    * the codegen'd merge-walk Jaccard. */
+  private def lshToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      sort_array(array_distinct(
+        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
+
+  /** The nBands band-key strings of a k-long `sig` column. */
+  private def bandKeys(sig: Column, nBands: Int, bandsOf: Int): Column =
+    array((0 until nBands).map { b =>
+      concat_ws("_", (0 until bandsOf).map(r =>
+        element_at(sig, b * bandsOf + r + 1).cast("string")): _*)
+    }: _*)
+
+  /** FIRST-BAND-WINS pair-dedup condition over `sig_a`/`sig_b`/
+    * `band_idx`: true iff the pair already matched at a lower band.
+    * Slice-equality form: a compact expression tree — the fully
+    * unrolled element_at variant bloated the join-condition codegen
+    * enough to cost ~1 µs/probe; array-slice equality is ~5x cheaper. */
+  private def sharedEarlierBand(nBands: Int, bandsOf: Int): Column = {
+    def bandEq(b: Int): Column =
+      slice(col("sig_a"), b * bandsOf + 1, bandsOf) ===
+        slice(col("sig_b"), b * bandsOf + 1, bandsOf)
+    (1 until nBands).map { bi =>
+      col("band_idx") === bi && (0 until bi).map(bandEq).reduce(_ || _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * bandsOf rows per band; docs sharing any full band become candidate
@@ -79,14 +116,7 @@ object Dedup {
       k: Int, bandsOf: Int, threshold: Double,
       encoding: LshEncoding = LshEncoding.MergeWalk): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
-    // hash each distinct token ONCE; signatures and the verification
-    // Jaccard both work over the mod-P int64 hashes, re-distincted
-    // AFTER hashing (the 31-bit ring can collide within a document,
-    // and sortedJaccard requires set semantics — matching the oracle's
-    // list_distinct). Kept sorted for the codegen'd merge-walk Jaccard.
-    val toks = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(
-        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
+    val toks = lshToks(df, idCol, textCol)
     val sigs = toks.select(col("id"), col("toks"), minhashFromHashes(col("toks"), k).as("sig"))
     val nBands = k / bandsOf
 
@@ -103,24 +133,13 @@ object Dedup {
       graft.Engine.spread(pre)
         .select(
         (Seq(col("id"), col("sig")) ++ extra.map(col) :+
-          posexplode(array((0 until nBands).map { b =>
-            concat_ws("_", (0 until bandsOf).map(r =>
-              element_at(col("sig"), b * bandsOf + r + 1).cast("string")): _*)
-          }: _*)).as(Seq("band_idx", "band_key"))): _*)
+          posexplode(bandKeys(col("sig"), nBands, bandsOf))
+            .as(Seq("band_idx", "band_key"))): _*)
     def sideCols(side: String, extra: Seq[String]) =
       Seq(col("band_idx"), col("band_key"), col("id").as(s"id_$side"),
         col("sig").as(s"sig_$side")) ++
         extra.map(c => col(c).as(s"${c}_$side"))
-    // Slice-equality form: a compact expression tree. The fully
-    // unrolled element_at variant bloated the join-condition codegen
-    // enough to cost ~1 µs/probe; array-slice equality is ~5x cheaper.
-    def bandEq(b: Int): Column =
-      slice(col("sig_a"), b * bandsOf + 1, bandsOf) ===
-        slice(col("sig_b"), b * bandsOf + 1, bandsOf)
-    val sharedEarlierBand: Column =
-      (1 until nBands).map { bi =>
-        col("band_idx") === bi && (0 until bi).map(bandEq).reduce(_ || _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
+    val dupBand = sharedEarlierBand(nBands, bandsOf)
 
     // Verification encoding is chosen from corpus statistics (the
     // adaptive-engine move: one cheap partial-agg pass decides the
@@ -135,7 +154,7 @@ object Dedup {
       bands.select(sideCols("a", maskCols): _*)
         .join(bands.select(sideCols("b", maskCols): _*),
           Seq("band_idx", "band_key"))
-        .where(col("id_a") < col("id_b") && !sharedEarlierBand)
+        .where(col("id_a") < col("id_b") && !dupBand)
     }
     def scored(cand: DataFrame, jaccard: Column): DataFrame =
       cand.select(col("id_a"), col("id_b"),
@@ -404,31 +423,19 @@ object Dedup {
       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     val nBands = k / bandsOf
-    def toksOf(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(
-        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
     def bandsOfSide(toks: DataFrame, side: String): DataFrame =
       graft.Engine.spread(toks
         .select(col("id"), minhashFromHashes(col("toks"), k).as("sig")))
         .select(
           col("id").as(s"id_$side"), col("sig").as(s"sig_$side"),
-          posexplode(array((0 until nBands).map { b =>
-            concat_ws("_", (0 until bandsOf).map(r =>
-              element_at(col("sig"), b * bandsOf + r + 1).cast("string")): _*)
-          }: _*)).as(Seq("band_idx", "band_key")))
-    def bandEq(b: Int): Column =
-      slice(col("sig_a"), b * bandsOf + 1, bandsOf) ===
-        slice(col("sig_b"), b * bandsOf + 1, bandsOf)
-    val sharedEarlierBand: Column =
-      (1 until nBands).map { bi =>
-        col("band_idx") === bi && (0 until bi).map(bandEq).reduce(_ || _)
-      }.reduceOption(_ || _).getOrElse(lit(false))
+          posexplode(bandKeys(col("sig"), nBands, bandsOf))
+            .as(Seq("band_idx", "band_key")))
 
-    val newToks = toksOf(newDf)
-    val corpusToks = toksOf(corpusDf)
+    val newToks = lshToks(newDf, idCol, textCol)
+    val corpusToks = lshToks(corpusDf, idCol, textCol)
     bandsOfSide(newToks, "a")
       .join(bandsOfSide(corpusToks, "b"), Seq("band_idx", "band_key"))
-      .where(col("id_a") =!= col("id_b") && !sharedEarlierBand)
+      .where(col("id_a") =!= col("id_b") && !sharedEarlierBand(nBands, bandsOf))
       .select(col("id_a"), col("id_b"))
       .join(newToks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(corpusToks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
