@@ -8,6 +8,33 @@ import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
+/** Shared analysis-time type check for the primitive-long-array
+  * kernels (merge walk, bitmap popcount, simhash votes).
+  *
+  * NULL ELEMENTS: these kernels read primitive slots without isNullAt —
+  * a null element is silently seen as 0. containsNull=true is still
+  * accepted because lambda-built arrays (transform over a nullable
+  * input) are STATICALLY nullable even when provably null-free, and
+  * every in-repo producer (null-filtered token prep, bitmap encoding,
+  * minhash signatures) cannot emit null elements. New producers must
+  * preserve that guarantee — enforced here in one place by contract,
+  * not per copy-pasted check. */
+private[functions] object KernelTypeCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  def longArrays(name: String, exprs: Expression*): TypeCheckResult = {
+    val ok = exprs.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<bigint> inputs, got " +
+        exprs.map(_.dataType.simpleString).mkString(" and "))
+  }
+}
+
 /** Intersection size of two SORTED int64 arrays via a linear merge
   * walk — a custom Catalyst expression with full codegen.
   *
@@ -26,17 +53,8 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.types.{ArrayType, LongType}
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"sorted_long_intersect_size expects two array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeCheck.longArrays("sorted_long_intersect_size", left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -91,17 +109,8 @@ case class BitmapJaccard(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.types.{ArrayType, LongType}
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"bitmap_jaccard expects two array<bigint> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KernelTypeCheck.longArrays("bitmap_jaccard", left, right)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

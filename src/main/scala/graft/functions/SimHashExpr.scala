@@ -15,16 +15,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class SimHashFromHashes(child: Expression, bits: Int) extends UnaryExpression {
 
+  // silently-wrong otherwise: `1L << 64` wraps to bit 0 (shift counts
+  // are mod 64), double-counting votes; bits <= 0 hashes everything to 0
+  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash_from_hashes expects array<bigint>, got ${other.simpleString}")
-    }
+    KernelTypeCheck.longArrays("simhash_from_hashes", child)
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
@@ -51,12 +49,16 @@ case class SimHashFromHashes(child: Expression, bits: Int) extends UnaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i"); val j = ctx.freshName("jj")
       val h = ctx.freshName("h")
+      // vote counters hoisted to mutable state: a per-row `new int[64]`
+      // in the whole-stage-codegen loop is pure allocation/GC pressure
+      val cnt = ctx.addMutableState("int[]", "simhashCnt",
+        v => s"$v = new int[$bits];", forceInline = true)
       s"""
          |final int $n = $a.numElements();
-         |final int[] $cnt = new int[$bits];
+         |java.util.Arrays.fill($cnt, 0);
          |for (int $i = 0; $i < $n; $i++) {
          |  final long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $bits; $j++) {

@@ -71,8 +71,11 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** Occurrence count of literal `marker` in `c` via length arithmetic —
-    * chosen over regexp so any SQL engine replays it identically. */
+  /** Occurrence count of literal `marker` in `c` — the codegen'd
+    * [[StringOps.substringCount]] find-walk. The DuckDB mirror
+    * ([[sqlOccurrences]]) uses length arithmetic instead; the two agree
+    * because both count left-to-right NON-OVERLAPPING matches
+    * (equivalence pinned by KernelPropertySpec). */
   def occurrences(c: Column, marker: String): Column = {
     require(marker.nonEmpty, "occurrence marker must be non-empty")
     StringOps.substringCount(c, lit(marker))
@@ -126,10 +129,14 @@ object TextFunctions {
     s"list_min(list_transform($hashedE, h -> ($a * h + $b) % $HashP))"
   }
 
-  /** SQL: occurrence count of literal `marker` (single-quote-safe). */
+  /** SQL: occurrence count of literal `marker` (single-quote-safe).
+    * Divisor = CODE POINTS (DuckDB length() semantics), not UTF-16
+    * units — a non-BMP marker char would otherwise halve the count. */
   def sqlOccurrences(e: String, marker: String): String = {
+    require(marker.nonEmpty, "occurrence marker must be non-empty")
     val m = marker.replace("'", "''")
-    s"CAST((length($e) - length(replace($e, '$m', ''))) / ${marker.length} AS BIGINT)"
+    val cp = marker.codePointCount(0, marker.length)
+    s"CAST((length($e) - length(replace($e, '$m', ''))) / $cp AS BIGINT)"
   }
 
   def sqlNormalize(e: String): String =

@@ -54,6 +54,19 @@ case class TopKPairs(
 
   require(k >= 1 && k <= (1 << 20), "k must be in [1, 2^20]")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = score.dataType == DoubleType && id.dataType == LongType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "top_k_pairs expects (double score, bigint id), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString}) — " +
+        "cast inputs (the TopKAgg.topK wrapper does)")
+  }
+
+  // NULL rows are DROPPED, not ranked: a SQL `ORDER BY score DESC, id
+  // LIMIT k` replay keeps null-score rows NULLS LAST when a group has
+  // fewer than k scored rows — oracles over nullable scores must add
+  // `WHERE score IS NOT NULL` to match (current callers are non-null)
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
