@@ -41,30 +41,47 @@ object Bench {
     val loadAvgStart = loadAvg
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      var warmOk = 0
       SparkEntry.queries.foreach { case (_, fn) =>
-        try exec(fn(spark, "/root/testdata/sf0.001"))
-        catch { case _: Throwable => }
+        try { exec(fn(spark, "/root/testdata/sf0.001")); warmOk += 1 }
+        catch { case scala.util.control.NonFatal(_) => }
+        // same between-query hygiene as the measured loop — warmup
+        // accumulating 100 queries of caches/scratch defeats itself
+        resetSession(spark)
       }
-      resetSession(spark)
+      // a silently absent sf0.001 dir (every warmup query throws
+      // instantly) would leave up-to-10x first-run codegen skew in the
+      // measured numbers with no visible signal
+      if (warmOk == 0) System.err.println(
+        "[bench] WARNING: warmup made zero successful runs — measured " +
+          "numbers include first-run JIT/codegen skew")
     }
 
     // median of three warm runs (the first at the measured SF still
     // pays size-specific JIT tiers and page-cache warming; the median
     // is robust to one-off machine-load spikes in either direction,
     // where a single cold pass made noise and regression
-    // indistinguishable — round-2 verdict). A query whose every
-    // iteration throws reports -1 — a fail-fast crash must not
-    // masquerade as a fast time.
+    // indistinguishable — round-2 verdict). A query with ANY failed
+    // iteration reports -1 — an intermittent crash must not masquerade
+    // as a (often fast, cache-light) valid median, and every failure
+    // is logged so the JSON's -1 is diagnosable without a re-run.
+    // Fatal errors (OOM etc.) propagate: "measuring" the remaining
+    // queries in a heap-thrashing JVM produces garbage that looks real.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        catch { case scala.util.control.NonFatal(e) =>
+          failed = true
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+        }
       }
       resetSession(spark)
       // upper median on even counts — deterministic, no interpolation
-      name -> (if (times.nonEmpty) times.sorted.apply(times.length / 2) else -1.0)
+      name -> (if (failed || times.isEmpty) -1.0 else times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,6 +21,12 @@ import org.apache.spark.storage.StorageLevel
   * the historical behavior (pins live until clearCache/JVM exit) while
   * holding no references — nothing accumulates in a queue nobody
   * drains.
+  *
+  * THREADING: pin and close are not mutually exclusive — a pin racing
+  * (or landing after) close leaves that persist tracked by a drained
+  * queue nobody closes again, recoverable only via global clearCache.
+  * Use one scope per operator call on one thread: finish every pin
+  * before close, like a file handle.
   */
 final class CacheScope {
   private val pinned =

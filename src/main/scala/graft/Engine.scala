@@ -34,6 +34,15 @@ object Engine {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate IGNORES every builder config when a session already
+    // exists in the JVM — a silent mismatch here means ns parquet reads
+    // throw, the optimizer extension is absent, and the core count lies.
+    // Fail loudly instead (the configs below are session-scoped, so a
+    // same-JVM second caller CAN differ only on master/extensions).
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true"
+        && spark.conf.get("spark.sql.extensions", "").contains("GraftExtensions"),
+      "pre-existing SparkSession lacks graft configs (nanosAsLong/extensions) — " +
+        "stop it before calling Engine.session")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

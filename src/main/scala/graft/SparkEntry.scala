@@ -13,11 +13,19 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def families: Seq[Q] =
-    Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++
-      DomainOps.all ++ TrainingOps.all ++ MatchOps.all ++ KernelOps.all ++
-      MediaOps.all ++ GraphOps.all ++ SearchOps.all ++ StatsOps.all ++
-      IndexOps.all
+  private def families: Seq[Q] = {
+    val fams =
+      Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++
+        DomainOps.all ++ TrainingOps.all ++ MatchOps.all ++ KernelOps.all ++
+        MediaOps.all ++ GraphOps.all ++ SearchOps.all ++ StatsOps.all ++
+        IndexOps.all
+    // toMap would silently DROP a name collision — the shadowed query
+    // would vanish from Bench, Verify and the oracle gate with the only
+    // symptom being a count nothing checks
+    val dup = fams.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    fams
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A composite over the documents corpus: quality-score the

@@ -11,6 +11,12 @@ object TimeQ {
     val (dir, queries) =
       if (args.nonEmpty && args.last.contains("/")) (args.last, args.dropRight(1))
       else ("/root/testdata/sf0.1", args)
+    require(queries.nonEmpty,
+      "usage: TimeQ <query>... [sfDir]  (a lone dir arg times nothing)")
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — relative sfDirs " +
+        "need a slash (e.g. ./sf0.01) or they parse as query names")
     for (q <- queries) {
       for (i <- 1 to iters) {
         val t0 = System.nanoTime()

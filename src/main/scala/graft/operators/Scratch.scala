@@ -59,9 +59,22 @@ object Scratch {
   def releaseAll(): Unit = {
     var e = dirs.poll()
     while (e != null) {
-      try e._1.delete(e._2, true) catch { case _: Throwable => () }
+      // JVM shutdown hooks run in undefined order: Hadoop may have
+      // closed the cached FileSystem already ("Filesystem closed"), so
+      // fall back to plain java.io deletion for local paths rather than
+      // leaking multi-GB dirs across crashed runs
+      try e._1.delete(e._2, true)
+      catch { case _: Throwable =>
+        if (e._2.toUri.getScheme == "file")
+          deleteLocal(new java.io.File(e._2.toUri.getPath))
+      }
       e = dirs.poll()
     }
+  }
+
+  private def deleteLocal(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteLocal))
+    f.delete()
   }
 
   /** One process-wide shutdown hook deleting every scratch dir via its
