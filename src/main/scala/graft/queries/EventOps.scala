@@ -35,7 +35,7 @@ object EventOps {
         $"event_type")
       .agg(
         count(lit(1)).as("cnt"),
-        round(sum($"value"), 2).as("sum_val"),
+        roundSafe(sum($"value"), 2).as("sum_val"),
         roundSafe(avg($"value"), 4).as("avg_val"))
       .orderBy($"hour_epoch", $"event_type")
   }
@@ -45,7 +45,7 @@ object EventOps {
                     FROM events)
        SELECT sec - sec % 3600 AS hour_epoch,
        event_type, count(*) AS cnt,
-       round(sum(value), 2) AS sum_val, round((avg(value)) + 1e-9, 4) AS avg_val
+       round(sum(value) + 1e-9, 2) AS sum_val, round((avg(value)) + 1e-9, 4) AS avg_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Sessionization: a 30-minute inactivity gap starts a new session
@@ -128,7 +128,7 @@ object EventOps {
     """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
                     FROM events)
        SELECT sec - (((sec % 86400) + 86400) % 86400) AS day_epoch,
-       event_type, count(*) AS cnt, round(sum(value), 2) AS sum_val
+       event_type, count(*) AS cnt, round(sum(value) + 1e-9, 2) AS sum_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Banded range join: events joined to per-user activity intervals
@@ -338,7 +338,7 @@ object EventOps {
 
   private lazy val q91Sql =
     """SELECT c_mktsegment, event_type, count(*)::BIGINT AS cnt,
-         round(sum(value), 2) AS sum_val
+         round(sum(value) + 1e-9, 2) AS sum_val
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2 ORDER BY 1, 2"""
 

@@ -195,14 +195,20 @@ object Deduplicate {
       maxBlockSize: Int = 0): DataFrame = {
     val prepared0 = prepare(jobs)
     // capping only affects PAIRING; the stage output keeps the real key
-    val prepared =
+    val capped =
       if (maxBlockSize <= 0) prepared0.withColumn("__pair_key", col("similarity_key"))
       else graft.operators.Skew
         .capBlocks(prepared0, col("similarity_key"), col("job_id"), maxBlockSize)
         .withColumnRenamed("__capped_block", "__pair_key")
+    // staged ONCE (the Matching.score idiom): this frame feeds the
+    // pair self-join (both sides), the flag join-back, and the
+    // keep-best ranking — left lazy, the prepare() UDF cascade
+    // (HTML/NLP/salary kernels when materialize=false upstream)
+    // re-executes ~6x in one action
+    val prepared = graft.operators.Scratch.stage(capped, "graft-dedup-prep")
     val pairs = duplicatePairs(
-      prepared.drop("similarity_key").withColumnRenamed("__pair_key", "similarity_key")
-        .withColumn("__pair_key", col("similarity_key")), threshold)
+      prepared.drop("similarity_key").withColumnRenamed("__pair_key", "similarity_key"),
+      threshold)
     val flagged = pairs.select(explode(array(col("job_id_1"), col("job_id_2"))).as("job_id"))
       .distinct()
     val withFlag = prepared.join(flagged.withColumn("is_dup", lit(true)), Seq("job_id"), "left")
@@ -230,7 +236,8 @@ object Deduplicate {
     * survivors as the window form (equivalence is tested). */
   def applySinglePass(jobs: DataFrame, threshold: Double = 0.7,
       clock: Option[java.sql.Timestamp] = None): DataFrame = {
-    val prepared = prepare(jobs)
+    // staged for the same multi-consumer reason as apply()
+    val prepared = graft.operators.Scratch.stage(prepare(jobs), "graft-dedup-prep")
     val pairs = duplicatePairs(prepared, threshold)
     val flagged = pairs.select(explode(array(col("job_id_1"), col("job_id_2"))).as("job_id"))
       .distinct()

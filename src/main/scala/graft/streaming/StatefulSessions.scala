@@ -47,7 +47,14 @@ object StatefulSessions {
           closed += ClosedSession(userId, s.start, s.last, s.n, s.sum)
           open = Some(OpenSession(e.sec, e.sec, 1, e.value))
         case Some(s) =>
-          open = Some(s.copy(last = e.sec, n = s.n + 1, sum = s.sum + e.value))
+          // min/max, not plain assignment: sorting is per-BATCH only, so
+          // a cross-batch late event (sec < state's last) must not move
+          // `last` backward (a later event would then measure its gap
+          // from the stale low-water mark and split a live session, and
+          // a closed session could emit end < start) nor leave `start`
+          // above the true earliest event
+          open = Some(s.copy(start = math.min(s.start, e.sec),
+            last = math.max(s.last, e.sec), n = s.n + 1, sum = s.sum + e.value))
         case None =>
           open = Some(OpenSession(e.sec, e.sec, 1, e.value))
       }

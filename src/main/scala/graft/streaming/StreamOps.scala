@@ -33,7 +33,12 @@ object StreamOps {
     * the impression it follows within `maxDelaySec`. Equi-join on the
     * impression id plus an event-time range — Spark buffers both sides
     * in watermark-bounded state; the time bound is what lets the state
-    * store evict (an unbounded stream-stream join would grow forever). */
+    * store evict (an unbounded stream-stream join would grow forever).
+    *
+    * Schema contract: `impressions` needs (imp_id, imp_sec) AND a
+    * `user_id` passthrough column; `clicks` needs (clk_imp_id, clk_sec)
+    * and must NOT carry `user_id` (the output select would be
+    * ambiguous). The attributedClicks caller aliases accordingly. */
   def clickAttribution(impressions: DataFrame, clicks: DataFrame,
       maxDelaySec: Long, watermarkDelay: String): DataFrame = {
     val imp = impressions

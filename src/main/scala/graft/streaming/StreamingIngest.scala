@@ -61,7 +61,7 @@ object StreamingIngest {
     val agg = stream
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
       .groupBy(window(col("event_time"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
+      .agg(count(lit(1)).as("cnt"), graft.queries.roundSafe(sum(col("value")), 2).as("sum_val"))
     val out = runAvailableNow(spark, agg, "graft_stream_")
     out.select(
       unix_timestamp(col("window.start")).as("day_epoch"),
@@ -85,7 +85,7 @@ object StreamingIngest {
     val agg = stream
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
+      .agg(count(lit(1)).as("cnt"), graft.queries.roundSafe(sum(col("value")), 2).as("sum_val"))
     runAvailableNow(spark, agg, "graft_enrich_")
   }
 
