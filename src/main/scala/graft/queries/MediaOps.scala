@@ -80,7 +80,11 @@ object MediaOps {
     * seeded wrapping-long fold and float32 lane accumulation exactly. */
   private def q100(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents").where($"text".isNotNull)
+    // spread: the regex/clip/encode projection below would otherwise
+    // run single-core below extractFeatures' range exchange (and twice
+    // — the RangePartitioner sampling job evaluates it too)
+    val docs = graft.Engine.spread(table(s, dir, "documents"))
+      .where($"text".isNotNull)
     val clipped = substring(regexp_replace($"text", "[^ -~]", ""), 1, FLen)
     val media = docs.select(
       $"doc_id".as("media_id"), lit("image").as("kind"),
@@ -126,7 +130,7 @@ object MediaOps {
         c AS (SELECT media_id, i, (i % $FDim)::INT AS lane,
                 CAST(CAST(a % 1000 AS BIGINT) AS REAL) / CAST(1000 AS REAL) AS contrib
               FROM acc WHERE i >= 0),
-        lanes AS (SELECT media_id, unnest([0,1,2,3]) AS lane FROM m),
+        lanes AS (SELECT media_id, unnest(range(0, $FDim)) AS lane FROM m),
         f AS (SELECT lanes.media_id, lanes.lane,
                 COALESCE(list_reduce(list_prepend(CAST(0 AS REAL),
                   list(contrib ORDER BY i) FILTER (contrib IS NOT NULL)),

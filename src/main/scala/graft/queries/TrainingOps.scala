@@ -52,8 +52,8 @@ object TrainingOps {
 
   /** Concat-then-chunk packing accounting, sharded. */
   private def q44(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.packSequences(table(s, dir, "documents"), "doc_id", "text",
-        CtxLen, NShards)
+    TextAnalysis.packSequences(graft.Engine.spread(table(s, dir, "documents")),
+        "doc_id", "text", CtxLen, NShards)
       .orderBy(col("doc_id"))
 
   private val q44Sql =
@@ -104,7 +104,8 @@ object TrainingOps {
   private def q54(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.contaminationStats(
       graft.Engine.spread(table(s, dir, "documents")), "doc_id", "text",
-      table(s, dir, "documents").where(col("doc_id") % 50 === 0), "text",
+      graft.Engine.spread(table(s, dir, "documents"))
+        .where(col("doc_id") % 50 === 0), "text",
       DecontamN)
       .orderBy(col("id"))
 
