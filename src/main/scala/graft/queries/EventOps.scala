@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Engine.table
+import graft.Engine.{events, table}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.StreamingIngest
 
@@ -12,14 +12,15 @@ import graft.streaming.StreamingIngest
   * bucketing, sessionization (gaps-and-islands), backward as-of join,
   * and a real Structured-Streaming windowed aggregation.
   *
-  * Timestamps are ns-precision in the parquet; every output reduces
-  * them to BIGINT epoch seconds so both engines hash identically.
-  */
+  * Event-time reads go through [[graft.Engine.events]], which
+  * normalizes `ts` to ns-since-epoch LONG whatever the parquet
+  * encoding (raw int64 ns or TIMESTAMP micros — Engine.epochNs);
+  * every output reduces it to BIGINT epoch seconds with exact integer
+  * arithmetic so both engines hash identically. */
 object EventOps {
 
-  /** events.ts arrives as ns-since-epoch LONG (nanosAsLong); reduce to
-    * epoch seconds with exact integer division (`div`) — no float drift
-    * at second boundaries on either engine. */
+  /** Normalized ns-long → epoch seconds with exact integer division
+    * (`div`) — no float drift at second boundaries on either engine. */
   private def epochSec(colName: String): Column = expr(s"$colName div 1000000000")
 
   /** Event-time bucketing: per (hour, type) counts and value sums —
@@ -27,7 +28,7 @@ object EventOps {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sec = epochSec("ts")
-    table(s, dir, "events")
+    events(s, dir)
       .groupBy(
         // sign-keeping % (not pmod): matches DuckDB's % for pre-epoch
         // timestamps, so both engines bucket negatives identically
@@ -52,7 +53,7 @@ object EventOps {
     * (gaps-and-islands via lag + running sum; one shuffle on user_id). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = table(s, dir, "events")
+    val ev = events(s, dir)
       .select($"user_id", $"event_id", epochSec("ts").as("sec"))
     val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
     ev
@@ -89,7 +90,7 @@ object EventOps {
     * native ASOF LEFT JOIN). */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = table(s, dir, "events")
+    val ev = events(s, dir)
       .select($"event_id", $"user_id", $"event_type", epochSec("ts").as("sec"))
     val purchases = ev.where($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"sec")
@@ -136,7 +137,7 @@ object EventOps {
     * bucket) + residual BETWEEN, not a nested-loop theta join. */
   private def q41(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = table(s, dir, "events")
+    val ev = events(s, dir)
       .select($"user_id", $"event_id", epochSec("ts").as("sec"))
     val intervals = ev.groupBy($"user_id")
       .agg(min($"sec").as("lo"))
@@ -233,7 +234,7 @@ object EventOps {
     * engine-portable; the bound is). Day→ns arithmetic is exact
     * integer math on the raw ns longs. */
   private def q87(s: SparkSession, dir: String): DataFrame = {
-    val e = table(s, dir, "events").select(col("user_id"),
+    val e = events(s, dir).select(col("user_id"),
       // ns-long → epoch days → month bucket. `div`, not `/`: Spark's
       // `/` on longs is DOUBLE division (ulp ~256 ns at 2024-epoch
       // magnitudes), so a ts within a few hundred ns of a boundary
@@ -309,7 +310,7 @@ object EventOps {
     * (cohort, offset) cell. At scale every shuffle keys on user_id or
     * the small (cohort, offset) pair — nothing global. */
   private def q93(s: SparkSession, dir: String): DataFrame = {
-    val weeks = table(s, dir, "events")
+    val weeks = events(s, dir)
       .select(col("user_id"),
         // integer `div` for exact oracle parity (see q87's day bucket)
         expr("ts div 604800000000000").as("week"))

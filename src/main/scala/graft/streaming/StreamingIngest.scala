@@ -56,8 +56,10 @@ object StreamingIngest {
     // glob-filtered to the events table
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    // ts is ns-since-epoch LONG (nanosAsLong): exact integer reduce to
-    // seconds, then a proper event-time column for the window operator.
+      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
+    // ts normalized to ns-since-epoch LONG (Engine.epochNs — works on
+    // either parquet encoding): exact integer reduce to seconds, then
+    // a proper event-time column for the window operator.
     val agg = stream
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
       .groupBy(window(col("event_time"), "1 day"), col("event_type"))
@@ -105,6 +107,7 @@ object StreamingIngest {
     val schema = spark.read.parquet(path).schema
     def stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
     val imp = stream.where(col("event_type") === "view")
       .select(col("user_id").as("imp_id"), col("user_id"),
         expr("ts div 1000000000").as("imp_sec"))
@@ -133,6 +136,7 @@ object StreamingIngest {
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
       .select(col("user_id"), expr("ts div 1000000000").as("sec"), col("value"))
     val agg = StreamOps.sessionAgg(stream, "user_id", "sec",
       gap = s"$gapSec seconds", watermarkDelay = s"$watermarkSec seconds")
