@@ -143,13 +143,25 @@ object StreamingIngest {
     runAvailableNow(spark, agg, "graft_sess_", outputMode = "append")
   }
 
-  /** Run a streaming query to completion through a transient memory
-    * sink and return a DETACHED batch copy. Detach + dropTempView (on
-    * the error path too): the memory sink's collected rows and catalog
-    * entry would otherwise leak for the session lifetime, and
-    * downstream writes must not race the sink. Sound only for results
-    * that are small — one row per group in the complete-mode
-    * aggregation uses, bounded match sets in the append-mode join use.
+  /** Run a streaming query to completion and return its result as a
+    * batch DataFrame. Two sink disciplines by output mode:
+    *
+    *  - COMPLETE mode (the windowed/enriched aggregations): a
+    *    transient memory sink, then a DETACHED batch copy.
+    *    Detach + dropTempView (on the error path too): the memory
+    *    sink's collected rows and catalog entry would otherwise leak
+    *    for the session lifetime, and downstream writes must not race
+    *    the sink. Sound because complete-mode results are one row per
+    *    group — bounded by key cardinality, not input size.
+    *  - APPEND mode (the stream-stream interval join, session
+    *    windows): a scratch PARQUET file sink read back lazily — the
+    *    production shape. An append result is one row per match/
+    *    session (O(input)); collecting it through a memory sink would
+    *    bottleneck the driver at scale, so the rows go executor →
+    *    files → executor and the driver never holds them (round-4
+    *    verdict item 3). The scratch dir follows the engine-wide
+    *    lifecycle ([[graft.operators.Scratch]]): freed at harness
+    *    boundaries or JVM exit.
     *
     * State partitions are scoped to [[StatePartitions]] for the run:
     * every stateful operator commits one state store (four for a
@@ -166,28 +178,47 @@ object StreamingIngest {
 
   private def runAvailableNow(spark: SparkSession, agg: DataFrame,
       namePrefix: String, outputMode: String = "complete"): DataFrame = {
-    val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
     val partsKey = "spark.sql.shuffle.partitions"
     val priorParts = spark.conf.get(partsKey)
     spark.conf.set(partsKey, StatePartitions)
     // start() is inside the try: a start-time AnalysisException must
     // still restore the session's partition conf (Verify/Bench catch
     // per-query failures and keep going in the same session)
-    var q: org.apache.spark.sql.streaming.StreamingQuery = null
-    try {
-      q = agg.writeStream
-        .outputMode(outputMode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sinkSchema = spark.table(name).schema
-      val rows = spark.table(name).collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
-    } finally {
-      spark.conf.set(partsKey, priorParts)
-      if (q != null) spark.catalog.dropTempView(name)
+    if (outputMode == "append") {
+      // scratch parquet sink: executor-side row path, driver-free
+      val (_, dir) = graft.operators.Scratch.newDir(spark, namePrefix + "sink")
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = agg.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$dir/out")
+          .option("checkpointLocation", s"$dir/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // explicit schema: a run that emits zero rows (everything still
+        // inside the watermark) leaves no part files to infer from
+        spark.read.schema(agg.schema).parquet(s"$dir/out")
+      } finally spark.conf.set(partsKey, priorParts)
+    } else {
+      val name = namePrefix + java.util.UUID.randomUUID.toString.replace("-", "")
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = agg.writeStream
+          .outputMode(outputMode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val sinkSchema = spark.table(name).schema
+        val rows = spark.table(name).collect().toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows), sinkSchema)
+      } finally {
+        spark.conf.set(partsKey, priorParts)
+        if (q != null) spark.catalog.dropTempView(name)
+      }
     }
   }
 }
