@@ -32,17 +32,43 @@ object Bench {
   def resetSession(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     graft.operators.Scratch.releaseAll()
+    // Terminated streaming queries leave their state-store PROVIDERS
+    // loaded (in-memory version maps per partition per operator) until
+    // the maintenance task's next tick notices they're inactive — in a
+    // local[N] bench the executors share the driver JVM, so a few
+    // session-window/join runs pin hundreds of MB and later heavy
+    // queries measure heap pressure, not plan cost (q50 in-suite read
+    // 2.5x its isolated median until this). Streaming runs here use
+    // transient checkpoints — nothing resumes — so dropping every
+    // provider at the query boundary is pure release.
+    org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess
+      .unloadAllStateStores()
+    // ContextCleaner is weak-reference-driven: shuffle files, broadcast
+    // blocks and accumulators from finished queries are deleted only
+    // after a GC notices the dead references — and a 100-query bench on
+    // a large, mostly-idle heap may never trigger one, so executor-disk
+    // and block-manager state from EVERY prior query piles into later
+    // measurements (SPARK_GRAFT_GC=0 disables for A/B probes).
+    if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated query subset — measurement experiments
+    // (isolated-vs-in-suite bisects) without a code edit
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    require(queries.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
     val spark = Engine.session("graft-bench", cpus)
     val loadAvgStart = loadAvg
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       var warmOk = 0
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try { exec(fn(spark, "/root/testdata/sf0.001")); warmOk += 1 }
         catch { case scala.util.control.NonFatal(_) => }
         // same between-query hygiene as the measured loop — warmup
@@ -68,7 +94,7 @@ object Bench {
     // Fatal errors (OOM etc.) propagate: "measuring" the remaining
     // queries in a heap-thrashing JVM produces garbage that looks real.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       var failed = false
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
