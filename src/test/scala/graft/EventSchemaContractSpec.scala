@@ -47,10 +47,16 @@ class EventSchemaContractSpec extends AnyFunSuite {
         // > 6h gap inside day 2 → session break for q99
         ("view", 2L, 100L + u), ("click", 2L, 25000L + u))
     } yield (typ, d, sec)
-    perUser.zipWithIndex.map { case ((typ, d, sec), i) =>
+    val rows = perUser.zipWithIndex.map { case ((typ, d, sec), i) =>
       val u = (i / 10) + 1L
       (i.toLong, ns(d, sec), u, typ, (i % 7) + 0.25, s"""{"k": ${i % 5}}""")
     }
+    // one PRE-EPOCH event (negative ns): integer-division semantics at
+    // negative timestamps must agree across encodings (and engines —
+    // see the truncation test below), not just for the 2020s data the
+    // driver happens to generate
+    rows :+ (rows.size.toLong, -1500000000L * 1000000000L - 500000000L,
+      1L, "view", 0.5, """{"k": 1}""")
   }
 
   private val customerRows: Seq[(Long, String)] =
@@ -109,6 +115,18 @@ class EventSchemaContractSpec extends AnyFunSuite {
       Engine.epochNs(new StructType().add("ts", "string"), "ts")
     }
     assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("ts integer division truncates toward zero, matching DuckDB //") {
+    // DuckDB: -7 // 2 = -3 and -7 % 2 = -1 (truncation + sign-keeping
+    // remainder, verified against duckdb directly) — the same semantics
+    // as Spark's `div` and `%`. Pin Spark's side so pre-epoch
+    // timestamps bucket identically in every engine pair; if either
+    // engine ever switched to floor division these expectations break.
+    val got = Seq(-7L, 7L, -1500000000L, 1500000000L).toDF("ts")
+      .selectExpr("ts div 1000000000 AS d", "ts % 3600 AS m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, -7L), (0L, 7L), (-1L, -2400L), (1L, 2400L)))
   }
 
   test("every EventOps query returns identical results on both encodings") {
