@@ -221,4 +221,16 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q27 event-time normalization keeps the scan pruned to touched columns") {
+    // Engine.events rewrites ts via withColumn (epochNs); column pruning
+    // must still push THROUGH that projection to the parquet scan — a
+    // normalization that widened every event scan to all 6 columns
+    // would tax all event-time queries at 100 TB. event_id/user_id/
+    // props are untouched by q27 and must not reach the scan.
+    val p = plan("q27_time_bucket_agg")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("event_id") && !p.contains("user_id") && !p.contains("props"),
+      "untouched event columns must be pruned from the scan")
+  }
 }
