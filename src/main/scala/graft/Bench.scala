@@ -59,10 +59,16 @@ object Bench {
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // every requested name must exist — a typo that silently drops one
+    // query turns an A/B bisect into a measurement of the wrong set
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
-    require(queries.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
     val spark = Engine.session("graft-bench", cpus)
     val loadAvgStart = loadAvg
 

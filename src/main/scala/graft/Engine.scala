@@ -73,7 +73,18 @@ object Engine {
   def epochNs(schema: StructType, colName: String): Column =
     schema(colName).dataType match {
       case LongType => col(colName)
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        // an instant: unix_micros is timezone-independent
+        unix_micros(col(colName)) * 1000L
+      case TimestampNTZType =>
+        // wall-clock: the NTZ→TIMESTAMP cast interprets it in the
+        // SESSION timezone. The oracle (DuckDB) treats NTZ wall-clock
+        // as UTC, so any other session zone silently shifts every
+        // bucket — fail loudly instead of computing wrong.
+        val tz = SparkSession.active.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"$colName is TIMESTAMP_NTZ: epochNs needs spark.sql.session.timeZone=UTC " +
+            s"(got $tz) for wall-clock-as-UTC semantics")
         unix_micros(col(colName).cast(TimestampType)) * 1000L
       case other => throw new IllegalArgumentException(
         s"$colName: expected ns-long or timestamp-typed event time, got $other")

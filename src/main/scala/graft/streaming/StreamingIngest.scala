@@ -43,6 +43,21 @@ object StreamingIngest {
       .outputMode("append")
       .trigger(trigger)
 
+  /** The events table as a STREAMING source with `ts` normalized to
+    * ns-since-epoch LONG — the streaming analog of
+    * [[graft.Engine.events]], and the ONLY way streaming code should
+    * read it (a copy-pasted source block that skips the normalization
+    * reproduces the round-4 analysis failure on timestamp-encoded
+    * data). The streaming file source wants a directory: stream the
+    * sf dir, glob-filtered to the events file. A `def` by design —
+    * stream-stream self-joins need one source instance per side. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
+  }
+
   /** Event-time windowed aggregation driven as a synchronous streaming
     * query over the parquet `events` table (Trigger.AvailableNow +
     * complete-mode memory sink). This IS the streaming engine path —
@@ -50,17 +65,9 @@ object StreamingIngest {
     * exercised deterministically with no brokers.
     */
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the streaming file source wants a directory: stream the sf dir,
-    // glob-filtered to the events table
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
-    // ts normalized to ns-since-epoch LONG (Engine.epochNs — works on
-    // either parquet encoding): exact integer reduce to seconds, then
-    // a proper event-time column for the window operator.
-    val agg = stream
+    // exact integer reduce to seconds, then a proper event-time column
+    // for the window operator
+    val agg = eventStream(spark, sfDir)
       .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
       .groupBy(window(col("event_time"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), graft.queries.roundSafe(sum(col("value")), 2).as("sum_val"))
@@ -78,13 +85,9 @@ object StreamingIngest {
     * only the aggregation keeps state). Same AvailableNow + memory-sink
     * + detach discipline as [[windowedEventCounts]]. */
   def enrichedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = stream
+    val agg = eventStream(spark, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), graft.queries.roundSafe(sum(col("value")), 2).as("sum_val"))
@@ -103,15 +106,11 @@ object StreamingIngest {
     * is the q97 oracle. */
   def attributedClicks(spark: SparkSession, sfDir: String,
       maxDelaySec: Long): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    def stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
-    val imp = stream.where(col("event_type") === "view")
+    // one source instance per join side (eventStream is a def)
+    val imp = eventStream(spark, sfDir).where(col("event_type") === "view")
       .select(col("user_id").as("imp_id"), col("user_id"),
         expr("ts div 1000000000").as("imp_sec"))
-    val clk = stream.where(col("event_type") === "click")
+    val clk = eventStream(spark, sfDir).where(col("event_type") === "click")
       .select(col("user_id").as("clk_imp_id"),
         expr("ts div 1000000000").as("clk_sec"))
     val joined = StreamOps.clickAttribution(imp, clk, maxDelaySec,
@@ -132,11 +131,7 @@ object StreamingIngest {
     * session_end <= watermark. */
   def sessionizedEvents(spark: SparkSession, sfDir: String,
       gapSec: Long, watermarkSec: Long): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
+    val stream = eventStream(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000000000").as("sec"), col("value"))
     val agg = StreamOps.sessionAgg(stream, "user_id", "sec",
       gap = s"$gapSec seconds", watermarkDelay = s"$watermarkSec seconds")
@@ -159,9 +154,11 @@ object StreamingIngest {
     *    session (O(input)); collecting it through a memory sink would
     *    bottleneck the driver at scale, so the rows go executor →
     *    files → executor and the driver never holds them (round-4
-    *    verdict item 3). The scratch dir follows the engine-wide
-    *    lifecycle ([[graft.operators.Scratch]]): freed at harness
-    *    boundaries or JVM exit.
+    *    verdict item 3). CONTRACT: unlike the detached complete-mode
+    *    copy, the returned plan reads live scratch files — consume it
+    *    before the next `Bench.resetSession`/`Scratch.releaseAll`
+    *    (all harness callers do; a caller holding it across a reset
+    *    gets FileNotFoundException).
     *
     * State partitions are scoped to [[StatePartitions]] for the run:
     * every stateful operator commits one state store (four for a

@@ -11,8 +11,9 @@ import graft.TestSpark.spark
 import graft.queries.EventOps
 
 /** Events-table schema CONTRACT: the engine accepts every ts encoding
-  * the driver has shipped — raw int64 ns-since-epoch and
-  * TIMESTAMP(micros) — and produces IDENTICAL results from either.
+  * the driver has shipped — raw int64 ns-since-epoch (plain and
+  * TIMESTAMP(NANOS)-annotated, via nanosAsLong), TIMESTAMP(micros),
+  * and TIMESTAMP_NTZ — and produces IDENTICAL results from each.
   *
   * Round 4 regressed exactly here: a testdata regeneration flipped
   * `ts` from ns-longs to TIMESTAMP micros and nine queries failed at
@@ -79,6 +80,11 @@ class EventSchemaContractSpec extends AnyFunSuite {
     val events = tsEncoding match {
       case "long" => raw.withColumn("ts", col("ts_ns"))
       case "micros" => raw.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      // wall-clock NTZ (isAdjustedToUTC=false) — what Spark actually
+      // infers from the driver's regenerated parquet; the session TZ
+      // is UTC so the instant→wall-clock cast is value-preserving
+      case "ntz" =>
+        raw.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
     }
     val tsTypeKey = "spark.sql.parquet.outputTimestampType"
     val prior = spark.conf.get(tsTypeKey)
@@ -94,11 +100,32 @@ class EventSchemaContractSpec extends AnyFunSuite {
 
   private lazy val longDir = writeFixture("long")
   private lazy val microsDir = writeFixture("micros")
+  private lazy val ntzDir = writeFixture("ntz")
 
-  test("fixtures carry the two driver encodings (int64 ns vs timestamp micros)") {
+  test("fixtures carry the shipped encodings (int64 ns, timestamp micros, timestamp_ntz)") {
     assert(spark.read.parquet(s"$longDir/events.parquet").schema("ts").dataType == LongType)
     assert(spark.read.parquet(s"$microsDir/events.parquet").schema("ts").dataType.typeName
       == "timestamp")
+    assert(spark.read.parquet(s"$ntzDir/events.parquet").schema("ts").dataType.typeName
+      == "timestamp_ntz")
+  }
+
+  test("legacy TIMESTAMP(NANOS) parquet reads as exact ns longs (nanosAsLong path)") {
+    // committed pyarrow fixture: INT64 annotated Timestamp(NANOS,
+    // isAdjustedToUTC=false) — the encoding the driver shipped before
+    // round 4, which Spark's reader refuses without the legacy conf.
+    // This is the leg the Spark-written fixtures CANNOT produce (their
+    // "long" column is unannotated int64), so the conf in
+    // Engine.session/TestSpark stays load-bearing and tested.
+    val df = spark.read.parquet(
+      getClass.getResource("/events_nanos.parquet").getPath)
+    assert(df.schema("ts").dataType == LongType)
+    val got = df.select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1700000000123456789L, 1L -> 1700003600000000000L,
+      2L -> -1500000000500000000L))
+    assert(df.withColumn("ts", Engine.epochNs(df, "ts"))
+      .schema("ts").dataType == LongType)
   }
 
   test("Engine.events normalizes both encodings to identical ns longs") {
@@ -129,18 +156,20 @@ class EventSchemaContractSpec extends AnyFunSuite {
     assert(got == Seq((0L, -7L), (0L, 7L), (-1L, -2400L), (1L, 2400L)))
   }
 
-  test("every EventOps query returns identical results on both encodings") {
+  test("every EventOps query returns identical results on all encodings") {
     def runAll(dir: String): Map[String, (String, Seq[String])] =
       EventOps.all.map { q =>
         val df = q.fn(spark, dir)
         q.name -> (df.schema.catalogString, df.collect().toSeq.map(_.toString))
       }.toMap
     val onLong = runAll(longDir)
-    val onMicros = runAll(microsDir)
-    EventOps.all.foreach { q =>
-      assert(onLong(q.name)._1 == onMicros(q.name)._1, s"${q.name}: schema drift")
-      assert(onLong(q.name)._2 == onMicros(q.name)._2, s"${q.name}: row drift")
-      assert(onLong(q.name)._2.nonEmpty, s"${q.name}: fixture produced no rows")
+    Seq("micros" -> runAll(microsDir), "ntz" -> runAll(ntzDir)).foreach {
+      case (enc, results) =>
+        EventOps.all.foreach { q =>
+          assert(onLong(q.name)._1 == results(q.name)._1, s"${q.name} ($enc): schema drift")
+          assert(onLong(q.name)._2 == results(q.name)._2, s"${q.name} ($enc): row drift")
+          assert(onLong(q.name)._2.nonEmpty, s"${q.name}: fixture produced no rows")
+        }
     }
   }
 }
