@@ -2,6 +2,35 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType}
+
+/** A built Bloom filter: the bitset, the hash count, and the CANONICAL
+  * key type it was hashed with — bundled because all three must match
+  * between build and probe. xxhash64 tags the input type (INT 1 and
+  * BIGINT 1 hash differently), and a numHashes drift probes bits that
+  * were never set; either mismatch produces silent FALSE NEGATIVES,
+  * breaking the module's identical-to-the-unpruned-join contract.
+  * Construct via [[BloomJoin.buildBits]]. */
+final case class BloomFilter private[operators] (
+    bits: Array[Long], numHashes: Int, keyType: DataType) {
+  require(bits.nonEmpty, "empty bitset")
+
+  /** Membership test Column: true if `key` MIGHT be in the build set
+    * (no false negatives; false-positive rate set by size/numHashes).
+    * The key is cast to the filter's canonical type, so an int probe
+    * column tests a long-built filter correctly. */
+  def mightContain(key: Column): Column = {
+    val numBits = bits.length * 64
+    val arr = typedlit(bits.toSeq)
+    BloomJoin.positions(key.cast(keyType), numBits, numHashes)
+      .map { p =>
+        element_at(arr, floor(p / 64).cast("int") + 1)
+          .bitwiseAND(BloomJoin.bitShift(pmod(p, lit(64L)))) =!= lit(0L)
+      }
+      .reduce(_ && _)
+  }
+}
 
 /** Explicit Bloom-filter semi-join reduction: build a compact bitset
   * over the (already filtered, small) build side's join keys, then
@@ -41,14 +70,27 @@ object BloomJoin {
     else math.max(64, java.lang.Long.highestOneBit(want * 2 - 1).toInt)
   }
 
-  /** Build the bitset: one aggregation job over the build-side keys.
+  /** Widths collapse before hashing, so the int-keyed fact table and
+    * the long-keyed dim (or a testdata regeneration that flips a key's
+    * width — TableContractSpec deliberately allows int OR long) build
+    * and probe identical bit positions. Non-numeric types must match
+    * exactly — casting e.g. a string key to long would null it and
+    * degenerate the filter silently. */
+  private def canonType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case other => other
+  }
+
+  /** Build the filter: one aggregation job over the build-side keys.
     * Driver state is numBits/64 longs (bounded by construction). */
-  def buildBits(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+  def buildBits(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): BloomFilter = {
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 64 (one full word)")
     require(numHashes >= 1 && numHashes <= 16)
+    val kt = canonType(keys.schema(keyCol).dataType)
     val words = numBits / 64
-    val pos = positions(col(keyCol), numBits, numHashes)
+    val pos = positions(col(keyCol).cast(kt), numBits, numHashes)
     val rows = keys
       .select(explode(array(pos: _*)).as("pos"))
       .select(floor(col("pos") / 64).cast("int").as("word"),
@@ -58,32 +100,27 @@ object BloomJoin {
       .collect()
     val bits = new Array[Long](words)
     rows.foreach(r => bits(r.getAs[Int]("word")) = r.getAs[Long]("mask"))
-    bits
+    BloomFilter(bits, numHashes, kt)
   }
 
-  /** Membership test Column: true if `key` MIGHT be in the build set
-    * (no false negatives; false-positive rate set by numBits/numHashes). */
-  def mightContain(key: Column, bits: Array[Long], numHashes: Int): Column = {
-    val numBits = bits.length * 64
-    val arr = typedlit(bits.toSeq)
-    positions(key, numBits, numHashes)
-      .map { p =>
-        element_at(arr, floor(p / 64).cast("int") + 1)
-          .bitwiseAND(bitShift(pmod(p, lit(64L)))) =!= lit(0L)
-      }
-      .reduce(_ && _)
+  /** Prune `probe` to rows whose key might be in the build set. The
+    * probe key must canonicalize to the filter's key type (int/long
+    * and float/double width drift is absorbed; a string-vs-numeric
+    * mismatch is a caller bug and fails loudly). */
+  def pruned(probe: DataFrame, keyCol: String, filter: BloomFilter): DataFrame = {
+    val kt = canonType(probe.schema(keyCol).dataType)
+    require(kt == filter.keyType,
+      s"bloom probe key $keyCol canonicalizes to ${kt.sql} but the filter was " +
+        s"built over ${filter.keyType.sql} — hashes would disagree (false negatives)")
+    probe.where(filter.mightContain(col(keyCol)))
   }
-
-  /** Prune `probe` to rows whose key might be in the build set. */
-  def pruned(probe: DataFrame, keyCol: String, bits: Array[Long], numHashes: Int): DataFrame =
-    probe.where(mightContain(col(keyCol), bits, numHashes))
 
   /** k bit positions per key: xxhash64 seeded by the hash index. */
-  private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
+  private[operators] def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
 
   /** 1L << shift for a COLUMN shift amount (the `functions.shiftleft`
     * overload only takes a literal Int shift). */
-  private def bitShift(shift: Column): Column =
+  private[operators] def bitShift(shift: Column): Column =
     call_function("shiftleft", lit(1L), shift.cast("int"))
 }

@@ -82,9 +82,12 @@ object Graph {
     *
     * @param edges (a, b) node-id pairs; symmetric/duplicate/self edges
     *              tolerated (canonicalized + deduped internally)
+    * @param scope release handle for the oriented-edge cache this call
+    *              pins (same convention as [[pageRank]])
     * @return (node, triangles) for every node in ≥ 1 triangle
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     val canon = edges
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
@@ -92,14 +95,19 @@ object Graph {
     val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val oriented = canon
+    // `oriented` feeds three branches (both wedge sides + the closing
+    // set). Exchange reuse dedupes the shuffles BELOW it, but the
+    // degree-join probe and the orientation projection over all |E|
+    // edges would re-run per branch — pin the oriented list itself
+    // (narrow: two id columns), same discipline as pageRank's edges.
+    val oriented = scope.pin(canon
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-          col("b")).otherwise(col("a")).as("dst"))
+          col("b")).otherwise(col("a")).as("dst")))
     // wedges at each source, as canonical unordered (x < y) pairs
     val wedges = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")

@@ -11,14 +11,17 @@ import graft.functions.TextFunctions
   * (e.g. "find the docs most about X" before a curation pass).
   *
   * Scale shape (100 TB): one linear scan tokenizes each document and
-  * keeps ONLY postings for the query terms before any shuffle — the
-  * grouped state after the map stage is O(matching doc-term pairs),
-  * not O(corpus tokens). Corpus statistics (doc count, average doc
-  * length) are a one-row aggregate and the per-term document
-  * frequencies are a |terms|-row aggregate; both join back via
-  * `broadcast`, so the whole plan is: scan → partial agg → two tiny
-  * broadcast joins → final top-k (TakeOrderedAndProject). No
-  * all-corpus sort, no wide shuffle beyond the doc-term aggregation.
+  * reduces it in the map stage to (doc length, per-query-term counts)
+  * — O(|terms|) ints per doc, pinned as a narrow cached frame that
+  * both downstream branches read (the stats aggregate needs every
+  * doc, the postings branch only matching docs; without the pin
+  * each branch would re-run the tokenize scan). Corpus statistics
+  * (doc count, average doc length) are a one-row aggregate and the
+  * per-term document frequencies a |terms|-row aggregate; both join
+  * back via `broadcast`, so the whole plan is: scan → narrow staged
+  * leaf → two tiny broadcast joins → final top-k
+  * (TakeOrderedAndProject). No token array ever shuffles; no
+  * all-corpus sort.
   */
 object Retrieval {
 
@@ -36,24 +39,32 @@ object Retrieval {
       textCol: String,
       terms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame = {
     require(terms.nonEmpty && terms.forall(t => t == t.toLowerCase))
-    val toks = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = toks.agg(
+    val qTerms = terms.distinct
+    // ONE tokenize scan. The corpus-stats aggregate (every doc) and
+    // the postings branch (matching docs) both need the tokenized
+    // corpus; leaving them as two lazy subtrees re-runs the dominant
+    // scan+tokenize cost per branch. Reduce each doc to (dl, per-term
+    // counts) in the map stage — O(|terms|) ints per doc, no token
+    // arrays — and pin that NARROW frame (lazy persist, pageRank's
+    // convention: filled by the first action, released via `scope`;
+    // far smaller than caching the tokenized corpus itself).
+    val perDoc = scope.pin(
+      docs
+        .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+          array(qTerms.map(t => size(filter(col("toks"), x => x === lit(t)))): _*)
+            .as("tcs")))
+    val stats = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    // Filter to query terms BEFORE the generate: shuffle input is only
-    // the matching postings. explode_outer + null filter keeps the
-    // staged filtered array from being re-inlined under the generate
-    // (InferFiltersFromGenerate — see SCALE.md).
-    val postings = toks
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), posexplode(col("tcs")).as(Seq("pos", "tc")))
+      .where(col("tc") > 0)
       .select(col("doc_id"), col("dl"),
-        explode_outer(filter(col("toks"), t => t.isInCollection(terms))).as("term"))
-      .where(col("term").isNotNull)
-    val tf = postings
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+        element_at(typedlit(qTerms), col("pos") + 1).as("term"),
+        col("tc").cast("double").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .join(broadcast(stats))
@@ -77,8 +88,9 @@ object Retrieval {
       terms: Seq[String],
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame =
-    bm25Scores(docs, idCol, textCol, terms, k1, b)
+      b: Double = 0.75,
+      scope: graft.CacheScope = graft.CacheScope.unmanaged): DataFrame =
+    bm25Scores(docs, idCol, textCol, terms, k1, b, scope)
       .select(col("doc_id"), graft.queries.roundSafe(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

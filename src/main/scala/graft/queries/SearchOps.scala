@@ -62,9 +62,9 @@ object SearchOps {
     val urgent = table(s, dir, "orders")
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val bits = BloomJoin.buildBits(urgent, "o_orderkey",
+    val filter = BloomJoin.buildBits(urgent, "o_orderkey",
       BloomJoin.sizedBits(urgent.count()), BloomHashes)
-    val li = BloomJoin.pruned(table(s, dir, "lineitem"), "l_orderkey", bits, BloomHashes)
+    val li = BloomJoin.pruned(table(s, dir, "lineitem"), "l_orderkey", filter)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     urgent.join(li, col("o_orderkey") === col("l_orderkey"))

@@ -56,9 +56,9 @@ class SearchSpec extends AnyFunSuite {
 
   test("bloom filter has no false negatives and prunes most non-members") {
     val build = (0L until 500L).map(i => i * 7L).toDF("k")
-    val bits = BloomJoin.buildBits(build, "k", 1 << 14, 4)
+    val filter = BloomJoin.buildBits(build, "k", 1 << 14, 4)
     val probe = (0L until 10000L).toDF("k")
-    val kept = BloomJoin.pruned(probe, "k", bits, 4).as[Long].collect().toSet
+    val kept = BloomJoin.pruned(probe, "k", filter).as[Long].collect().toSet
     val members = (0L until 500L).map(_ * 7L).filter(_ < 10000L).toSet
     assert(members.subsetOf(kept), "bloom filter dropped a true member")
     // 10k probes, ~1429 members; fp rate at m=16384,n=500,k=4 is ~0.1%
@@ -78,11 +78,26 @@ class SearchSpec extends AnyFunSuite {
   test("bloom-pruned join equals plain join exactly") {
     val build = Seq(3L, 9L, 12L, 77L).toDF("k")
     val probe = (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
-    val bits = BloomJoin.buildBits(build, "k", 1 << 10, 4)
-    val prunedJoin = build.join(BloomJoin.pruned(probe, "k", bits, 4), "k")
+    val filter = BloomJoin.buildBits(build, "k", 1 << 10, 4)
+    val prunedJoin = build.join(BloomJoin.pruned(probe, "k", filter), "k")
     val plainJoin = build.join(probe, "k")
     assert(prunedJoin.orderBy("k").collect().toSeq ==
       plainJoin.orderBy("k").collect().toSeq)
+  }
+
+  test("bloom filter absorbs int/long key-width drift; rejects type mismatch") {
+    // xxhash64 tags the input type: INT 1 and BIGINT 1 hash differently,
+    // so without canonicalization a width drift (which TableContractSpec
+    // deliberately permits) would produce silent false negatives.
+    val build = Seq(3, 9, 12).toDF("k") // int keys
+    val filter = BloomJoin.buildBits(build, "k", 1 << 10, 4)
+    val probeLong = Seq(3L, 9L, 12L, 100L).toDF("k") // long keys
+    val kept = BloomJoin.pruned(probeLong, "k", filter).as[Long].collect().toSet
+    assert(Set(3L, 9L, 12L).subsetOf(kept), "width drift dropped a true member")
+    val err = intercept[IllegalArgumentException] {
+      BloomJoin.pruned(Seq("3").toDF("k"), "k", filter)
+    }
+    assert(err.getMessage.contains("canonicalizes"))
   }
 
   // ---- Triangle counting ------------------------------------------------
