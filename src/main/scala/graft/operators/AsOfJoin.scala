@@ -36,8 +36,13 @@ object AsOfJoin {
 
     // pandas merge_asof drops NaN ordinals; a null rightOrd would sort
     // nulls-first and carry its payload against a DIFFERENT row's
-    // matched ordinal, so enforce the same precondition here
-    val r2 = right.where(col(rightOrd).isNotNull).select(
+    // matched ordinal, so enforce the same precondition here. Null
+    // KEYS likewise: Window.partitionBy groups null keys into ONE
+    // partition, so a null-keyed right row would match null-keyed left
+    // rows — but SQL ASOF / pandas equi-keys never match on NULL.
+    // Dropping null-keyed right rows preserves left-join semantics:
+    // null-keyed LEFT rows stay in the output with a null match.
+    val r2 = right.where(col(rightOrd).isNotNull && col(key).isNotNull).select(
       col(key).as("__k"), col(rightOrd).as("__ord"), lit(0).as("__side"),
       rStruct.as("__rp"), lit(null).cast(lp).as("__lp"))
     val l2 = left.select(
@@ -66,7 +71,11 @@ object AsOfJoin {
 
   /** Forward as-of: for each left row, the EARLIEST right row with
     * `rightOrd >= leftOrd` in the same key — implemented by running the
-    * backward join over negated order columns. */
+    * backward join over negated order columns. NUMERIC ordinals only
+    * (negation): date/timestamp callers convert to epoch numbers first
+    * (as every caller in this engine does — events normalize to
+    * ns-longs), and Long.MinValue is out of domain (its negation
+    * wraps). [[backward]] has no such restriction. */
   def forward(left: DataFrame, right: DataFrame, key: String,
       leftOrd: String, rightOrd: String, rightPayload: Seq[String],
       toleranceOpt: Option[Long] = None): DataFrame = {

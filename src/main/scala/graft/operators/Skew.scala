@@ -16,7 +16,17 @@ object Skew {
 
   /** Two-phase salted count/sum aggregation over a possibly-skewed key.
     * Deterministic salting (hash of a row-identifying column, not
-    * rand()) keeps reruns and retries stable. */
+    * rand()) keeps reruns and retries stable.
+    *
+    * Honest scope note: for PLAIN count/sum Spark's hash aggregate
+    * already partial-aggregates map-side (a hot key reaches its
+    * reducer as one row per upstream task), so this helper adds a
+    * shuffle for nothing there. The two-phase shape earns its keep
+    * when the partial-aggregation escape hatch is absent: aggregation
+    * buffers that grow with the group (collect_list/set, exact
+    * distinct) or downstream per-key processing after the first phase
+    * — it is the documented TEMPLATE for those, kept deliberately
+    * minimal. */
   def saltedAgg(df: DataFrame, key: Column, saltSource: Column,
       valueCol: Column, saltBuckets: Int): DataFrame = {
     val salted = df.groupBy(key.as("key"),
@@ -34,10 +44,21 @@ object Skew {
   def capBlocks(df: DataFrame, blockCol: Column, orderCol: Column,
       maxPerBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
+    // reserved working columns must not already exist (RangeJoin's
+    // __bucket precedent): silently overwriting a caller's __rn and
+    // dropping it would corrupt the output
+    Seq("__rn", "__capped_block").foreach { c =>
+      require(!df.columns.contains(c), s"capBlocks: input already has a '$c' column")
+    }
     val w = Window.partitionBy(blockCol).orderBy(orderCol)
+    // coalesce the null block: concat is null-intolerant, so a NULL
+    // block key would null __capped_block for its whole block — the
+    // one block a skew cap most needs to cap (dirty-data hot key)
+    // would ride uncapped through null-safe consumers
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__capped_block",
-        concat(blockCol.cast("string"), lit("#"),
+        concat(coalesce(blockCol.cast("string"), lit("__null_block__")), lit("#"),
           (((col("__rn") - 1) / maxPerBlock).cast("int")).cast("string")))
       .drop("__rn")
   }

@@ -27,6 +27,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.first().getAs[String]("payload") == "same-ts")
   }
 
+  test("AsOfJoin null keys never match (SQL ASOF / pandas equi-key semantics)") {
+    // Window.partitionBy would group null keys into one partition; a
+    // null-keyed purchase must NOT inherit a null-keyed click's payload
+    val left = Seq((Option.empty[Long], 10L, "null-key"), (Some(1L), 10L, "keyed"))
+      .toDF("k", "ts", "name")
+    val right = Seq((Option.empty[Long], 5L, "null-click"), (Some(1L), 5L, "real-click"))
+      .toDF("k", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+      .orderBy(asc_nulls_first("k")).collect()
+    assert(out.length == 2, "null-keyed left rows stay in the output")
+    assert(out(0).isNullAt(out(0).fieldIndex("payload")), "null key must not match")
+    assert(out(1).getAs[String]("payload") == "real-click")
+  }
+
   test("exact dedup groups identical texts") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("id", "text")

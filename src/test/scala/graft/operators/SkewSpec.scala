@@ -29,4 +29,25 @@ class SkewSpec extends AnyFunSuite {
     assert(sizes.toSeq == Seq(("giant#0", 30L), ("giant#1", 30L),
       ("giant#2", 30L), ("giant#3", 10L)))
   }
+
+  test("capBlocks caps a NULL block key instead of nulling it uncapped") {
+    // the dirty-data hot key is exactly the block the cap exists for
+    val df = (1 to 70).map(i => (None: Option[String], i.toLong)) :+ ((Some("b"), 99L))
+    val capped = Skew.capBlocks(df.toDF("block", "id"), $"block", $"id", maxPerBlock = 30)
+    val sizes = capped.groupBy("__capped_block").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes.keys.forall(_ != null))
+    assert(sizes("__null_block__#0") == 30L && sizes("__null_block__#2") == 10L)
+    assert(sizes("b#0") == 1L)
+  }
+
+  test("capBlocks rejects reserved columns and non-positive caps") {
+    val df = Seq(("g", 1L)).toDF("block", "__rn")
+    intercept[IllegalArgumentException] {
+      Skew.capBlocks(df, $"block", $"__rn", maxPerBlock = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.capBlocks(Seq(("g", 1L)).toDF("block", "id"), $"block", $"id", 0)
+    }
+  }
 }

@@ -164,7 +164,36 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped regression restricts slope/intercept to complete (x,y) pairs") {
+    // (3, null) must not pollute var_pop/avg: over the complete pairs
+    // y = x exactly, so slope 1 / intercept 0 (mixing subsets gives 0.375)
+    val df = Seq(("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(2.0)),
+      ("g", Some(3.0), None)).toDF("g", "x", "y")
+    val r = Stats.groupedRegression(df, "g", "x", "y").head()
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-9)
+    assert(r.getAs[Long]("n") == 3L) // n stays the group row count
+  }
+
   // ---- robust outliers --------------------------------------------------
+
+  test("robust outliers: special value-column names resolve as columns, not expressions") {
+    // "a-b" inside a spliced SQL string would parse as subtraction
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "a-b")
+    val r = Stats.robustOutliers(df, "g", "a-b", 3.0).head()
+    assert(math.abs(r.getAs[Double]("med") - 2.0) < 1e-12)
+  }
+
+  test("robustZ classifies mad=0 groups like robustOutliers' multiply form") {
+    // >50% identical values → mad 0; deviating rows must score Infinity
+    // (outliers), identical rows 0 — not divide-by-zero NULL
+    val df = Seq(5.0, 5.0, 5.0, 9.0).map(("g", _)).toDF("g", "v")
+    val out = Stats.robustOutliers(df, "g", "v", 3.0).head()
+    assert(out.getAs[Double]("mad") == 0.0 && out.getAs[Long]("n_outliers") == 1L)
+    val z = df.select(Stats.robustZ($"v", lit(5.0), lit(0.0)).as("z"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(z.count(_ == 0.0) == 3 && z.count(_.isPosInfinity) == 1)
+  }
 
   test("robust outliers: median/MAD ignore the outlier, then flag it") {
     // 9 values near 10 plus one wild point; mean-based z would be dragged,
@@ -194,6 +223,13 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
     // width = floor(99/10)+1 = 10 → each bin exactly 10
     assert(rows.forall(_.getAs[Long]("cnt") == 10L))
+  }
+
+  test("intHistogram excludes nulls instead of emitting a phantom null bin") {
+    val df = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("v")
+    val rows = Stats.intHistogram(df, "v", 2).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("bin"))))
   }
 
   test("intHistogram handles skewed data without empty-domain bins leaking") {
