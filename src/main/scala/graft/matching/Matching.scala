@@ -124,9 +124,17 @@ object Matching {
     def blockJoin(oKey: String, cKey: String): DataFrame = (maxBlockSize match {
       case None => o.join(c, col(oKey) === col(cKey))
       case Some(m) =>
-        graft.operators.Skew.capBlocks(o, col(oKey), col("job_id"), m)
+        // drop null block keys BEFORE capping: capBlocks gives the
+        // null block its own capped id (right for dedup-style callers),
+        // but here the uncapped path's equi-join excludes null keys —
+        // the cap must only DROP pairs, never invent null×null ones
+        // (MatchingSpec pins capped ⊆ exact, and the q95 oracle's
+        // NULL || '#' concat emits no null-block pairs)
+        graft.operators.Skew.capBlocks(
+            o.where(col(oKey).isNotNull), col(oKey), col("job_id"), m)
           .join(
-            graft.operators.Skew.capBlocks(c, col(cKey), col("candidate_id"), m)
+            graft.operators.Skew.capBlocks(
+                c.where(col(cKey).isNotNull), col(cKey), col("candidate_id"), m)
               .withColumnRenamed("__capped_block", "__cb_c"),
             col("__capped_block") === col("__cb_c"))
     }).select(col("job_id"), col("candidate_id"))

@@ -67,8 +67,12 @@ object CvIngest {
     val lo = lower(coalesce(text, lit("")))
     val city = regexp_extract(lo, "(?i)localisation\\s*:\\s*([\\p{L} '\\-]+)", 1)
     val years = nullif(regexp_extract(lo, "(\\d{1,2})\\s*(?:ans|années)", 1), lit(""))
+    // "scrum master" is a certification (certCatalog extracts it), not
+    // a degree — blank the collocation before the degree scan so a
+    // scrum-master CV doesn't read as Master-level education
+    val eduText = regexp_replace(lo, "scrum\\s*master", " ")
     val niveau = when(lo.contains("doctorat") || lo.contains("phd"), "Doctorat")
-      .when(lo.contains("bac+5") || lo.contains("master") || lo.contains("ingénieur"), "Master")
+      .when(lo.contains("bac+5") || eduText.contains("master") || lo.contains("ingénieur"), "Master")
       .when(lo.contains("bac+3") || lo.contains("licence"), "Licence")
       .when(lo.contains("bac+2") || lo.contains("bts") || lo.contains("dut"), "BTS/DUT")
       .otherwise("Non spécifié")
@@ -103,8 +107,10 @@ object CvIngest {
       // chain)
       try_to_timestamp(col("scraped_at")).as("scraped_at"),
       graft.stages.Stages.processedAt(clock).as("last_updated"),
-      when(lo.contains("disponible immédiatement") || lo.contains("immédiatement"),
-        "Immédiate").otherwise("Non spécifié").as("disponibilite"),
+      // "disponible immédiatement" is subsumed by the bare adverb —
+      // one contains() covers both phrasings
+      when(lo.contains("immédiatement"), "Immédiate")
+        .otherwise("Non spécifié").as("disponibilite"),
       lit("actif").as("statut"),
       // partition column, mirroring the offers sink's scraped_date
       try_to_date(col("scraped_at")).as("scraped_date"))
@@ -112,15 +118,12 @@ object CvIngest {
 
   /** Landing sink: append-mode parquet partitioned by (scraped_date,
     * source_site) — the file-layout analogue of Fact_CVs' PARTITION BY
-    * DATE(scraped_at) / CLUSTER BY, checkpointed like the offers sink. */
+    * DATE(scraped_at) / CLUSTER BY. Delegates to the offers sink chain
+    * ([[StreamingIngest.parquetSink]]) so the two legs cannot drift. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")) =
-    df.writeStream.format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", checkpoint)
-      .partitionBy("scraped_date", "source_site")
-      .outputMode("append")
-      .trigger(trigger)
+    StreamingIngest.parquetSink(df, path, checkpoint, trigger,
+      partitionCols = Seq("scraped_date", "source_site"))
 
   /** Whole leg for the file-based source (tests / offline replay):
     * JSON-lines dir -> parse -> structure -> partitioned sink. */

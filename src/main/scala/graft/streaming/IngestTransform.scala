@@ -66,12 +66,21 @@ object IngestTransform {
     // enrich()'s try_to_date)
     val withEventTime = enriched.withColumn("event_time",
       coalesce(try_to_timestamp(col("scraped_at")), col("processed_at")))
-    if (enriched.isStreaming)
+    // NULL job_ids pass through undeduplicated: dropDuplicates treats
+    // null keys as EQUAL, so two genuinely different offers whose JSON
+    // lacks job_id (from_json nulls missing fields) would collapse to
+    // one survivor — only replays of an identifiable id are dups
+    if (enriched.isStreaming) {
       // dropDuplicatesWithinWatermark is the state-EVICTING form: plain
       // dropDuplicates(subset-without-event-time) never purges state
-      withEventTime.withWatermark("event_time", horizon)
+      val wm = withEventTime.withWatermark("event_time", horizon)
+      wm.where(col("job_id").isNotNull)
         .dropDuplicatesWithinWatermark("job_id")
+        .unionByName(wm.where(col("job_id").isNull))
         .drop("event_time")
-    else withEventTime.dropDuplicates("job_id").drop("event_time")
+    } else
+      withEventTime.where(col("job_id").isNotNull).dropDuplicates("job_id")
+        .unionByName(withEventTime.where(col("job_id").isNull))
+        .drop("event_time")
   }
 }

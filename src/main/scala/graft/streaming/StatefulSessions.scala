@@ -40,9 +40,28 @@ object StatefulSessions {
     }
     val sorted = events.toSeq.sortBy(e => (e.sec, e.value))
     var open = state.getOption
+    // cross-batch late events more than gapSec OLDER than the open
+    // session's start are NOT part of it (merging them would span an
+    // internal gap bigger than the limit — the invariant the operator
+    // exists to enforce, and the within-batch walk would have split
+    // them). They form their own earlier chain, gap-split among
+    // themselves, merged into the open session only if the chain ends
+    // within gapSec of its (possibly batch-lowered) start.
+    var late: Option[OpenSession] = None
     val closed = Seq.newBuilder[ClosedSession]
     for (e <- sorted) {
       open match {
+        case Some(s) if s.start - e.sec > gapSec =>
+          late match {
+            case Some(c) if e.sec - c.last > gapSec =>
+              closed += ClosedSession(userId, c.start, c.last, c.n, c.sum)
+              late = Some(OpenSession(e.sec, e.sec, 1, e.value))
+            case Some(c) =>
+              late = Some(c.copy(last = math.max(c.last, e.sec),
+                n = c.n + 1, sum = c.sum + e.value))
+            case None =>
+              late = Some(OpenSession(e.sec, e.sec, 1, e.value))
+          }
         case Some(s) if e.sec - s.last > gapSec =>
           closed += ClosedSession(userId, s.start, s.last, s.n, s.sum)
           open = Some(OpenSession(e.sec, e.sec, 1, e.value))
@@ -58,6 +77,16 @@ object StatefulSessions {
         case None =>
           open = Some(OpenSession(e.sec, e.sec, 1, e.value))
       }
+    }
+    (late, open) match {
+      case (Some(c), Some(s)) if s.start - c.last <= gapSec =>
+        // the open session's start dropped (in-gap late events) far
+        // enough to touch the late chain — they are one session
+        open = Some(s.copy(start = math.min(s.start, c.start),
+          n = s.n + c.n, sum = s.sum + c.sum))
+      case (Some(c), _) =>
+        closed += ClosedSession(userId, c.start, c.last, c.n, c.sum)
+      case _ => ()
     }
     open.foreach { s =>
       state.update(s)

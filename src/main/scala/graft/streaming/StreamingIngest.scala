@@ -33,13 +33,16 @@ object StreamingIngest {
 
   /** Reference sink: append-mode partitioned parquet with checkpoint;
     * 30 s processing-time trigger by default (consume_jobs.py:148-156),
-    * overridable so tests can drive it with AvailableNow. */
+    * overridable so tests can drive it with AvailableNow. Partition
+    * columns are parameterized so the CV leg ([[CvIngest.parquetSink]])
+    * shares THIS chain instead of a drift-prone copy. */
   def parquetSink(df: DataFrame, path: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds")) =
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      partitionCols: Seq[String] = Seq("scraped_date", "source")) =
     df.writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .partitionBy("scraped_date", "source")
+      .partitionBy(partitionCols: _*)
       .outputMode("append")
       .trigger(trigger)
 

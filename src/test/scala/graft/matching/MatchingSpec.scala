@@ -74,6 +74,27 @@ class MatchingSpec extends AnyFunSuite {
     assert(cappedPairs.subsetOf(allPairs))
   }
 
+  test("cap never invents null-block pairs the exact path excludes") {
+    // a NULL sector on both sides: the uncapped equi-join drops them,
+    // so the capped path must too — capBlocks gives nulls their own
+    // capped block (right for dedup), but a match equi-join must not
+    // pair null with null (capped ⊆ exact stays the invariant)
+    def offersN = Seq(("J1", "L1", null: String, Seq("COMP_x"), 100000L, "Débutant"),
+        ("J2", "L2", "S1", Seq("COMP_x"), 100000L, "Débutant"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    def cvsN = Seq(("C1", "L9", null: String, Seq("COMP_x"), 100000.0, 2L),
+        ("C2", "L8", "S1", Seq("COMP_x"), 100000.0, 2L))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    val exact = Matching.score(offersN, cvsN, None)
+      .select("job_id", "candidate_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val capped = Matching.score(offersN, cvsN, None, maxBlockSize = Some(10))
+      .select("job_id", "candidate_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exact == Set(("J2", "C2")))
+    assert(capped == exact, s"capped path invented pairs: ${capped -- exact}")
+  }
+
   test("component functions handle nulls") {
     val df = Seq((null: Seq[String], Seq("COMP_x"), null: java.lang.Long,
       null: java.lang.Double)).toDF("os", "cs", "omax", "want")

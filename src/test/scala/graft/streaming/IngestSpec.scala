@@ -65,6 +65,20 @@ class IngestSpec extends AnyFunSuite {
     assert(back.select("job_id").distinct().count() == 2)
   }
 
+  test("ingest dedup passes distinct null-job_id offers through uncollapsed") {
+    // two genuinely different offers whose JSON lacks job_id: from_json
+    // nulls the field, and dropDuplicates treats null keys as EQUAL —
+    // without the null passthrough one real offer silently vanishes
+    val noId1 = """{"title":"Offre A","company":"X","source":"s"}"""
+    val noId2 = """{"title":"Offre B","company":"Y","source":"s"}"""
+    val out = IngestTransform.withIngestDedup(
+      IngestTransform.enrich(
+        IngestTransform.parseJsonValue(Seq(noId1, noId2, fullMsg, fullMsg).toDF("value")),
+        clock))
+    assert(out.count() == 3) // 2 null-id offers + 1 deduped real id
+    assert(out.where($"job_id".isNull).count() == 2)
+  }
+
   test("streaming file source lands partitioned parquet like the reference sink") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     Seq(fullMsg, sparseMsg).toDF("value").coalesce(1)

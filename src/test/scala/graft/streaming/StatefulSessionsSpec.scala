@@ -73,4 +73,33 @@ class StatefulSessionsSpec extends AnyFunSuite {
       ClosedSession(1L, 100L, 110L, 2L, 3.0),
       ClosedSession(2L, 50L, 50L, 1L, 1.0)))
   }
+
+  test("cross-batch late event beyond the gap is its own session, not a merge") {
+    // gap 1800; batch 1 opens {100000}; batch 2 delivers sec=10 — a
+    // merge would produce one session spanning an internal gap 55x the
+    // limit (the invariant the operator exists to enforce); it must
+    // instead emit {10} closed and leave the open session untouched
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    Seq(Event(1L, 100000L, 1.0)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    runOnce(tmp)
+    Seq(Event(1L, 10L, 7.0)).toDF().coalesce(1)
+      .write.mode("append").parquet(s"$tmp/in")
+    runOnce(tmp)
+    val closed = spark.read.parquet(s"$tmp/out").as[ClosedSession].collect()
+    assert(closed.toSeq == Seq(ClosedSession(1L, 10L, 10L, 1L, 7.0)),
+      s"late event must close alone: ${closed.toSeq}")
+    // and a late CHAIN that touches the open session's start does merge:
+    // open {1000}; late events 400+900 chain (gap 500 apart < 1800) and
+    // 900 is within gap of 1000 — all one session, nothing closes
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-late2").toString
+    Seq(Event(5L, 100000L, 1.0)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp2/in")
+    runOnce(tmp2)
+    Seq(Event(5L, 97000L, 2.0), Event(5L, 98500L, 3.0)).toDF().coalesce(1)
+      .write.mode("append").parquet(s"$tmp2/in")
+    runOnce(tmp2)
+    val closed2 = spark.read.parquet(s"$tmp2/out").as[ClosedSession].collect()
+    assert(closed2.isEmpty, s"touching late chain must merge, not close: ${closed2.toSeq}")
+  }
 }
