@@ -107,6 +107,9 @@ object Multimodal {
     * codecs amortize model/library init or offload whole batches. */
   def extractFeatures(media: DataFrame, codec: MediaCodec, dim: Int,
       numPartitions: Int = 0, batchSize: Int = 64): DataFrame = {
+    // driver-side guard (sampleFrames' everyNth precedent): grouped(0)
+    // would otherwise throw an opaque error inside executor tasks
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = media.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -124,7 +127,13 @@ object Multimodal {
         (id, kind, bytes)
       }.grouped(batchSize).flatMap { batch =>
         val feats = codec.decodeFeaturesBatch(
-          batch.map { case (_, kind, bytes) => (kind, bytes) }, dim)
+          batch.map { case (_, kind, bytes) => (kind, bytes) }, dim).toIndexedSeq
+        // one-vector-per-input is the codec CONTRACT (scaladoc above);
+        // zip would silently truncate to the shorter side — a
+        // third-party codec that skips a failed decode would vanish
+        // the last rows of every batch with no error
+        require(feats.size == batch.size,
+          s"codec returned ${feats.size} feature vectors for ${batch.size} inputs")
         batch.iterator.zip(feats.iterator).map {
           case ((id, kind, _), f) => Row(id, kind, f)
         }

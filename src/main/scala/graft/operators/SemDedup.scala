@@ -22,10 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Shared projected lineage: (vid, cl, v double-array, nrm). Every
+    * public entry preps ONCE and derives its branches from the same
+    * frame, so the per-row cast + 64-element l2Norm fold isn't
+    * re-derived per consumer. */
+  private def prep(df: DataFrame, idCol: String, clusterCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), col(clusterCol).as("cl"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", SimilaritySearch.l2Norm(col("v")))
+
   /** Per-cluster mean vector: (cl, centroid array<double>). */
   def centroids(df: DataFrame, clusterCol: String, vecCol: String): DataFrame =
-    df.select(col(clusterCol).as("cl"),
-        posexplode(col(vecCol).cast("array<double>")))
+    centroidsPrepped(df.select(col(clusterCol).as("cl"),
+      col(vecCol).cast("array<double>").as("v")))
+
+  private def centroidsPrepped(e: DataFrame): DataFrame =
+    e.select(col("cl"), posexplode(col("v")))
       .groupBy(col("cl"), col("pos"))
       .agg(avg(col("col")).as("m"))
       .groupBy(col("cl"))
@@ -43,17 +56,17 @@ object SemDedup {
     * anyway. Rounding before the compare keeps the drop set
     * engine-portable (identical to the q35 pair contract). */
   def dropIds(df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
-      tau: Double): DataFrame = {
-    val e = df.select(col(idCol).as("vid"), col(clusterCol).as("cl"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", SimilaritySearch.l2Norm(col("v")))
+      tau: Double): DataFrame =
+    dropIdsPrepped(prep(df, idCol, clusterCol, vecCol), tau)
+
+  private def dropIdsPrepped(e: DataFrame, tau: Double): DataFrame = {
     val a = graft.Engine.spread(e.select(col("vid").as("id_a"), col("cl"),
       col("v").as("va"), col("nrm").as("na")))
     val b = e.select(col("vid").as("id_b"), col("cl").as("clb"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("cl") === col("clb") && col("id_a") < col("id_b"))
-      .where(round(when(col("na") * col("nb") === 0.0, 0.0)
-        .otherwise(SimilaritySearch.dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6)
+      .where(round(SimilaritySearch.cosinePrepped(
+        SimilaritySearch.dot(col("va"), col("vb")), col("na"), col("nb")), 6)
         >= tau)
       .select(col("id_b").as("drop_id"))
       .distinct()
@@ -63,12 +76,12 @@ object SemDedup {
     * survivors' mean cosine to the (all-member) cluster centroid. */
   def summary(df: DataFrame, idCol: String, clusterCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val e = df.select(col(idCol).as("vid"), col(clusterCol).as("cl"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", SimilaritySearch.l2Norm(col("v")))
-    val drops = dropIds(df, idCol, clusterCol, vecCol, tau)
+    // one prep shared by every branch (pair scan, kept set, centroids,
+    // totals) — previously each re-derived the cast + norm lineage
+    val e = prep(df, idCol, clusterCol, vecCol)
+    val drops = dropIdsPrepped(e, tau)
     val kept = e.join(drops, col("vid") === col("drop_id"), "left_anti")
-    val cents = centroids(df, clusterCol, vecCol)
+    val cents = centroidsPrepped(e)
       .withColumn("cnrm", SimilaritySearch.l2Norm(col("centroid")))
     // null-SAFE joins throughout: a null cluster key is a legitimate
     // group (groupBy keeps it, dropIds' equi-join never drops from it),
@@ -76,8 +89,8 @@ object SemDedup {
     // report its rows as 100% dropped when none were
     val keptStats = kept.join(broadcast(cents.withColumnRenamed("cl", "__c_cl")),
         col("cl") <=> col("__c_cl"))
-      .withColumn("ccos", when(col("nrm") * col("cnrm") === 0.0, 0.0)
-        .otherwise(SimilaritySearch.dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))))
+      .withColumn("ccos", SimilaritySearch.cosinePrepped(
+        SimilaritySearch.dot(col("v"), col("centroid")), col("nrm"), col("cnrm")))
       .groupBy(col("cl"))
       .agg(count(lit(1)).as("n_kept"), avg(col("ccos")).as("mean_cent_cos"))
       .withColumnRenamed("cl", "__k_cl")

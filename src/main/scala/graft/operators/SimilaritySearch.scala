@@ -32,8 +32,11 @@ object SimilaritySearch {
   }
 
   /** Cosine from a pair dot product and per-ROW precomputed norms —
-    * norms are map-stage work; only one dot product runs per pair. */
-  private def cosinePrepped(d: Column, normA: Column, normB: Column): Column =
+    * norms are map-stage work; only one dot product runs per pair.
+    * Zero-norm convention: similarity 0.0 (not null/NaN). Shared
+    * across every cosine site in the engine (SemDedup, quantizedTopK,
+    * VectorOps) so the convention cannot drift per-file. */
+  private[graft] def cosinePrepped(d: Column, normA: Column, normB: Column): Column =
     when(normA * normB === 0.0, 0.0).otherwise(d / (normA * normB))
 
   /** Exact top-k neighbors for each query vector (query ids drawn from
@@ -122,9 +125,17 @@ object SimilaritySearch {
       }
       best
     })
+    require(centroids.map(_._1).sameElements(centroids.map(_._1).sorted),
+      "centroids must be sorted by id: the strict-< argmin breaks " +
+        "equal-distance ties to the EARLIEST array entry, which is the " +
+        "lowest id only under that order (the q98 oracle's ORDER BY d, c)")
     // spread before the assignment UDF — same single-core-fill trap
-    // as [[ivfIndex]]
+    // as [[ivfIndex]]. Null vectors are dropped: they cannot be
+    // assigned to a list (the Scala argmin would NPE where the
+    // expression paths propagate null) — same policy as AsOfJoin's
+    // null ordinals.
     val assigned = scope.pin(graft.Engine.spread(corpus)
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         col(vecCol).as("vec"), l2Norm(col(vecCol)).as("norm"),
         assignU(transform(col(vecCol), x => x.cast("double"))).as("bucket")))
@@ -143,8 +154,11 @@ object SimilaritySearch {
         (b, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
     })
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      l2Norm(col(vecCol)).as("q_norm"))
+    // null query vectors cannot probe (UDF would NPE) — drop like the
+    // index side does at build
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
     // the index is spread at build time (ivfIndex/ivfAssign), so the
     // cached assignment already carries full parallelism — no re-spread
@@ -231,11 +245,15 @@ object SimilaritySearch {
         best
       })
     // spread before the encode UDF — the per-row argmin kernel over a
-    // single-file corpus scan would otherwise fill on one core
+    // single-file corpus scan would otherwise fill on one core. Null
+    // vectors cannot be encoded (argmin would NPE): dropped, as in
+    // [[ivfAssign]]. The pin is LAZY (ivfIndex/ivfAssign convention):
+    // a single-search caller encodes inline with its one scan instead
+    // of paying a separate fill job plus a cache read.
     val codes = scope.pin(graft.Engine.spread(corpus)
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         encode(transform(col(vecCol), x => x.cast("double"))).as("codes")))
-    codes.count()
     PqIndex(codes, codebooks)
   }
 

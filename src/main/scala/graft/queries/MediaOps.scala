@@ -30,7 +30,10 @@ object MediaOps {
 
   private def q59(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents").where($"text".isNotNull)
+    // spread: the resize/frame-sample kernels and md5 below run over a
+    // single-file documents scan — one split = one core without it
+    // (SCALE.md; q100 below spreads for the same reason)
+    val docs = graft.Engine.spread(table(s, dir, "documents").where($"text".isNotNull))
     val media = docs.select(
       $"doc_id".as("media_id"), lit("image").as("kind"),
       encode($"text", "UTF-8").as("bytes"),

@@ -106,9 +106,11 @@ object VectorOps {
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) x
         WHERE cos_sim >= 0.95 ORDER BY id_a, id_b"""
 
-  /** SQL fragment: exact integer-fold dot product of BIGINT[] codes. */
-  private def sqlIntDot(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  /** SQL fragment: dot product of BIGINT[] codes — the same fold as
+    * [[sqlDot]] (the "integer" distinction lives entirely in DuckDB's
+    * type inference over the operands, so a second definition would
+    * only be a copy that can drift). */
+  private def sqlIntDot(a: String, b: String): String = sqlDot(a, b)
 
   /** Int8-quantized cosine top-5: per-vector symmetric scalar
     * quantization (scale = max|v|/127, code = floor(v/scale + 0.5)),
@@ -178,13 +180,14 @@ object VectorOps {
         kc AS (SELECT k.cl, CASE WHEN k.nrm * cn.cnrm = 0 THEN 0.0
                                  ELSE ${sqlDot("k.v", "cn.c")} / (k.nrm * cn.cnrm)
                             END AS ccos
-               FROM k JOIN cn ON k.cl = cn.cl),
+               FROM k JOIN cn ON k.cl IS NOT DISTINCT FROM cn.cl),
         t AS (SELECT cl, count(*)::BIGINT AS n FROM e GROUP BY 1),
         ka AS (SELECT cl, count(*)::BIGINT AS n_kept, avg(ccos) AS mc FROM kc GROUP BY 1)
         SELECT t.cl, t.n, (t.n - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped,
           coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
           round(ka.mc + 1e-9, 6) AS mean_cent_cos
-        FROM t LEFT JOIN ka ON t.cl = ka.cl ORDER BY t.cl"""
+        FROM t LEFT JOIN ka ON t.cl IS NOT DISTINCT FROM ka.cl
+        ORDER BY t.cl NULLS FIRST"""
 
   // ---- q96: PQ/ADC search against a FIXTURE codebook ------------------
   //
