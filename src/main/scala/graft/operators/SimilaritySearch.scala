@@ -73,8 +73,13 @@ object SimilaritySearch {
 
   case class IvfIndex(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
 
-  private val toVec = udf((a: Seq[Float]) =>
-    org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+  // Seq[Double] + an explicit transform-cast at the call site, NOT
+  // Seq[Float]: a Float-typed UDF pins the PARQUET element type — an
+  // array<double> embeddings table (within TableContractSpec latitude)
+  // would fail analysis with CANNOT_UP_CAST_DATATYPE
+  // (EmbeddingEncodingSpec pins both element widths).
+  private val toVec = udf((a: Seq[Double]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
 
   /** Train the coarse quantizer and assign every vector to a list. The
     * assignment (with precomputed norms) is PERSISTED — it is the
@@ -88,7 +93,7 @@ object SimilaritySearch {
     // corpus scan would otherwise fill the index on one core (SCALE.md)
     val feats = graft.Engine.spread(corpus)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("features", toVec(col("vec")))
+      .withColumn("features", toVec(transform(col("vec"), x => x.cast("double"))))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(20).fit(feats)
     val assigned = scope.pin(model.transform(feats)
@@ -146,8 +151,9 @@ object SimilaritySearch {
   def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cents = index.centroids // tiny; ships in the closure
-    val probeBuckets = udf((q: Seq[Float]) => {
-      val qd = q.map(_.toDouble).toArray
+    // Seq[Double] + call-site cast for element-width latitude — see toVec
+    val probeBuckets = udf((q: Seq[Double]) => {
+      val qd = q.toArray
       cents.map { case (b, c) =>
         var d = 0.0; var i = 0
         while (i < qd.length && i < c.length) { val t = qd(i) - c(i); d += t * t; i += 1 }
@@ -159,7 +165,8 @@ object SimilaritySearch {
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2Norm(col(vecCol)).as("q_norm"))
-      .withColumn("bucket", explode(probeBuckets(col("q_vec"))))
+      .withColumn("bucket",
+        explode(probeBuckets(transform(col("q_vec"), x => x.cast("double")))))
     // the index is spread at build time (ivfIndex/ivfAssign), so the
     // cached assignment already carries full parallelism — no re-spread
     val cand = index.assigned.select(col("id").as("cand_id"),
