@@ -286,15 +286,11 @@ object KernelOps {
     val desc = lit("""<div class="description">""" + DescText + "</div>")
     val reqs = when($"b" === 0 || $"b" === 5,
       lit("""<ul class="requirements">""" + ReqText + "</ul>")).otherwise(lit(""))
+    // one pageUdf call per row, then expand — seven per-field UDF calls
+    // would decode the page string seven times (see HtmlExtract.pageUdf)
     base.withColumn("html", concat(html, desc, reqs, contract))
-      .select($"id",
-        HtmlExtract.titleUdf($"html").as("title"),
-        HtmlExtract.companyUdf($"html").as("company"),
-        HtmlExtract.descriptionUdf($"html").as("description"),
-        HtmlExtract.requirementsUdf($"html").as("requirements"),
-        HtmlExtract.locationUdf($"html").as("location"),
-        HtmlExtract.salaryTextUdf($"html").as("salary_text"),
-        HtmlExtract.contractTypeUdf($"html").as("contract_type"))
+      .select($"id", HtmlExtract.pageUdf($"html").as("page"))
+      .select($"id", $"page.*")
     // no ORDER BY: the driver compare row-sorts both sides, and a
     // global sort of 150k wide string rows only burns bench time
     // (CLAUDE.md oracle conventions)
@@ -354,14 +350,22 @@ object KernelOps {
     import graft.textkit.Skills
     val enriched = concat($"text",
       element_at(typedLit(SkillSuffixes), ($"doc_id" % 5 + 1).cast("int")))
+    // ctx/marker staged BELOW the explode: confidence needs the
+    // lowered document and the marker scan, and computing them above
+    // the Generate would redo both per exploded skill row instead of
+    // once per document (CollapseProject never duplicates non-cheap
+    // exprs, so the staging projection survives)
     graft.Engine.spread(table(s, dir, "documents"))
       .select($"doc_id", enriched.as("t2"))
-      .select($"doc_id", $"t2", Skills.extractSkillsNlp($"t2").as("skills"))
-      .select($"doc_id", $"t2", explode_outer($"skills").as("skill"))
+      .select($"doc_id", lower($"t2").as("ctx"),
+        Skills.extractSkillsNlp($"t2").as("skills"))
+      .withColumn("marker", Skills.hasSkillMarker($"ctx"))
+      .select($"doc_id", $"ctx", $"marker", explode_outer($"skills").as("skill"))
       .where($"skill".isNotNull)
       .select($"doc_id", $"skill",
         Skills.classifySkillCategory($"skill").as("category"),
-        roundSafe(Skills.skillConfidence($"skill", $"t2"), 4).as("confidence"))
+        roundSafe(Skills.skillConfidencePrepped($"skill", $"ctx", $"marker"), 4)
+          .as("confidence"))
       .orderBy($"doc_id", $"skill")
   }
 

@@ -164,16 +164,35 @@ object Skills {
       .otherwise(((length(hay) - length(replace(hay, needle, lit("")))) / length(needle))
         .cast("int"))
 
+  /** Skills-list marker words in an ALREADY-LOWERCASED context
+    * (extract_skills.py's bonus condition). Exposed so callers that
+    * stage the lowered context before an explode can stage this flag
+    * with it — four substring scans per DOCUMENT instead of per
+    * exploded skill row. */
+  def hasSkillMarker(ctx: Column): Column =
+    Seq("compétences", "skills", "technologies", "outils")
+      .map(w => ctx.contains(w)).reduce(_ || _)
+
+  /** [[skillConfidence]] over pre-staged inputs: `ctx` must be
+    * lower(context) and `marker` must be [[hasSkillMarker]](ctx).
+    * The explode-heavy caller (q61) computes both once per document;
+    * the plain wrapper below derives them inline so the two forms
+    * cannot drift (F17 parity goldens run against the wrapper). */
+  def skillConfidencePrepped(skill: Column, ctx: Column, marker: Column): Column = {
+    val lo = lower(skill)
+    val freq = substrCount(ctx, lo).cast("double")
+    val base = least(lit(0.9), lit(0.6) + freq * 0.1)
+    val bonus = when(marker, 0.1).otherwise(0.0)
+    // ctx IS NULL iff context is (lower preserves null), so the
+    // missing-input guard reads identically off the staged column
+    when(skill.isNull || length(skill) === 0 || ctx.isNull || length(ctx) === 0,
+      0.5).otherwise(base + bonus)
+  }
+
   /** F17 confidence: min(0.9, 0.6 + 0.1*freq) + 0.1 when a skills-list
     * marker word appears in context; 0.5 for missing inputs. */
   def skillConfidence(skill: Column, context: Column): Column = {
-    val lo = lower(skill)
     val ctx = lower(context)
-    val freq = substrCount(ctx, lo).cast("double")
-    val base = least(lit(0.9), lit(0.6) + freq * 0.1)
-    val bonus = when(Seq("compétences", "skills", "technologies", "outils")
-      .map(w => ctx.contains(w)).reduce(_ || _), 0.1).otherwise(0.0)
-    when(skill.isNull || length(skill) === 0 || context.isNull || length(context) === 0,
-      0.5).otherwise(base + bonus)
+    skillConfidencePrepped(skill, ctx, hasSkillMarker(ctx))
   }
 }
