@@ -233,4 +233,32 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("event_id") && !p.contains("user_id") && !p.contains("props"),
       "untouched event columns must be pruned from the scan")
   }
+
+  test("q60 extracts every page field with ONE kernel UDF invocation") {
+    // pageUdf batches the seven cascades so the page string is decoded
+    // once per row; if a refactor re-inlines it per field (or goes back
+    // to per-field UDFs) the same page re-parses seven times. The
+    // struct must stay in its own projection — count the UDF's
+    // occurrences in the formatted plan (each plan node prints twice:
+    // tree + details).
+    val p = plan("q60_html_extract")
+    val n = "UDF\\(".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one kernel UDF invocation in the " +
+      s"plan text, found $n:\n$p")
+  }
+
+  test("q61 stages the lowered doc and marker flag below the explode") {
+    // lower(t2) and the four marker scans must compute once per
+    // DOCUMENT (below the Generate), not once per exploded skill row.
+    // The staging projection prints `lower(t2#N) AS ctx#M` exactly once
+    // in the formatted details; a collapse that re-inlined it into the
+    // post-explode confidence expression would print it again there.
+    // (extractSkillsNlp's own lowering prints as lower(coalesce(t2...,
+    // so the needle below doesn't match it.)
+    val p = plan("q61_nlp_skills")
+    assert(p.contains("Generate"), p)
+    val stagings = "lower\\(t2#".r.findAllIn(p).size
+    assert(stagings == 1,
+      s"lower(t2) must appear exactly once (the pre-explode staging), found $stagings:\n$p")
+  }
 }
