@@ -79,6 +79,16 @@ object Dedup {
     df.select(col(idCol).as("id"),
       sort_array(array_distinct(
         transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
+      // No-token docs (null/empty/whitespace text) can never clear any
+      // jaccard threshold (0/0 -> NULL on both engines, and NULL >= t
+      // filters out), but their all-null minhash sig bands to
+      // concat_ws("") — so EVERY degenerate doc in the corpus lands in
+      // ONE bucket and the candidate join goes O(D^2) on them before
+      // the verify filter drops each pair. At crawl scale null/boiler-
+      // plate-stripped-empty docs are a few percent of the corpus:
+      // prune them BEFORE banding (outputs unchanged — they only ever
+      // produced doomed candidates). size(NULL) is NULL -> dropped.
+      .where(size(col("toks")) > 0)
 
   /** The nBands band-key strings of a k-long `sig` column. */
   private def bandKeys(sig: Column, nBands: Int, bandsOf: Int): Column =
