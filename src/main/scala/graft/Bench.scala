@@ -14,6 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet collapses to a metadata count), which would "measure" the
   * string/date/hash kernels as free. The noop write evaluates every
   * output column and discards rows executor-side.
+  *
+  * The artifact is built to be self-evidencing against machine
+  * contention (the round-5 driver run started at load-average 5.2 and
+  * reported q50 at 98 s against a 5.2 s isolated cost — indistinguishable
+  * from a regression using the old median-only line):
+  *   - every iteration of every query is recorded, with the 1-minute
+  *     load average sampled at each query's start, in a JSON detail
+  *     file (SPARK_GRAFT_DETAIL, default BENCH_DETAIL.json in-repo);
+  *   - the stdout line carries a compact `spread` map (max/min
+  *     iteration ratio per query, only where > 1.5) and a top-level
+  *     `contended` flag (pre-suite load average > 2, or any query's
+  *     spread > 2);
+  *   - the consumer keeps only the LAST ~2000 chars of stdout, so the
+  *     queries map is ordered by ascending median — the expensive
+  *     (interesting) queries and the contention evidence land in the
+  *     preserved tail even when the front of the line is truncated.
   */
 object Bench {
 
@@ -51,6 +67,31 @@ object Bench {
     // measurements (SPARK_GRAFT_GC=0 disables for A/B probes).
     if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
   }
+
+  /** Per-query measurement: every iteration time, the load average
+    * sampled when the query started, and the failure bit. */
+  private case class Measured(times: Seq[Double], loadAtStart: Double,
+                              failed: Boolean) {
+    def median: Double =
+      if (failed || times.isEmpty) -1.0
+      else times.sorted.apply(times.length / 2) // upper median, no interpolation
+    def min: Double = if (times.isEmpty) -1.0 else times.min
+    /** max/min iteration ratio — ~1.0 on a quiet machine; a transient
+      * external load spike hits some iterations and not others, so a
+      * big ratio is direct in-artifact evidence of contention. */
+    def spreadRatio: Double =
+      if (failed || times.isEmpty || times.min <= 0) 1.0
+      else times.max / times.min
+    /** absolute iteration range — a sub-second query jitters past 2x
+      * ratio on any machine, so ratio alone over-flags; evidence must
+      * also be material in wall-clock terms. */
+    def spreadAbs: Double =
+      if (failed || times.isEmpty) 0.0 else times.max - times.min
+    def material: Boolean = spreadRatio > 1.5 && spreadAbs > 0.5
+  }
+
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+  private def r2(v: Double): Double = math.rint(v * 100) / 100
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,7 +141,8 @@ object Bench {
     // Fatal errors (OOM etc.) propagate: "measuring" the remaining
     // queries in a heap-thrashing JVM produces garbage that looks real.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
-    val results = queries.map { case (name, fn) =>
+    val results: Map[String, Measured] = queries.map { case (name, fn) =>
+      val loadAtStart = loadAvg
       var failed = false
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -112,25 +154,82 @@ object Bench {
         }
       }
       resetSession(spark)
-      // upper median on even counts — deterministic, no interpolation
-      name -> (if (failed || times.isEmpty) -1.0 else times.sorted.apply(times.length / 2))
+      name -> Measured(times, loadAtStart, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadAvgEnd = loadAvg
+
+    // ascending-median order: the consumer's tail window keeps the END
+    // of the line, so the slowest queries — the ones a perf reviewer
+    // actually inspects — must serialize last to survive truncation
+    val ordered = results.toSeq.sortBy { case (n, m) => (m.median, n) }
+    val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.map(_.median).filter(_ >= 0).sum)
+    // sum of per-query minima: the best-case suite cost this machine
+    // demonstrated — under contention total/min_total diverge, on an
+    // idle machine they agree within noise
+    val minTotal = r3(results.values.filter(!_.failed).map(_.min).filter(_ >= 0).sum)
+    // per-query max/min iteration ratio, emitted only where > 1.5x AND
+    // > 0.5 s absolute — empty on a quiet run, and under load it is the
+    // in-artifact proof that an outlier median is contention, not a
+    // plan regression
+    val spreads = ordered.collect {
+      case (k, m) if m.material => "\"" + k + "\":" + r2(m.spreadRatio)
+    }.mkString("{", ",", "}")
+    // contended when the machine was demonstrably busy before the suite
+    // started (>3.0 one-minute load — the sbt launch itself leaves ~2
+    // on this box) or any query shows a material iteration spread
+    // (>2x AND >1 s). Sustained external load is caught by the former,
+    // transient spikes by the latter; a decaying pre-run load average
+    // with clean spreads (visible via load_avg_min in the detail file)
+    // triggers neither.
+    val contended = loadAvgStart > 3.0 ||
+      results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
     // numeric sf parsed from the dir name (".../sf0.1" -> 0.1); a dir
     // that doesn't embed one falls back to the quoted path so the line
     // stays valid JSON either way
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+
+    // full evidence file: every iteration of every query + the load
+    // average at each query's start. Too big for the one-line stdout
+    // contract (the consumer truncates to ~2000 chars), so it lands
+    // next to the repo artifacts where the reviewer reads it.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    val detail = new StringBuilder
+    val loadAvgMin = r2(
+      (results.values.map(_.loadAtStart).toSeq :+ loadAvgStart).min)
+    detail ++= s"""{"sf":$sf,"cpus":$cpus,"iters":$iters,"""
+    detail ++= s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"""
+    detail ++= s""""load_avg_min":$loadAvgMin,"""
+    detail ++= s""""contended":$contended,"queries":{"""
+    detail ++= ordered.map { case (k, m) =>
+      val ts = m.times.map(r3).mkString("[", ",", "]")
+      s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
+        s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
+        s""""failed":${m.failed}}"""
+    }.mkString(",")
+    detail ++= "}}\n"
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.toString.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write detail file $detailPath: $e")
+    }
+
     // machine context so a contended run is identifiable from the JSON
     // alone (the round-3 driver bench overlapped builder activity and
     // the 5-20x inflation was indistinguishable from regression):
-    // 1-minute load average at start and end, JVM heap cap, core count
-    val env = s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvg,""" +
+    // 1-minute load average at start and end, JVM heap cap, core count.
+    // Everything after "queries" is deliberately LAST on the line —
+    // the tail window must keep the contention evidence.
+    val env = s""""iters":$iters,"min_total":$minTotal,"spread":$spreads,""" +
+      s""""contended":$contended,""" +
+      s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
       s""""driver_max_mem_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
-      s""""cpus":$cpus"""
+      s""""cpus":$cpus,"detail":"$detailPath""""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,$env}""")
     spark.stop()
   }
