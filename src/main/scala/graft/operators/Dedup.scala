@@ -79,15 +79,17 @@ object Dedup {
     df.select(col(idCol).as("id"),
       sort_array(array_distinct(
         transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
-      // No-token docs (null/empty/whitespace text) can never clear any
-      // jaccard threshold (0/0 -> NULL on both engines, and NULL >= t
-      // filters out), but their all-null minhash sig bands to
-      // concat_ws("") — so EVERY degenerate doc in the corpus lands in
-      // ONE bucket and the candidate join goes O(D^2) on them before
-      // the verify filter drops each pair. At crawl scale null/boiler-
-      // plate-stripped-empty docs are a few percent of the corpus:
-      // prune them BEFORE banding (outputs unchanged — they only ever
-      // produced doomed candidates). size(NULL) is NULL -> dropped.
+      // No-token docs (null/empty/whitespace text) can never clear a
+      // POSITIVE jaccard threshold (null text -> NULL jaccard, and
+      // empty-vs-empty scores 0.0, so both fail `>= t` for t > 0 —
+      // which is why the pair generators require threshold > 0), but
+      // their all-null minhash sig bands to concat_ws("") — so EVERY
+      // degenerate doc in the corpus lands in ONE bucket and the
+      // candidate join goes O(D^2) on them before the verify filter
+      // drops each pair. At crawl scale null/boilerplate-stripped-empty
+      // docs are a few percent of the corpus: prune them BEFORE banding
+      // (outputs unchanged given t > 0 — they only ever produced doomed
+      // candidates). size(NULL) is NULL -> dropped.
       .where(size(col("toks")) > 0)
 
   /** The nBands band-key strings of a k-long `sig` column. */
@@ -121,11 +123,30 @@ object Dedup {
     * [[LshEncoding]]); results are identical across encodings. The
     * default ([[LshEncoding.MergeWalk]]) builds the plan without
     * running any Spark job.
+    *
+    * `maxBucketSize` is the recall/cost dial for boilerplate-heavy
+    * corpora: the degenerate-doc prune (see [[lshToks]]) removes the
+    * no-token bucket bomb, but REAL template docs band together with
+    * perfectly valid signatures, and one hot (band, key) bucket costs
+    * O(bucket^2) comparisons. With a cap, each bucket is split by
+    * deterministic id rank into sub-buckets of at most that size
+    * ([[Skew.capBlocks]]) that only pair among themselves, bounding the
+    * worst bucket at cap^2 comparisons. The output is a strict SUBSET
+    * of the exact output (pairs split across sub-buckets are missed;
+    * nothing is added or duplicated — a pair suppressed in an earlier
+    * band's sub-bucketing is also suppressed at later shared bands by
+    * the first-band-wins condition, which compares signature slices,
+    * not emitted pairs). Default None = exact.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double,
-      encoding: LshEncoding = LshEncoding.MergeWalk): DataFrame = {
+      encoding: LshEncoding = LshEncoding.MergeWalk,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
+    // the degenerate-doc prune in lshToks is output-neutral only for a
+    // positive threshold (empty-vs-empty token sets score 0.0, which a
+    // t = 0.0 caller would have kept) — enforce the precondition
+    require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
     val toks = lshToks(df, idCol, textCol)
     val sigs = toks.select(col("id"), col("toks"), minhashFromHashes(col("toks"), k).as("sig"))
     val nBands = k / bandsOf
@@ -139,12 +160,26 @@ object Dedup {
     // approach all-pairs and that distinct dominated the whole operator.
     // Engine.spread: the pair join's work is quadratic in bucket sizes
     // while its probe-side parallelism is whatever the scan produced.
-    def bandsFrom(pre: DataFrame, extra: Seq[String]): DataFrame =
-      graft.Engine.spread(pre)
+    def bandsFrom(pre: DataFrame, extra: Seq[String]): DataFrame = {
+      val banded = graft.Engine.spread(pre)
         .select(
         (Seq(col("id"), col("sig")) ++ extra.map(col) :+
           posexplode(bandKeys(col("sig"), nBands, bandsOf))
             .as(Seq("band_idx", "band_key"))): _*)
+      // optional hot-bucket cap: rewrite band_key to its capped
+      // sub-bucket (id-ranked within the original (band, key) bucket)
+      // so the join machinery below is untouched; band_idx rides along
+      // for the first-band-wins condition as before
+      maxBucketSize match {
+        case Some(m) =>
+          Skew.capBlocks(banded,
+              concat_ws("|", col("band_idx"), col("band_key")),
+              col("id"), m)
+            .withColumn("band_key", col("__capped_block"))
+            .drop("__capped_block")
+        case None => banded
+      }
+    }
     def sideCols(side: String, extra: Seq[String]) =
       Seq(col("band_idx"), col("band_key"), col("id").as(s"id_$side"),
         col("sig").as(s"sig_$side")) ++
@@ -271,7 +306,9 @@ object Dedup {
     * check; the loop exits on the size threshold (or maxIter as a
     * safety valve, after which the residual is collected regardless —
     * jumping makes that bound generous: 25 rounds cover 2^25-vertex
-    * chains).
+    * chains). An INPUT edge set already under the threshold skips the
+    * distributed machinery entirely and is closed on the driver in one
+    * pass (the daily-ingest root-graph and medium-corpus shape).
     *
     * Iteration state (label map + contracted edges) is MATERIALIZED to
     * parquet each round — the standard checkpoint pattern for
@@ -304,10 +341,24 @@ object Dedup {
     // scratch space for per-round materialization — see [[Scratch]]
     // for the placement (checkpoint FS) and lifetime (JVM-exit hook /
     // harness releaseAll) story
-    val (_, ckDir) = Scratch.newDir(spark, "graft-cc")
+    val (ckFs, ckDir) = Scratch.newDir(spark, "graft-cc")
     def materialize(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$ckDir/$name")
       spark.read.parquet(s"$ckDir/$name")
+    }
+    // row count of a staged table straight from the parquet footers —
+    // a driver-side metadata read, no Spark job (a count() job over the
+    // big-graph pair set measured ~0.4 s of pure overhead per CC call)
+    def stagedCount(name: String): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      ckFs.listStatus(new org.apache.hadoop.fs.Path(s"$ckDir/$name"))
+        .iterator
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
     }
     // The upstream pair generation (LSH) must run exactly ONCE: the
     // symmetrized edge list is a 2-way union over `pairs` consumed by
@@ -321,6 +372,23 @@ object Dedup {
     val pairs0 = materialize(
       pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
       "pairs0")
+
+    // Small-graph fast path: the driver union-find finish exists for
+    // residual graphs under `driverFinishMaxEdges` — when the INPUT
+    // edge set is already under that cap (daily-ingest root graphs,
+    // post-contraction re-clustering, medium corpora) the distributed
+    // hook/jump/contract machinery is pure overhead: two cache fills,
+    // a count and 4+ shuffling jobs to shrink a graph that fits in one
+    // driver pass. Close it exactly on the driver now. The count is
+    // metadata-only on the freshly staged parquet; the collect is the
+    // same <=32 MB size class the residual finish already accepts.
+    val nInput = stagedCount("pairs0")
+    if (nInput <= driverFinishMaxEdges) {
+      val uf = new UnionFind(pairs0.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import spark.implicits._
+      return uf.labels.toSeq.toDF("id", "cluster_id")
+    }
+
     val edges0 = pairs0.unionByName(
       pairs0.select(col("dst").as("src"), col("src").as("dst")))
 
@@ -359,7 +427,7 @@ object Dedup {
         .select(col("id"), coalesce(col("nl"), col("cluster_id")).as("cluster_id")),
         s"map${iter + 1}")
       rep = materialize(contract(rep, b), s"rep${iter + 1}")
-      repSize = rep.count()
+      repSize = stagedCount(s"rep${iter + 1}") // footers, not a count() job
       iter += 1
     }
     // close the residual graph exactly on the driver
@@ -370,19 +438,9 @@ object Dedup {
     if (iter == 0) mapping = materialize(mapping, "map_final")
     map0.unpersist()
     rep0.unpersist()
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = { // iterative + path compression: chain
-      var r = x                 // residuals can be deeper than the stack
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    residual.foreach { case (a, bb) =>
-      val (ra, rb) = (find(a), find(bb))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val roots = parent.keys.map(v => (v, find(v))).toSeq
+    // only vertices whose label CHANGES go into the broadcast relabel —
+    // identity rows would pad it for nothing (coalesce covers them)
+    val roots = new UnionFind(residual).remapped.toSeq
     if (roots.isEmpty) mapping.select(col("id"), col("cluster_id"))
     else {
       import spark.implicits._
@@ -395,6 +453,55 @@ object Dedup {
   /** Residual-edge cap for [[connectedComponents]]'s driver-side
     * union-find finish: 2M edges ~ 32 MB collected. */
   private val DriverUnionFindMaxEdges = 2000000L
+
+  /** Driver-side union-find over an edge array — the exact finish for
+    * both the small-graph fast path and the post-contraction residual
+    * in [[connectedComponents]]. Vertex ids are dense-indexed through a
+    * sorted array (binary search per endpoint) so the parent structure
+    * is a primitive int array, not a boxed Long map — at the 2M-edge
+    * cap the boxed-map variant spent seconds in hashing/boxing alone.
+    * The sorted index order equals id order, so min-INDEX-root union
+    * yields min-ID component labels (the deterministic survivor rule).
+    * Iterative find with path compression: chain residuals can be
+    * deeper than the stack. */
+  private final class UnionFind(edges: Array[(Long, Long)]) {
+    private val verts: Array[Long] = {
+      val a = new Array[Long](edges.length * 2)
+      var i = 0
+      while (i < edges.length) {
+        a(2 * i) = edges(i)._1; a(2 * i + 1) = edges(i)._2; i += 1
+      }
+      java.util.Arrays.sort(a)
+      var n = 0; var j = 0
+      while (j < a.length) {
+        if (n == 0 || a(n - 1) != a(j)) { a(n) = a(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(a, n)
+    }
+    private val parent: Array[Int] = Array.tabulate(verts.length)(identity)
+    private def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    locally {
+      var i = 0
+      while (i < edges.length) {
+        val ra = find(java.util.Arrays.binarySearch(verts, edges(i)._1))
+        val rb = find(java.util.Arrays.binarySearch(verts, edges(i)._2))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 1
+      }
+    }
+    /** Every vertex with its component's min-id label. */
+    def labels: Iterator[(Long, Long)] =
+      verts.iterator.zipWithIndex.map { case (v, i) => (v, verts(find(i))) }
+    /** Only the vertices whose label differs from the vertex itself. */
+    def remapped: Iterator[(Long, Long)] = labels.filter { case (v, l) => v != l }
+  }
 
   /** End-to-end near-dedup: MinHash-LSH pairs -> connected components
     * -> keep one survivor (min id) per duplicate cluster. Returns the
@@ -432,6 +539,9 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
+    // same precondition as minhashLshPairs: the degenerate-doc prune is
+    // output-neutral only when empty-set pairs (jaccard 0.0) cannot pass
+    require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
     val nBands = k / bandsOf
     def bandsOfSide(toks: DataFrame, side: String): DataFrame =
       graft.Engine.spread(toks

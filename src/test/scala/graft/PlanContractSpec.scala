@@ -239,8 +239,11 @@ class PlanContractSpec extends AnyFunSuite {
     // once per row; if a refactor re-inlines it per field (or goes back
     // to per-field UDFs) the same page re-parses seven times. The
     // struct must stay in its own projection — count the UDF's
-    // occurrences in the formatted plan (each plan node prints twice:
-    // tree + details).
+    // occurrences in the formatted plan. ("formatted" mode prints the
+    // operator TREE without expressions and then each node's details
+    // once, so a single projection invoking the UDF yields exactly one
+    // "UDF(" occurrence; a second occurrence means a second evaluation
+    // site, not a print artifact.)
     val p = plan("q60_html_extract")
     val n = "UDF\\(".r.findAllIn(p).size
     assert(n == 1, s"expected exactly one kernel UDF invocation in the " +

@@ -131,6 +131,36 @@ class DedupPathsSpec extends AnyFunSuite {
     assert(incremental.nonEmpty, "fixture must produce cross pairs")
   }
 
+  test("maxBucketSize cap emits a strict, duplicate-free subset of exact pairs") {
+    // template-heavy corpus: 12 near-identical docs per template band
+    // into the same hot buckets; a cap of 4 splits each bucket into
+    // id-ranked sub-buckets that only pair among themselves. The dial's
+    // contract: never adds, never duplicates, never alters a jaccard —
+    // only misses cross-sub-bucket pairs (the recall cost).
+    val docs = corpus(nTemplates = 3, tokensPer = 40, perTemplate = 12,
+      universeOffset = 3000).toDF("doc_id", "text")
+    def run(cap: Option[Int]): Array[((Long, Long), Double)] =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+          LshEncoding.MergeWalk, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val exactRows = run(None)
+    val cappedRows = run(Some(4))
+    assert(cappedRows.length == cappedRows.map(_._1).distinct.length,
+      "capped output must not duplicate pairs")
+    val exact = exactRows.toMap
+    val capped = cappedRows.toMap
+    assert(capped.keySet.subsetOf(exact.keySet),
+      s"capped must be a subset of exact; extra=${capped.keySet -- exact.keySet}")
+    capped.foreach { case (k, j) =>
+      assert(j == exact(k), s"jaccard differs under capping at $k")
+    }
+    assert(capped.nonEmpty, "fixture must keep some within-sub-bucket pairs")
+    assert(capped.size < exact.size,
+      "fixture must actually exercise the cap (some pairs dropped)")
+    info(f"cap=4 recall: ${capped.size}/${exact.size} = " +
+      f"${capped.size.toDouble / exact.size}%.3f")
+  }
+
   test("default encoding builds the plan with zero Spark jobs; Auto probes") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3,
