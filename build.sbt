@@ -23,8 +23,34 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: honor SPARK_DRIVER_MEM but CAP it at 32g. Measured at
+// the harness's 89g offer (full 100-query suite, idle 128g/32-core
+// box, four complete runs): every G1 strategy at a ~90g Xmx is
+// mode-unstable — default shrink-after-full-GC makes heavy queries
+// re-grow the heap through incremental expansion each iteration
+// (q53 14-38s vs ~5s at any fixed heap), Xms=Xmx+AlwaysPreTouch
+// starves the OS page cache and slows checkpoint-heavy streaming 6x
+// (q97 2.5s isolated -> 15.8s in-suite), and no-shrink at 89g moved
+// the instability to other queries (q38 8->18s, q60 2->12s across
+// iterations). A 24g+ heap is the measured linear-growth zone
+// (SCALE.md round-5 heap probe); 32g gives 4x headroom over the 8g
+// spill edge while keeping the GC surface small and ~90g of page
+// cache for parquet/scratch/checkpoint I/O. MaxHeapFreeRatio=100
+// additionally pins the committed heap at its high-water mark so the
+// bench's between-query System.gc() (GC-driven ContextCleaner) can't
+// trigger the shrink/re-grow cycle at this size either. A real
+// cluster deployment sizes executor heaps in exactly this 16-64g
+// band for the same GC reasons.
+val graftHeap: String = {
+  val m = "([0-9]+)([gGmM])".r
+  sys.env.getOrElse("SPARK_DRIVER_MEM", "8g") match {
+    case m(n, u) if u.toLowerCase == "g" && n.toInt > 32 => "32g"
+    case other => other
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
+  "-XX:MaxHeapFreeRatio=100",
 )

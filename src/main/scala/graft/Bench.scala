@@ -76,17 +76,24 @@ object Bench {
       if (failed || times.isEmpty) -1.0
       else times.sorted.apply(times.length / 2) // upper median, no interpolation
     def min: Double = if (times.isEmpty) -1.0 else times.min
-    /** max/min iteration ratio — ~1.0 on a quiet machine; a transient
-      * external load spike hits some iterations and not others, so a
-      * big ratio is direct in-artifact evidence of contention. */
+    /** Iterations 2..n: the first run at the measured SF pays
+      * size-specific JIT tiers and page-cache warming (2-5x on the
+      * heavy queries in EVERY idle-machine run), which is warm-up, not
+      * contention — spread evidence must not count it. */
+    private def warm: Seq[Double] =
+      if (times.length >= 3) times.drop(1) else times
+    /** max/min WARM-iteration ratio — ~1.0 on a quiet machine; a
+      * transient external load spike hits some iterations and not
+      * others, so a big ratio is direct in-artifact evidence of
+      * contention. */
     def spreadRatio: Double =
-      if (failed || times.isEmpty || times.min <= 0) 1.0
-      else times.max / times.min
-    /** absolute iteration range — a sub-second query jitters past 2x
-      * ratio on any machine, so ratio alone over-flags; evidence must
-      * also be material in wall-clock terms. */
+      if (failed || warm.isEmpty || warm.min <= 0) 1.0
+      else warm.max / warm.min
+    /** absolute warm-iteration range — a sub-second query jitters past
+      * 2x ratio on any machine, so ratio alone over-flags; evidence
+      * must also be material in wall-clock terms. */
     def spreadAbs: Double =
-      if (failed || times.isEmpty) 0.0 else times.max - times.min
+      if (failed || warm.isEmpty) 0.0 else warm.max - warm.min
     def material: Boolean = spreadRatio > 1.5 && spreadAbs > 0.5
   }
 
