@@ -343,7 +343,8 @@ object Dedup {
     // harness releaseAll) story
     val (ckFs, ckDir) = Scratch.newDir(spark, "graft-cc")
     def materialize(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$ckDir/$name")
+      df.write.option("compression", Scratch.Codec)
+        .mode("overwrite").parquet(s"$ckDir/$name")
       spark.read.parquet(s"$ckDir/$name")
     }
     // row count of a staged table straight from the parquet footers —

@@ -48,9 +48,13 @@ object Scratch {
   def stage(df: DataFrame, prefix: String): DataFrame = {
     val spark = df.sparkSession
     val (_, dir) = newDir(spark, prefix)
-    df.write.mode("overwrite").parquet(dir.toString)
+    df.write.option("compression", Codec).mode("overwrite").parquet(dir.toString)
     spark.read.parquet(dir.toString)
   }
+
+  /** Codec for scratch writes (A/B via SPARK_GRAFT_SCRATCH_CODEC). */
+  private[operators] val Codec =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH_CODEC", "zstd")
 
   /** Delete every registered scratch dir NOW. Only sound when every
     * plan built over staged frames has been discarded (a later action
