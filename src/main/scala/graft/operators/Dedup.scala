@@ -451,8 +451,15 @@ object Dedup {
     }
   }
 
-  /** Residual-edge cap for [[connectedComponents]]'s driver-side
-    * union-find finish: 2M edges ~ 32 MB collected. */
+  /** Edge cap for [[connectedComponents]]'s driver-side union-find
+    * finish (both the input fast path and the post-contraction
+    * residual): 2M edges ~ 32 MB collected. Measured ceiling, not a
+    * heap bound: the union-find itself is sub-second at far larger
+    * sizes, but collect()'s row deserialization and the LocalRelation
+    * mapping the fast path emits are single-threaded driver work that
+    * at 6M edges cost MORE than the distributed contraction rounds
+    * they replace (q49/q53 5s -> 8-17s in a round-6 probe of an 8M
+    * cap). */
   private val DriverUnionFindMaxEdges = 2000000L
 
   /** Driver-side union-find over an edge array — the exact finish for
