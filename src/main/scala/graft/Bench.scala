@@ -151,16 +151,28 @@ object Bench {
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
       var failed = false
-      val times = (1 to iters).flatMap { _ =>
+      val times = (1 to iters).flatMap { i =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        val t = try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case scala.util.control.NonFatal(e) =>
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           None
         }
+        // UNTIMED between-iteration hygiene: each iteration builds its
+        // plan fresh, so the previous iteration's scratch staging is
+        // dead — delete it now and drain the dirty-page backlog with a
+        // sync. Without this, a scratch-heavy query's own iteration-1
+        // writeback bleeds into iterations 2..n (and the next query):
+        // the round-6 bisect measured q95 at [5.3, 8.6, 4.5] right
+        // after q50 vs [4.6, 4.0, 3.3] after a light query, and a dd
+        // probe showed a 2 GB write+sync at 12.7 s vs 3.8 s depending
+        // only on the preceding write volume.
+        if (i < iters) { graft.operators.Scratch.releaseAll(); syncDisk() }
+        t
       }
       resetSession(spark)
+      syncDisk()
       name -> Measured(times, loadAtStart, failed)
     }
     val loadAvgEnd = loadAvg
@@ -245,4 +257,12 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Flush dirty pages and wait (untimed window only). Scratch dirs
+    * are deleted first, so most dirty data is simply dropped and the
+    * sync is cheap; what remains would otherwise stall the NEXT timed
+    * window's I/O. Best-effort: absent/failing `sync` is ignored. */
+  private def syncDisk(): Unit =
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case scala.util.control.NonFatal(_) => () }
 }
