@@ -69,9 +69,11 @@ object Bench {
   }
 
   /** Per-query measurement: every iteration time, the load average
-    * sampled when the query started, and the failure bit. */
-  private case class Measured(times: Seq[Double], loadAtStart: Double,
-                              failed: Boolean) {
+    * sampled when the query started, and the failure bit.
+    * (package-visible so BenchEvidenceSpec can pin the spread
+    * semantics the artifact's contended flag rests on) */
+  private[graft] case class Measured(times: Seq[Double], loadAtStart: Double,
+                                     failed: Boolean) {
     def median: Double =
       if (failed || times.isEmpty) -1.0
       else times.sorted.apply(times.length / 2) // upper median, no interpolation

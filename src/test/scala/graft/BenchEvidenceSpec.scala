@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's contention evidence rests on Measured's
+  * spread semantics — pin them. A regression here silently turns the
+  * `contended` flag into noise (flagging every clean run via
+  * first-iteration JIT) or blindness (never flagging a real stall),
+  * which is exactly the round-5 artifact-credibility gap the round-6
+  * harness was rebuilt to close. */
+class BenchEvidenceSpec extends AnyFunSuite {
+
+  private def m(times: Double*) = Bench.Measured(times, 0.0, failed = false)
+
+  test("median is the upper median of all iterations") {
+    assert(m(3.0, 1.0, 2.0).median == 2.0)
+    assert(m(4.0, 1.0, 2.0, 3.0).median == 3.0) // upper on even counts
+    assert(m(5.0).median == 5.0)
+  }
+
+  test("first iteration is excluded from spread evidence (JIT warm-up)") {
+    // 5x first iter, flat warm iters: every idle-machine run looks
+    // like this on heavy queries — must NOT read as contention
+    val warmup = m(10.0, 2.0, 2.1)
+    assert(warmup.spreadRatio < 1.1)
+    assert(!warmup.material)
+  }
+
+  test("a warm-iteration stall IS spread evidence") {
+    val stalled = m(2.0, 2.0, 8.0)
+    assert(stalled.spreadRatio > 2.0 && stalled.spreadAbs > 1.0)
+    assert(stalled.material)
+  }
+
+  test("sub-second jitter never reads as material spread") {
+    // 2.5x ratio but 0.15s absolute — normal scheduler noise
+    assert(!m(0.4, 0.1, 0.25).material)
+  }
+
+  test("two-iteration runs fall back to all iterations for spread") {
+    assert(m(4.0, 2.0).spreadRatio == 2.0)
+  }
+
+  test("failed or empty measurements degrade safely") {
+    assert(Bench.Measured(Seq(1.0, 2.0), 0.0, failed = true).median == -1.0)
+    assert(Bench.Measured(Nil, 0.0, failed = false).median == -1.0)
+    assert(Bench.Measured(Nil, 0.0, failed = false).spreadRatio == 1.0)
+    assert(!Bench.Measured(Seq(1.0, 9.0), 0.0, failed = true).material)
+  }
+}
