@@ -53,4 +53,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$graftHeap",
   "-XX:MaxHeapFreeRatio=100",
+  // A 100-query suite (plus its sf0.001 warmup pass) generates
+  // several hundred whole-stage-codegen classes; the JDK17 default
+  // 240m code cache is the documented Spark squeeze point for
+  // codegen-heavy sessions (flushing/deopt churn once full), so give
+  // it headroom. Measured cost-free at suite level; note it does NOT
+  // explain the roaming late-suite first-iteration noise — see
+  // SCALE.md's round-6 residual-noise paragraph.
+  "-XX:ReservedCodeCacheSize=512m",
 )
