@@ -44,7 +44,10 @@ val jdk17AddOpens = Seq(
 val graftHeap: String = {
   val m = "([0-9]+)([gGmM])".r
   sys.env.getOrElse("SPARK_DRIVER_MEM", "8g") match {
-    case m(n, u) if u.toLowerCase == "g" && n.toInt > 32 => "32g"
+    case m(n, u) if u.toLowerCase == "g" && n.toLong > 32L => "32g"
+    // Megabyte-denominated offers (e.g. 89000m) must hit the same cap,
+    // or they reintroduce the ~90g G1 mode-instability documented above.
+    case m(n, u) if u.toLowerCase == "m" && n.toLong > 32768L => "32g"
     case other => other
   }
 }

@@ -23,9 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     load average sampled at each query's start, in a JSON detail
   *     file (SPARK_GRAFT_DETAIL, default BENCH_DETAIL.json in-repo);
   *   - the stdout line carries a compact `spread` map (max/min
-  *     iteration ratio per query, only where > 1.5) and a top-level
-  *     `contended` flag (pre-suite load average > 2, or any query's
-  *     spread > 2);
+  *     WARM-iteration ratio per query, emitted only where the spread
+  *     is material: ratio > 1.5 AND absolute range > 0.5 s) and a
+  *     top-level `contended` flag (pre-suite 1-minute load average
+  *     > 3.0 — the sbt launch itself leaves ~2 on this box — or any
+  *     query with spread ratio > 2 AND absolute range > 1 s);
+  *   - after the suite, every query flagged with a material spread is
+  *     re-run ONCE (the machine is presumably quieter by then) and the
+  *     time lands as `rerun` in its detail entry and in a compact
+  *     stdout map — a rerun near the query's min resolves the flag as
+  *     contention in-artifact, no hand comparison against a committed
+  *     control needed; a rerun near the max says the slowdown is real;
   *   - the consumer keeps only the LAST ~2000 chars of stdout, so the
   *     queries map is ordered by ascending median — the expensive
   *     (interesting) queries and the contention evidence land in the
@@ -98,6 +106,12 @@ object Bench {
       if (failed || warm.isEmpty) 0.0 else warm.max - warm.min
     def material: Boolean = spreadRatio > 1.5 && spreadAbs > 0.5
   }
+
+  /** Queries that earn a post-suite rerun: material spread evidence on
+    * a query that completed (a failed query's -1 median is already its
+    * own signal — re-timing it proves nothing about contention). */
+  private[graft] def rerunTargets(results: Seq[(String, Measured)]): Seq[String] =
+    results.collect { case (k, m) if m.material && !m.failed => k }
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   private def r2(v: Double): Double = math.rint(v * 100) / 100
@@ -183,6 +197,24 @@ object Bench {
     // of the line, so the slowest queries — the ones a perf reviewer
     // actually inspects — must serialize last to survive truncation
     val ordered = results.toSeq.sortBy { case (n, m) => (m.median, n) }
+
+    // In-artifact resolution of flagged queries: with the suite done
+    // (and the transient load that caused the flag presumably gone),
+    // re-run each materially-spread query once more under the same
+    // hygiene. One extra execution per flagged query — zero on a clean
+    // run — turns "compare the flag against a committed control by
+    // hand" into evidence that ships inside the artifact itself.
+    val reruns: Map[String, Double] = rerunTargets(ordered).map { k =>
+      val t0 = System.nanoTime()
+      val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
+        -1.0
+      }
+      resetSession(spark)
+      syncDisk()
+      k -> t
+    }.toMap
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -228,9 +260,10 @@ object Bench {
     detail ++= s""""contended":$contended,"queries":{"""
     detail ++= ordered.map { case (k, m) =>
       val ts = m.times.map(r3).mkString("[", ",", "]")
+      val rerun = reruns.get(k).map(t => s""","rerun":${r3(t)}""").getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
-        s""""failed":${m.failed}}"""
+        s""""failed":${m.failed}$rerun}"""
     }.mkString(",")
     detail ++= "}}\n"
     try {
@@ -246,8 +279,11 @@ object Bench {
     // 1-minute load average at start and end, JVM heap cap, core count.
     // Everything after "queries" is deliberately LAST on the line —
     // the tail window must keep the contention evidence.
+    val rerunJson = ordered.collect {
+      case (k, _) if reruns.contains(k) => "\"" + k + "\":" + r3(reruns(k))
+    }.mkString("{", ",", "}")
     val env = s""""iters":$iters,"min_total":$minTotal,"spread":$spreads,""" +
-      s""""contended":$contended,""" +
+      s""""rerun":$rerunJson,"contended":$contended,""" +
       s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
       s""""driver_max_mem_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
       s""""cpus":$cpus,"detail":"$detailPath""""

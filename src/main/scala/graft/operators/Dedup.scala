@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -385,9 +385,8 @@ object Dedup {
     // same <=32 MB size class the residual finish already accepts.
     val nInput = stagedCount("pairs0")
     if (nInput <= driverFinishMaxEdges) {
-      val uf = new UnionFind(pairs0.collect().map(r => (r.getLong(0), r.getLong(1))))
-      import spark.implicits._
-      return uf.labels.toSeq.toDF("id", "cluster_id")
+      val uf = new UnionFind(collectPackedEdges(pairs0))
+      return uf.labelFrame(spark)
     }
 
     val edges0 = pairs0.unionByName(
@@ -432,53 +431,92 @@ object Dedup {
       iter += 1
     }
     // close the residual graph exactly on the driver
-    val residual = rep.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val residual = collectPackedEdges(rep)
     // the returned plan must not lean on caches this call leaks: when
     // the loop never ran, mapping is still the cached round-0 frame —
     // materialize it, then release both round-0 caches
     if (iter == 0) mapping = materialize(mapping, "map_final")
     map0.unpersist()
     rep0.unpersist()
-    // only vertices whose label CHANGES go into the broadcast relabel —
-    // identity rows would pad it for nothing (coalesce covers them)
-    val roots = new UnionFind(residual).remapped.toSeq
-    if (roots.isEmpty) mapping.select(col("id"), col("cluster_id"))
+    // only vertices whose label CHANGES go into the relabel map —
+    // identity labels fall through the binary-search miss. The relabel
+    // is a broadcast-VARIABLE lookup inside a projection, not a
+    // broadcast JOIN: no hash-relation build over millions of boxed
+    // rows, no exchange — two packed long arrays and a map-side UDF.
+    val (keys, roots) = new UnionFind(residual).remappedPacked
+    if (keys.isEmpty) mapping.select(col("id"), col("cluster_id"))
     else {
-      import spark.implicits._
-      val rootDf = roots.toDF("cluster_id", "root")
-      mapping.join(broadcast(rootDf), Seq("cluster_id"), "left")
-        .select(col("id"), coalesce(col("root"), col("cluster_id")).as("cluster_id"))
+      val keysB = spark.sparkContext.broadcast(keys)
+      val rootsB = spark.sparkContext.broadcast(roots)
+      val relabel = udf((c: Long) => {
+        val i = java.util.Arrays.binarySearch(keysB.value, c)
+        if (i >= 0) rootsB.value(i) else c
+      })
+      mapping.select(col("id"), relabel(col("cluster_id")).as("cluster_id"))
     }
+  }
+
+  /** Pull an (src, dst) edge frame onto the driver as one packed long
+    * array `[s0,d0,s1,d1,...]`. Rows become primitive chunks
+    * EXECUTOR-side (parallel, nothing boxed crosses the collect), so
+    * the driver's share is an array concat. This is the wall the old
+    * `collect()` finish hit: single-threaded InternalRow->Row
+    * deserialization measured costlier than the distributed
+    * contraction rounds it replaced once past ~2M edges (round-6
+    * probe) — packed chunks move that cost onto the executors and
+    * raise the economical driver-finish cap (SCALE.md round-7). */
+  private def collectPackedEdges(df: DataFrame): Array[Long] = {
+    val chunks = df.select(col("src"), col("dst"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) { val r = it.next(); b += r.getLong(0); b += r.getLong(1) }
+        Iterator.single(b.result())
+      }.collect()
+    val out = new Array[Long](chunks.iterator.map(_.length).sum)
+    var off = 0
+    chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
+    out
   }
 
   /** Edge cap for [[connectedComponents]]'s driver-side union-find
     * finish (both the input fast path and the post-contraction
-    * residual): 2M edges ~ 32 MB collected. Measured ceiling, not a
-    * heap bound: the union-find itself is sub-second at far larger
-    * sizes, but collect()'s row deserialization and the LocalRelation
-    * mapping the fast path emits are single-threaded driver work that
-    * at 6M edges cost MORE than the distributed contraction rounds
-    * they replace (q49/q53 5s -> 8-17s in a round-6 probe of an 8M
-    * cap). */
-  private val DriverUnionFindMaxEdges = 2000000L
+    * residual): 2M edges = 32 MB packed. Round 7 rebuilt both finish
+    * walls — executor-side packed-long chunks in
+    * ([[collectPackedEdges]]) and broadcast-array emission out
+    * ([[UnionFind.labelFrame]]) — then re-measured the crossover both
+    * ways (SCALE.md round-7 table). The answer is SHAPE-dependent, so
+    * the cap stays where the real workload wins: LSH near-dup graphs
+    * are DENSE (sf0.1: 6.17M edges over tens of thousands of docs) and
+    * round-0 contraction collapses them inside a few bounded shuffles
+    * while the one-pass finish ships every edge to one driver thread —
+    * measured q49 3.96 vs 5.05 s, q53 4.22 vs 5.95 s (cap 2M vs 8M).
+    * On SPARSE chain graphs (verts ~ edges) the driver pass wins to
+    * 12M+ edges (CcProbe: 3.4 s vs 11.4 s at 6M) because the
+    * distributed rounds' fixed job/materialization overhead dominates —
+    * but sparse mid-size graphs are not the LSH shape, and an
+    * edge-count gate cannot see density up front without paying a
+    * distinct-count shuffle. At 100 TB the cap's real job is bounding
+    * driver transfer; an over-cap graph takes the distributed path
+    * unchanged. GRAFT_CC_DRIVER_MAX_EDGES overrides for A/B probes. */
+  private val DriverUnionFindMaxEdges: Long =
+    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map(_.toLong).getOrElse(2000000L)
 
-  /** Driver-side union-find over an edge array — the exact finish for
-    * both the small-graph fast path and the post-contraction residual
-    * in [[connectedComponents]]. Vertex ids are dense-indexed through a
-    * sorted array (binary search per endpoint) so the parent structure
-    * is a primitive int array, not a boxed Long map — at the 2M-edge
-    * cap the boxed-map variant spent seconds in hashing/boxing alone.
-    * The sorted index order equals id order, so min-INDEX-root union
-    * yields min-ID component labels (the deterministic survivor rule).
+  /** Driver-side union-find over a PACKED edge array
+    * (`[s0,d0,s1,d1,...]` — see [[collectPackedEdges]]) — the exact
+    * finish for both the small-graph fast path and the
+    * post-contraction residual in [[connectedComponents]]. Vertex ids
+    * are dense-indexed through a sorted array (binary search per
+    * endpoint) so the parent structure is a primitive int array, not a
+    * boxed Long map — at the 2M-edge cap the boxed-map variant spent
+    * seconds in hashing/boxing alone, and the packed input keeps the
+    * whole finish allocation-free past the two work arrays. The sorted
+    * index order equals id order, so min-INDEX-root union yields
+    * min-ID component labels (the deterministic survivor rule).
     * Iterative find with path compression: chain residuals can be
     * deeper than the stack. */
-  private final class UnionFind(edges: Array[(Long, Long)]) {
+  private final class UnionFind(packed: Array[Long]) {
     private val verts: Array[Long] = {
-      val a = new Array[Long](edges.length * 2)
-      var i = 0
-      while (i < edges.length) {
-        a(2 * i) = edges(i)._1; a(2 * i + 1) = edges(i)._2; i += 1
-      }
+      val a = java.util.Arrays.copyOf(packed, packed.length)
       java.util.Arrays.sort(a)
       var n = 0; var j = 0
       while (j < a.length) {
@@ -497,18 +535,41 @@ object Dedup {
     }
     locally {
       var i = 0
-      while (i < edges.length) {
-        val ra = find(java.util.Arrays.binarySearch(verts, edges(i)._1))
-        val rb = find(java.util.Arrays.binarySearch(verts, edges(i)._2))
+      while (i < packed.length) {
+        val ra = find(java.util.Arrays.binarySearch(verts, packed(i)))
+        val rb = find(java.util.Arrays.binarySearch(verts, packed(i + 1)))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        i += 1
+        i += 2
       }
     }
-    /** Every vertex with its component's min-id label. */
-    def labels: Iterator[(Long, Long)] =
-      verts.iterator.zipWithIndex.map { case (v, i) => (v, verts(find(i))) }
-    /** Only the vertices whose label differs from the vertex itself. */
-    def remapped: Iterator[(Long, Long)] = labels.filter { case (v, l) => v != l }
+    /** (id, cluster_id) for every vertex, emitted EXECUTOR-side: the
+      * packed vertex/root arrays ship once as broadcast variables and
+      * `spark.range` projects through them in parallel. The old
+      * `labels.toSeq.toDF` LocalRelation serialized millions of boxed
+      * rows on one driver thread — at the raised cap it was the next
+      * wall after collect(). */
+    def labelFrame(spark: SparkSession): DataFrame = {
+      val vertsB = spark.sparkContext.broadcast(verts)
+      val rootB = spark.sparkContext.broadcast(Array.tabulate(verts.length)(find))
+      val vid = udf((i: Long) => vertsB.value(i.toInt))
+      val lbl = udf((i: Long) => vertsB.value(rootB.value(i.toInt)))
+      spark.range(verts.length.toLong)
+        .select(vid(col("id")).as("id"), lbl(col("id")).as("cluster_id"))
+    }
+    /** Only the vertices whose label differs from the vertex itself,
+      * as parallel sorted arrays (keys ascending — binary-searchable
+      * in the relabel UDF). */
+    def remappedPacked: (Array[Long], Array[Long]) = {
+      val kb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val lb = new scala.collection.mutable.ArrayBuilder.ofLong
+      var i = 0
+      while (i < verts.length) {
+        val root = verts(find(i))
+        if (root != verts(i)) { kb += verts(i); lb += root }
+        i += 1
+      }
+      (kb.result(), lb.result())
+    }
   }
 
   /** End-to-end near-dedup: MinHash-LSH pairs -> connected components

@@ -41,6 +41,17 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(m(4.0, 2.0).spreadRatio == 2.0)
   }
 
+  test("post-suite reruns target exactly the materially-spread completed queries") {
+    val results = Seq(
+      "clean"   -> m(2.0, 2.0, 2.1),        // flat — no rerun
+      "stalled" -> m(2.0, 2.0, 8.0),        // material — rerun
+      "jitter"  -> m(0.4, 0.1, 0.25),       // sub-second ratio noise — no rerun
+      "crashed" -> Bench.Measured(Seq(2.0, 9.0), 0.0, failed = true)) // its -1 is the signal
+    assert(Bench.rerunTargets(results) == Seq("stalled"))
+    // a clean run reruns nothing — the feature costs zero when unneeded
+    assert(Bench.rerunTargets(results.filter(_._1 == "clean")).isEmpty)
+  }
+
   test("failed or empty measurements degrade safely") {
     assert(Bench.Measured(Seq(1.0, 2.0), 0.0, failed = true).median == -1.0)
     assert(Bench.Measured(Nil, 0.0, failed = false).median == -1.0)

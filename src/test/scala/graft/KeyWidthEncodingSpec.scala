@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 import java.util.Comparator
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{abs, col, max}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -73,17 +73,34 @@ class KeyWidthEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     super.beforeAll()
   }
 
-  /** int -> long and long -> int on every top-level integer column.
-    * (sf0.001 values all fit in int32, so the narrowing flip is exact;
-    * the point is the TYPE, not the values.) */
-  private def flip(df: DataFrame): DataFrame =
+  /** int -> long and long -> int on every top-level integer column
+    * whose values fit in the target width. Key columns all fit in
+    * int32 at sf0.001, so the narrowing flip is exact there; a long
+    * column carrying values past Int.MaxValue (events.ts whenever the
+    * driver regenerates it as int64-ns epochs, ~1.7e18) is NOT a key
+    * and must not be narrowed — under ANSI the cast would throw in
+    * beforeAll and turn a tolerated ts-encoding drift into a red spec
+    * about key widths. The width probe is one agg per table. */
+  private def flip(df: DataFrame): DataFrame = {
+    val longCols =
+      df.schema.fields.collect { case f if f.dataType == LongType => f.name }.toSeq
+    val narrowable: Set[String] =
+      if (longCols.isEmpty) Set.empty
+      else {
+        val maxes = df.select(longCols.map(c => max(abs(col(c))).as(c)): _*).head()
+        longCols.zipWithIndex.collect {
+          case (c, i) if maxes.isNullAt(i) || maxes.getLong(i) <= Int.MaxValue.toLong => c
+        }.toSet
+      }
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case IntegerType => d.withColumn(f.name, col(f.name).cast("long"))
-        case LongType => d.withColumn(f.name, col(f.name).cast("int"))
+        case LongType if narrowable(f.name) =>
+          d.withColumn(f.name, col(f.name).cast("int"))
         case _ => d
       }
     }
+  }
 
   override def afterAll(): Unit = {
     try super.afterAll()
