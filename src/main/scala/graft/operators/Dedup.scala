@@ -248,6 +248,21 @@ object Dedup {
     }
   }
 
+  /** Diagnostic histogram of the banding stage of [[minhashLshPairs]]:
+    * (band_idx, band_key, size) for every bucket. The input for sizing
+    * a production `maxBucketSize` cap — candidate-join volume is
+    * sum(C(size, 2)) over this table, so the recall/cost curve at any
+    * cap is computable from it without re-running the operator
+    * (BucketCapProbe, SCALE.md round-7). */
+  private[graft] def bandBucketSizes(df: DataFrame, idCol: String,
+      textCol: String, k: Int, bandsOf: Int): DataFrame = {
+    val sigs = lshToks(df, idCol, textCol)
+      .select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
+    sigs.select(posexplode(bandKeys(col("sig"), k / bandsOf, bandsOf))
+        .as(Seq("band_idx", "band_key")))
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("size"))
+  }
+
   /** Max dictionary size for the bitmap verification path: 4096 tokens
     * = 64-word (512 B) masks, comfortably under the merge-walk row
     * width for any corpus dense enough for bitmaps to win. */
