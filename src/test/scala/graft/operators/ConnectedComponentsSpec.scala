@@ -52,7 +52,10 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("star, clique, two components, single edge") {
     check(Seq((5L, 1L), (5L, 9L), (5L, 7L), (5L, 3L)))
-    check(for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b))
+    // looped: a clique contracts to ZERO residual edges in round 0 —
+    // the empty-remap branch of the distributed finish
+    check(for { a <- 10L to 14L; b <- 10L to 14L if a < b } yield (a, b),
+      alsoLooped = true)
     check(Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)))
     check(Seq((42L, 7L)))
   }
