@@ -484,7 +484,15 @@ object Dedup {
     val chunks = df.select(col("src"), col("dst"))
       .queryExecution.toRdd.mapPartitions { it =>
         val b = new scala.collection.mutable.ArrayBuilder.ofLong
-        while (it.hasNext) { val r = it.next(); b += r.getLong(0); b += r.getLong(1) }
+        while (it.hasNext) {
+          val r = it.next()
+          // InternalRow.getLong reads null as 0 — which would union a
+          // phantom vertex 0 into a real component. The old
+          // Row-collect finish threw on nulls; keep failing fast.
+          require(!r.isNullAt(0) && !r.isNullAt(1),
+            "connectedComponents: null edge id (drop or impute nulls before clustering)")
+          b += r.getLong(0); b += r.getLong(1)
+        }
         Iterator.single(b.result())
       }.collect()
     val out = new Array[Long](chunks.iterator.map(_.length).sum)
@@ -562,7 +570,11 @@ object Dedup {
       * `spark.range` projects through them in parallel. The old
       * `labels.toSeq.toDF` LocalRelation serialized millions of boxed
       * rows on one driver thread — at the raised cap it was the next
-      * wall after collect(). */
+      * wall after collect(). Broadcast lifecycle: the returned plan
+      * references the broadcasts, so they cannot be destroyed here;
+      * ContextCleaner releases them once the plan is garbage and a GC
+      * runs (Bench.resetSession forces one per query — a long-lived
+      * session that never GCs pins ≤32 MB per CC call until it does). */
     def labelFrame(spark: SparkSession): DataFrame = {
       val vertsB = spark.sparkContext.broadcast(verts)
       val rootB = spark.sparkContext.broadcast(Array.tabulate(verts.length)(find))

@@ -29,7 +29,12 @@ object BucketCapProbe {
 
     val hist = Dedup.bandBucketSizes(docs, "doc_id", "text", 16, 4).cache()
     val pairing = hist.where(col("size") >= 2)
-    val Array(p50, p90, p99) = pairing.stat.approxQuantile("size", Array(0.5, 0.9, 0.99), 0.0)
+    val quantiles = pairing.stat.approxQuantile("size", Array(0.5, 0.9, 0.99), 0.0)
+    if (quantiles.isEmpty) { // approxQuantile on an empty frame
+      println(s"[bucketcap] n=$n: no pairing buckets (every bucket is a singleton) — nothing to cap")
+      hist.unpersist(); spark.stop(); return
+    }
+    val Array(p50, p90, p99) = quantiles
     val maxB = pairing.agg(max(col("size"))).head().getLong(0)
     println(f"[bucketcap] n=$n buckets(size>=2): p50=$p50%.0f p90=$p90%.0f " +
       f"p99=$p99%.0f max=$maxB")
@@ -42,11 +47,15 @@ object BucketCapProbe {
         s"(size div $m) * (${m.toLong * (m - 1) / 2}) + " +
           s"(size % $m) * (size % $m - 1) div 2"))).head().getLong(0)
     }
+    // time through the noop sink (count() prunes the jaccard
+    // projection — the CLAUDE.md bench rule), count untimed after
     def pairs(cap: Option[Int]): (Long, Double) = {
+      def plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4,
+        LshEncoding.MergeWalk, cap)
       val t0 = System.nanoTime()
-      val c = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4,
-        LshEncoding.MergeWalk, cap).count()
-      (c, (System.nanoTime() - t0) / 1e9)
+      graft.Bench.exec(plan)
+      val t = (System.nanoTime() - t0) / 1e9
+      (plan.count(), t)
     }
 
     val median = p50.toInt

@@ -91,9 +91,31 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect().map(_.toString).sorted.toSeq
 
   test("multi-file tables really are multi-file") {
-    val parts = Files.list(root.resolve("multi").resolve("documents.parquet"))
-      .filter(p => p.toString.endsWith(".parquet")).count()
+    val stream = Files.list(root.resolve("multi").resolve("documents.parquet"))
+    val parts = try stream.filter(p => p.toString.endsWith(".parquet")).count()
+    finally stream.close()
     assert(parts >= 2, s"fixture degenerated to $parts file(s) — layout not exercised")
+  }
+
+  test("v2 tables really carry v2/no-dictionary encodings") {
+    // if the writer options ever stop propagating, the variant would
+    // silently compare canonical data against an identical copy and
+    // these 8 tests would pin nothing — assert the footer differs
+    val stream = Files.list(root.resolve("v2").resolve("documents.parquet"))
+    val file = try stream.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    finally stream.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    val encodings = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala).flatMap(_.getEncodings.asScala).toSet
+    } finally reader.close()
+    assert(!encodings.exists(_.toString.contains("DICTIONARY")) &&
+      encodings.exists(_.toString.startsWith("DELTA")),
+      s"fixture degenerated: encodings $encodings — v2/no-dictionary options not applied")
   }
 
   consumers.foreach { q =>
