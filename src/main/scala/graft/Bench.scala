@@ -28,7 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     top-level `contended` flag (pre-suite 1-minute load average
   *     > 3.0 — the sbt launch itself leaves ~2 on this box — or any
   *     query with spread ratio > 2 AND absolute range > 1 s);
-  *   - after the suite, every query flagged with a material spread is
+  *   - after the suite, every query flagged with a material spread —
+  *     plus, on a contended run, the 5 heaviest queries regardless of
+  *     spread (steady external load inflates every iteration uniformly
+  *     and leaves no spread to flag) — is
   *     re-run (the machine is presumably quieter by then): two
   *     executions, the SECOND reported — the first re-pays whatever
   *     page-cache/JIT warm-up the intervening ~90 queries evicted,
@@ -116,9 +119,23 @@ object Bench {
 
   /** Queries that earn a post-suite rerun: material spread evidence on
     * a query that completed (a failed query's -1 median is already its
-    * own signal — re-timing it proves nothing about contention). */
-  private[graft] def rerunTargets(results: Seq[(String, Measured)]): Seq[String] =
-    results.collect { case (k, m) if m.material && !m.failed => k }
+    * own signal — re-timing it proves nothing about contention), plus —
+    * when the RUN-level contended flag is set — the `contendedTopN`
+    * heaviest completed queries regardless of spread. Sustained
+    * external load inflates every iteration uniformly (the driver's r7
+    * run read q53 ~20% slow at spread 1.04 under load 8–11), a shape
+    * the per-query spike-oriented spread flag is blind to; the heavy
+    * queries are where uniform inflation costs the most wall-clock, so
+    * they carry rerun evidence whenever the run as a whole was loaded. */
+  private[graft] def rerunTargets(results: Seq[(String, Measured)],
+      contended: Boolean, contendedTopN: Int = 5): Seq[String] = {
+    val flagged = results.collect { case (k, m) if m.material && !m.failed => k }
+    val heavy =
+      if (!contended) Seq.empty
+      else results.filter(!_._2.failed)
+        .sortBy { case (k, m) => (-m.median, k) }.take(contendedTopN).map(_._1)
+    (flagged ++ heavy).distinct
+  }
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   private def r2(v: Double): Double = math.rint(v * 100) / 100
@@ -204,32 +221,49 @@ object Bench {
     // actually inspects — must serialize last to survive truncation
     val ordered = results.toSeq.sortBy { case (n, m) => (m.median, n) }
 
+    // contended when the machine was demonstrably busy before the suite
+    // started (>3.0 one-minute load — the sbt launch itself leaves ~2
+    // on this box) or any query shows a material iteration spread
+    // (>2x AND >1 s). Sustained external load is caught by the former,
+    // transient spikes by the latter; a decaying pre-run load average
+    // with clean spreads (visible via load_avg_min in the detail file)
+    // triggers neither. Computed BEFORE the rerun pass: a contended run
+    // widens the rerun set to the heaviest queries (see rerunTargets).
+    val contended = loadAvgStart > 3.0 ||
+      results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
+
     // In-artifact resolution of flagged queries: with the suite done
     // (and the transient load that caused the flag presumably gone),
-    // re-run each materially-spread query under the same hygiene. Two
-    // executions, the warm SECOND reported (see the object scaladoc);
-    // load sampled at rerun start so a loaded rerun window is visible
-    // in the artifact. Zero extra work on a clean run — this turns
-    // "compare the flag against a committed control by hand" into
-    // evidence that ships inside the artifact itself.
-    val reruns: Map[String, (Double, Double)] = rerunTargets(ordered).map { k =>
-      val loadAtRerun = loadAvg
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
-          -1.0
+    // re-run each target under the same hygiene. Two executions, the
+    // warm SECOND reported (see the object scaladoc); load sampled at
+    // rerun start so a loaded rerun window is visible in the artifact.
+    // Zero extra work on a clean run — this turns "compare the flag
+    // against a committed control by hand" into evidence that ships
+    // inside the artifact itself. A rerun whose EITHER execution throws
+    // reports None (rerun_failed in the detail file), never a number:
+    // the old -1.0 encoding sat below every min, so a crashed rerun
+    // read as an exonerating fast rerun (ADVICE round-7).
+    val reruns: Map[String, (Option[Double], Double)] =
+      rerunTargets(ordered, contended).map { k =>
+        val loadAtRerun = loadAvg
+        var rerunFailed = false
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
+            rerunFailed = true
+            -1.0
+          }
+          graft.operators.Scratch.releaseAll()
+          syncDisk()
+          t
         }
-        graft.operators.Scratch.releaseAll()
-        syncDisk()
-        t
-      }
-      once() // re-warm: the suite evicted this query's page-cache/JIT state
-      val warm = once()
-      resetSession(spark)
-      k -> (warm, loadAtRerun)
-    }.toMap
+        once() // re-warm: the suite evicted this query's page-cache/JIT state
+        val warm = once()
+        resetSession(spark)
+        k -> ((if (rerunFailed) None else Some(warm)), loadAtRerun)
+      }.toMap
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
@@ -246,15 +280,6 @@ object Bench {
     val spreads = ordered.collect {
       case (k, m) if m.material => "\"" + k + "\":" + r2(m.spreadRatio)
     }.mkString("{", ",", "}")
-    // contended when the machine was demonstrably busy before the suite
-    // started (>3.0 one-minute load — the sbt launch itself leaves ~2
-    // on this box) or any query shows a material iteration spread
-    // (>2x AND >1 s). Sustained external load is caught by the former,
-    // transient spikes by the latter; a decaying pre-run load average
-    // with clean spreads (visible via load_avg_min in the detail file)
-    // triggers neither.
-    val contended = loadAvgStart > 3.0 ||
-      results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
     // numeric sf parsed from the dir name (".../sf0.1" -> 0.1); a dir
     // that doesn't embed one falls back to the quoted path so the line
     // stays valid JSON either way
@@ -276,8 +301,9 @@ object Bench {
     detail ++= s""""contended":$contended,"queries":{"""
     detail ++= ordered.map { case (k, m) =>
       val ts = m.times.map(r3).mkString("[", ",", "]")
-      val rerun = reruns.get(k).map { case (t, l) =>
-        s""","rerun":${r3(t)},"rerun_load":${r2(l)}"""
+      val rerun = reruns.get(k).map {
+        case (Some(t), l) => s""","rerun":${r3(t)},"rerun_load":${r2(l)}"""
+        case (None, l) => s""","rerun_failed":true,"rerun_load":${r2(l)}"""
       }.getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
@@ -298,7 +324,8 @@ object Bench {
     // Everything after "queries" is deliberately LAST on the line —
     // the tail window must keep the contention evidence.
     val rerunJson = ordered.collect {
-      case (k, _) if reruns.contains(k) => "\"" + k + "\":" + r3(reruns(k)._1)
+      case (k, _) if reruns.get(k).exists(_._1.isDefined) =>
+        "\"" + k + "\":" + r3(reruns(k)._1.get)
     }.mkString("{", ",", "}")
     val env = s""""iters":$iters,"min_total":$minTotal,"spread":$spreads,""" +
       s""""rerun":$rerunJson,"contended":$contended,""" +

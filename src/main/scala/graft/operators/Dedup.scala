@@ -147,8 +147,22 @@ object Dedup {
     // positive threshold (empty-vs-empty token sets score 0.0, which a
     // t = 0.0 caller would have kept) — enforce the precondition
     require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
-    val toks = lshToks(df, idCol, textCol)
-    val sigs = toks.select(col("id"), col("toks"), minhashFromHashes(col("toks"), k).as("sig"))
+    val toksRaw = lshToks(df, idCol, textCol)
+    val sigsRaw = toksRaw.select(col("id"), col("toks"),
+      minhashFromHashes(col("toks"), k).as("sig"))
+    // Capped path: the capBlocks split consumes the banded frame three
+    // ways (bucket-size count + under/over branches) on top of the two
+    // join sides, and ReuseExchange cannot dedupe them (column pruning
+    // pushes DIFFERENT projections below each branch's repartition, so
+    // the exchanges never canonicalize equal — measured cascade x6).
+    // Stage the tokenize/minhash cascade to scratch ONCE at call time;
+    // every consumer (banding, capBlocks probe, verify join-back) then
+    // scans cheap parquet. The default path stays plan-only/lazy.
+    val sigs =
+      if (maxBucketSize.isDefined)
+        graft.Engine.spread(Scratch.stage(sigsRaw, "graft-lsh-sigs"))
+      else sigsRaw
+    val toks = if (maxBucketSize.isDefined) sigs.select(col("id"), col("toks")) else toksRaw
     val nBands = k / bandsOf
 
     // Candidate generation: one shuffle on (band index, band key); rows
@@ -170,6 +184,10 @@ object Dedup {
       // sub-bucket (id-ranked within the original (band, key) bucket)
       // so the join machinery below is untouched; band_idx rides along
       // for the first-band-wins condition as before
+      // capBlocks' three consumers of its input (size count, under
+      // branch, over branch) all reuse the Engine.spread exchange
+      // above, so the tokenize/minhash cascade runs once per action
+      // either way
       maxBucketSize match {
         case Some(m) =>
           Skew.capBlocks(banded,
@@ -258,7 +276,11 @@ object Dedup {
       textCol: String, k: Int, bandsOf: Int): DataFrame = {
     val sigs = lshToks(df, idCol, textCol)
       .select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
-    sigs.select(posexplode(bandKeys(col("sig"), k / bandsOf, bandsOf))
+    // Engine.spread as the production path does: on a single-file
+    // corpus the explode/partial-agg map side otherwise runs on one
+    // core (CLAUDE.md single-split rule; ADVICE round-7)
+    graft.Engine.spread(sigs)
+      .select(posexplode(bandKeys(col("sig"), k / bandsOf, bandsOf))
         .as(Seq("band_idx", "band_key")))
       .groupBy("band_idx", "band_key").agg(count(lit(1)).as("size"))
   }
@@ -495,7 +517,15 @@ object Dedup {
         }
         Iterator.single(b.result())
       }.collect()
-    val out = new Array[Long](chunks.iterator.map(_.length).sum)
+    // sum as Long: past ~1.07G packed longs an Int sum wraps negative
+    // and the alloc throws NegativeArraySizeException instead of naming
+    // the real problem (unreachable at the 2M default cap, reachable
+    // through the env override)
+    val totalLongs = chunks.iterator.map(_.length.toLong).sum
+    require(totalLongs <= Int.MaxValue,
+      s"connectedComponents: packed edge collect of $totalLongs longs exceeds " +
+        "the JVM array limit — lower GRAFT_CC_DRIVER_MAX_EDGES")
+    val out = new Array[Long](totalLongs.toInt)
     var off = 0
     chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
     out
@@ -522,7 +552,15 @@ object Dedup {
     * driver transfer; an over-cap graph takes the distributed path
     * unchanged. GRAFT_CC_DRIVER_MAX_EDGES overrides for A/B probes. */
   private val DriverUnionFindMaxEdges: Long =
-    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map(_.toLong).getOrElse(2000000L)
+    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map { v =>
+      // a bare .toLong here would surface a malformed override ('8m')
+      // as ExceptionInInitializerError on ANY Dedup use, hiding the
+      // actual cause (ADVICE round-7)
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_CC_DRIVER_MAX_EDGES must be a plain long edge count, got '$v'")
+      }
+    }.getOrElse(2000000L)
 
   /** Driver-side union-find over a PACKED edge array
     * (`[s0,d0,s1,d1,...]` — see [[collectPackedEdges]]) — the exact

@@ -40,26 +40,62 @@ object Skew {
     * per block (by deterministic rank on `orderCol`) move to overflow
     * blocks that only pair among themselves. Bounds the worst block at
     * maxPerBlock^2 comparisons at the cost of missing cross-overflow
-    * pairs — the standard recall/cost dial for 100 TB dedup. */
+    * pairs — the standard recall/cost dial for 100 TB dedup.
+    *
+    * Pay-per-use (round 8): the original one-phase plan ranked EVERY
+    * block through a full window shuffle — BucketCapProbe measured that
+    * at ~45% operator overhead even when no bucket exceeded the cap
+    * (SCALE.md round-7 table). Two-phased and fully LAZY now: a
+    * map-side-combined count finds the blocks that exceed the cap (one
+    * row per distinct block, tiny output), and that key set splits the
+    * input with broadcast left-anti/left-semi joins — under-cap rows
+    * pass straight through with sub-bucket 0 (no shuffle, no sort) and
+    * only rows in over-cap blocks reach the rank window. Output is
+    * row-identical to the one-phase plan. The three consumers of `df`
+    * (size count, anti branch, semi branch) share one computation of
+    * any exchange in `df`'s plan via ReuseExchange — every production
+    * caller feeds a spread (repartitioned) or scratch-staged scan, so
+    * the upstream runs once per action; callers adding a capBlocks over
+    * expensive exchange-free lineage should stage it first (the
+    * Stages.apply idiom). The over-cap key set is broadcast: its size
+    * is bounded by distinct-blocks-over-cap (≤ rows/cap), vanishingly
+    * small for a production cap set above the p99 legitimate block —
+    * a corpus where MOST blocks exceed the cap would balloon the
+    * broadcast, but that shape means the cap itself is mis-set. */
   def capBlocks(df: DataFrame, blockCol: Column, orderCol: Column,
       maxPerBlock: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
     // reserved working columns must not already exist (RangeJoin's
-    // __bucket precedent): silently overwriting a caller's __rn and
+    // __bucket precedent): silently overwriting a caller's column and
     // dropping it would corrupt the output
-    Seq("__rn", "__capped_block").foreach { c =>
+    Seq("__rn", "__cb_key", "__capped_block").foreach { c =>
       require(!df.columns.contains(c), s"capBlocks: input already has a '$c' column")
     }
-    val w = Window.partitionBy(blockCol).orderBy(orderCol)
     // coalesce the null block: concat is null-intolerant, so a NULL
     // block key would null __capped_block for its whole block — the
     // one block a skew cap most needs to cap (dirty-data hot key)
-    // would ride uncapped through null-safe consumers
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__capped_block",
-        concat(coalesce(blockCol.cast("string"), lit("__null_block__")), lit("#"),
-          (((col("__rn") - 1) / maxPerBlock).cast("int")).cast("string")))
-      .drop("__rn")
+    // would ride uncapped through null-safe consumers. The string key
+    // also makes the anti/semi joins null-safe for free.
+    val keyed = df.withColumn("__cb_key",
+      coalesce(blockCol.cast("string"), lit("__null_block__")))
+    // phase 1: which blocks exceed the cap (partial-aggregated count —
+    // a hot block reaches its reducer as one row per upstream task)
+    val overKeys = keyed
+      .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+      .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
+    def subBlock(rnCol: Column): Column =
+      concat(col("__cb_key"), lit("#"),
+        (((rnCol - 1) / maxPerBlock).cast("int")).cast("string"))
+    // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
+    // what the one-phase window assigned every row of an in-cap block);
+    // over-cap rows pay the rank shuffle, and only them
+    val under = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_anti")
+      .withColumn("__capped_block", subBlock(lit(1)))
+    val w = Window.partitionBy(col("__cb_key")).orderBy(orderCol)
+    val over = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__capped_block", subBlock(col("__rn"))).drop("__rn")
+    under.unionByName(over).drop("__cb_key")
   }
 }

@@ -197,9 +197,16 @@ object Deduplicate {
     // capping only affects PAIRING; the stage output keeps the real key
     val capped =
       if (maxBlockSize <= 0) prepared0.withColumn("__pair_key", col("similarity_key"))
-      else graft.operators.Skew
-        .capBlocks(prepared0, col("similarity_key"), col("job_id"), maxBlockSize)
-        .withColumnRenamed("__capped_block", "__pair_key")
+      else {
+        // capBlocks' plan consumes its input three ways (size count +
+        // under/over branches) and the prepare() cascade has no
+        // reusable exchange: feed it a scratch-staged frame so those
+        // passes scan parquet, not the UDF cascade ×3
+        val staged0 = graft.operators.Scratch.stage(prepared0, "graft-dedup-prep-pre")
+        graft.operators.Skew
+          .capBlocks(staged0, col("similarity_key"), col("job_id"), maxBlockSize)
+          .withColumnRenamed("__capped_block", "__pair_key")
+      }
     // staged ONCE (the Matching.score idiom): this frame feeds the
     // pair self-join (both sides), the flag join-back, and the
     // keep-best ranking — left lazy, the prepare() UDF cascade

@@ -48,14 +48,29 @@ object BucketCapProbe {
           s"(size % $m) * (size % $m - 1) div 2"))).head().getLong(0)
     }
     // time through the noop sink (count() prunes the jaccard
-    // projection — the CLAUDE.md bench rule), count untimed after
+    // projection — the CLAUDE.md bench rule), count untimed after.
+    // Median of 3 full construct+exec trials per cap: the timed window
+    // starts BEFORE construction (the capped path stages its cascade
+    // eagerly — real operator cost), and each cap value generates its
+    // own codegen, so a single trial per row reads mostly first-run
+    // JIT skew (Bench's warmup lesson). Between trials: release
+    // scratch and drain dirty pages — without it trial N's writeback
+    // bleeds into trial N+1's timed window (round-6 lesson).
     def pairs(cap: Option[Int]): (Long, Double) = {
-      def plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4,
-        LshEncoding.MergeWalk, cap)
-      val t0 = System.nanoTime()
-      graft.Bench.exec(plan)
-      val t = (System.nanoTime() - t0) / 1e9
-      (plan.count(), t)
+      var n = -1L
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4,
+          LshEncoding.MergeWalk, cap)
+        graft.Bench.exec(plan)
+        val t = (System.nanoTime() - t0) / 1e9
+        n = plan.count()
+        graft.operators.Scratch.releaseAll()
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case scala.util.control.NonFatal(_) => () }
+        t
+      }
+      (n, times.sorted.apply(1))
     }
 
     val median = p50.toInt

@@ -47,9 +47,36 @@ class BenchEvidenceSpec extends AnyFunSuite {
       "stalled" -> m(2.0, 2.0, 8.0),        // material — rerun
       "jitter"  -> m(0.4, 0.1, 0.25),       // sub-second ratio noise — no rerun
       "crashed" -> Bench.Measured(Seq(2.0, 9.0), 0.0, failed = true)) // its -1 is the signal
-    assert(Bench.rerunTargets(results) == Seq("stalled"))
+    assert(Bench.rerunTargets(results, contended = false) == Seq("stalled"))
     // a clean run reruns nothing — the feature costs zero when unneeded
-    assert(Bench.rerunTargets(results.filter(_._1 == "clean")).isEmpty)
+    assert(Bench.rerunTargets(results.filter(_._1 == "clean"), contended = false).isEmpty)
+  }
+
+  test("a contended run also reruns the heaviest completed queries") {
+    // the round-7 blind spot: steady external load inflates every
+    // iteration uniformly (spread ~1.0), so nothing is flagged — only
+    // the run-level contended bit knows; the heavy queries must then
+    // carry rerun evidence regardless of their spread
+    val results = Seq(
+      "light1" -> m(0.5, 0.5, 0.5),
+      "heavy3" -> m(3.0, 3.0, 3.1),
+      "heavy1" -> m(9.0, 9.0, 9.2),
+      "heavy2" -> m(5.0, 5.0, 5.1),
+      "light2" -> m(1.0, 1.0, 1.0),
+      "spiky"  -> m(2.0, 2.0, 8.0),        // material — rerun either way
+      "crashed" -> Bench.Measured(Seq(20.0), 0.0, failed = true)) // never rerun
+    val got = Bench.rerunTargets(results, contended = true, contendedTopN = 3)
+    // spread-flagged first, then heaviest-by-median; no duplicates, no crashed
+    assert(got == Seq("spiky", "heavy1", "heavy2", "heavy3"))
+    // top-N dedups against an already-flagged heavy query
+    val flaggedHeavy = results.map {
+      case ("heavy1", _) => "heavy1" -> m(9.0, 9.0, 22.0)
+      case other => other
+    }
+    assert(Bench.rerunTargets(flaggedHeavy, contended = true, contendedTopN = 2) ==
+      Seq("heavy1", "spiky", "heavy2"))
+    // uncontended: only the spike earns a rerun
+    assert(Bench.rerunTargets(results, contended = false) == Seq("spiky"))
   }
 
   test("failed or empty measurements degrade safely") {
