@@ -26,7 +26,17 @@ import graft.TestSpark.spark
   *    dictionary encoding off — the layout a pyarrow option flip or
   *    version bump would ship. Arrow-level `large_string` lands as the
   *    same BYTE_ARRAY/UTF8 physical type, so this is the string-drift
-  *    class with an actual on-disk difference.
+  *    class with an actual on-disk difference;
+  *  - (round 8) COLUMN ORDER permuted within each table — a select
+  *    reorder or generator refactor driver-side; any positional read
+  *    (getLong(0)-style row access, schema-index assumptions) breaks
+  *    here while by-name access is untouched;
+  *  - (round 8) a DIFFERENT COMPRESSION CODEC (zstd instead of
+  *    snappy) — transparent to Spark's reader in principle, pinned so
+  *    a codec flip can never be conflated with a real drift. (The
+  *    remaining class from the round-7 brief, nested-struct field
+  *    reordering, has no carrier: no driver table has a struct column
+  *    — events.props is a JSON string.)
   *
   * Each variant rebuilds sf0.001 and pins one consumer query per
   * engine path VALUE-IDENTICAL to the canonical layout, so the next
@@ -53,6 +63,8 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var root: Path = _
   private var multiDir: String = _
   private var v2Dir: String = _
+  private var reorderDir: String = _
+  private var zstdDir: String = _
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft_layout_enc")
@@ -66,6 +78,13 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("parquet.writer.version", "PARQUET_2_0")
         .option("parquet.enable.dictionary", "false")
         .mode("overwrite").parquet(out)
+    }
+    reorderDir = rebuild("reorder") { (df, out) =>
+      df.select(df.columns.reverse.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").parquet(out)
+    }
+    zstdDir = rebuild("zstd") { (df, out) =>
+      df.write.option("compression", "zstd").mode("overwrite").parquet(out)
     }
     super.beforeAll()
   }
@@ -118,6 +137,32 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fixture degenerated: encodings $encodings — v2/no-dictionary options not applied")
   }
 
+  test("reordered tables really carry a permuted column order") {
+    val want = spark.read.parquet(s"$canonical/documents.parquet").columns.toSeq
+    val got = spark.read
+      .parquet(root.resolve("reorder").resolve("documents.parquet").toString)
+      .columns.toSeq
+    assert(got == want.reverse && want.length >= 2,
+      s"fixture degenerated: reorder variant has column order $got vs canonical $want")
+  }
+
+  test("zstd tables really are zstd-compressed") {
+    val stream = Files.list(root.resolve("zstd").resolve("documents.parquet"))
+    val file = try stream.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    finally stream.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    val codecs = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala).map(_.getCodec.toString).toSet
+    } finally reader.close()
+    assert(codecs == Set("ZSTD"),
+      s"fixture degenerated: codecs $codecs — zstd option not applied")
+  }
+
   consumers.foreach { q =>
     test(s"$q is value-identical under a multi-file table layout") {
       val fn = SparkEntry.queries(q)
@@ -130,6 +175,16 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val fn = SparkEntry.queries(q)
       assert(rows(fn(spark, v2Dir)) == rows(fn(spark, canonical)),
         s"$q drifted under parquet v2 / no-dictionary encodings")
+    }
+    test(s"$q is value-identical under a permuted column order") {
+      val fn = SparkEntry.queries(q)
+      assert(rows(fn(spark, reorderDir)) == rows(fn(spark, canonical)),
+        s"$q drifted under a permuted table column order")
+    }
+    test(s"$q is value-identical under zstd-compressed parquet") {
+      val fn = SparkEntry.queries(q)
+      assert(rows(fn(spark, zstdDir)) == rows(fn(spark, canonical)),
+        s"$q drifted under zstd-compressed parquet")
     }
   }
 }
