@@ -141,7 +141,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double,
       encoding: LshEncoding = LshEncoding.MergeWalk,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      stageCascade: Boolean = false): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // the degenerate-doc prune in lshToks is output-neutral only for a
     // positive threshold (empty-vs-empty token sets score 0.0, which a
@@ -150,19 +151,21 @@ object Dedup {
     val toksRaw = lshToks(df, idCol, textCol)
     val sigsRaw = toksRaw.select(col("id"), col("toks"),
       minhashFromHashes(col("toks"), k).as("sig"))
-    // Capped path: the capBlocks split consumes the banded frame three
-    // ways (bucket-size count + under/over branches) on top of the two
-    // join sides, and ReuseExchange cannot dedupe them (column pruning
-    // pushes DIFFERENT projections below each branch's repartition, so
-    // the exchanges never canonicalize equal — measured cascade x6).
-    // Stage the tokenize/minhash cascade to scratch ONCE at call time;
-    // every consumer (banding, capBlocks probe, verify join-back) then
-    // scans cheap parquet. The default path stays plan-only/lazy.
+    // The plan consumes the tokenize/minhash cascade four ways (two
+    // band-join sides + two verify join-backs; six under a cap, where
+    // the capBlocks split adds its bucket-size count and branches) and
+    // ReuseExchange cannot dedupe them: column pruning pushes a
+    // DIFFERENT projection below each branch's repartition, so the
+    // exchanges never canonicalize equal (measured, SCALE.md round-8).
+    // Staging the cascade to scratch ONCE at call time turns every
+    // consumer into a cheap parquet scan. Mandatory under a cap,
+    // opt-in via `stageCascade` for eager callers (nearDedup);
+    // the default path stays plan-only/lazy.
+    val staged = maxBucketSize.isDefined || stageCascade
     val sigs =
-      if (maxBucketSize.isDefined)
-        graft.Engine.spread(Scratch.stage(sigsRaw, "graft-lsh-sigs"))
+      if (staged) graft.Engine.spread(Scratch.stage(sigsRaw, "graft-lsh-sigs"))
       else sigsRaw
-    val toks = if (maxBucketSize.isDefined) sigs.select(col("id"), col("toks")) else toksRaw
+    val toks = if (staged) sigs.select(col("id"), col("toks")) else toksRaw
     val nBands = k / bandsOf
 
     // Candidate generation: one shuffle on (band index, band key); rows
@@ -648,7 +651,11 @@ object Dedup {
       encoding: LshEncoding = LshEncoding.Auto): DataFrame = {
     // encoding defaults to Auto here (unlike minhashLshPairs): the CC
     // step below runs eager jobs at call time anyway, so plan-only
-    // callers don't exist and the adaptive probe costs nothing extra
+    // callers don't exist and the adaptive probe costs nothing extra.
+    // stageCascade stays OFF: measured neutral on the driver corpus
+    // (short texts — the cascade is cheap there; q53 4.47 vs 4.52 s
+    // control, SCALE.md round-8), so the default avoids writing the
+    // token arrays to scratch; heavy-text corpora opt in.
     val clusters = connectedComponents(
       minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold, encoding))
     val losers = clusters.where(col("id") =!= col("cluster_id"))

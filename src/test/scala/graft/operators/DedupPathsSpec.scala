@@ -107,6 +107,20 @@ class DedupPathsSpec extends AnyFunSuite {
     assert(pairs(LshEncoding.MergeWalk) == pairs(LshEncoding.Auto))
   }
 
+  test("stageCascade is a physical-only dial: staged output equals lazy output") {
+    // the heavy-text dial (SCALE.md round-8): staging the tokenize/
+    // minhash cascade to scratch must never change the emitted pairs
+    val docs = corpus(nTemplates = 8, tokensPer = 25, perTemplate = 4,
+      universeOffset = 100).toDF("doc_id", "text")
+    def pairs(staged: Boolean) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+          LshEncoding.MergeWalk, stageCascade = staged)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lazyPairs = pairs(staged = false)
+    assert(lazyPairs.nonEmpty, "fixture must produce pairs to pin anything")
+    assert(pairs(staged = true) == lazyPairs)
+  }
+
   test("incrementalLshPairs == whole-corpus LSH restricted to cross pairs") {
     // split a ladder corpus into batch (every 3rd doc) and corpus; the
     // incremental operator must produce exactly the cross-set subset of
