@@ -130,11 +130,17 @@ object Matching {
         // the cap must only DROP pairs, never invent null×null ones
         // (MatchingSpec pins capped ⊆ exact, and the q95 oracle's
         // NULL || '#' concat emits no null-block pairs)
+        // mostBlocksOver: sector/location blocking keys are
+        // low-cardinality — the cap deliberately splits nearly every
+        // block, so the pay-per-use split is pure overhead here
+        // (q95 A/B in SCALE.md round-8)
         graft.operators.Skew.capBlocks(
-            o.where(col(oKey).isNotNull), col(oKey), col("job_id"), m)
+            o.where(col(oKey).isNotNull), col(oKey), col("job_id"), m,
+            mostBlocksOver = true)
           .join(
             graft.operators.Skew.capBlocks(
-                c.where(col(cKey).isNotNull), col(cKey), col("candidate_id"), m)
+                c.where(col(cKey).isNotNull), col(cKey), col("candidate_id"), m,
+                mostBlocksOver = true)
               .withColumnRenamed("__capped_block", "__cb_c"),
             col("__capped_block") === col("__cb_c"))
     }).select(col("job_id"), col("candidate_id"))

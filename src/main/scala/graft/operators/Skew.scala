@@ -59,11 +59,23 @@ object Skew {
     * expensive exchange-free lineage should stage it first (the
     * Stages.apply idiom). The over-cap key set is broadcast: its size
     * is bounded by distinct-blocks-over-cap (≤ rows/cap), vanishingly
-    * small for a production cap set above the p99 legitimate block —
-    * a corpus where MOST blocks exceed the cap would balloon the
-    * broadcast, but that shape means the cap itself is mis-set. */
+    * small for a production cap set above the p99 legitimate block.
+    *
+    * `mostBlocksOver` is the ENGAGEMENT-PROFILE dial, set per call
+    * site, both shapes measured (SCALE.md round-8): when the cap is a
+    * safety valve that rarely fires (LSH hot-bucket guard, title-block
+    * guard — the default), pay-per-use wins because under-cap rows
+    * skip the rank shuffle entirely. When the caller KNOWS most rows
+    * sit in over-cap blocks — low-cardinality blocking keys split
+    * intentionally, Matching's sector/location blocks — the split is
+    * pure overhead (the window ranks nearly everything anyway, and the
+    * count + anti/semi passes re-scan the input three times): q95
+    * measured the two-phase plan at +39% over the one-phase window
+    * (3.15 → 4.38 s back-to-back). `mostBlocksOver = true` takes the
+    * single window pass over all blocks. Output is row-identical
+    * either way (SkewSpec pins it). */
   def capBlocks(df: DataFrame, blockCol: Column, orderCol: Column,
-      maxPerBlock: Int): DataFrame = {
+      maxPerBlock: Int, mostBlocksOver: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
     // reserved working columns must not already exist (RangeJoin's
@@ -79,23 +91,31 @@ object Skew {
     // also makes the anti/semi joins null-safe for free.
     val keyed = df.withColumn("__cb_key",
       coalesce(blockCol.cast("string"), lit("__null_block__")))
-    // phase 1: which blocks exceed the cap (partial-aggregated count —
-    // a hot block reaches its reducer as one row per upstream task)
-    val overKeys = keyed
-      .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
-      .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
     def subBlock(rnCol: Column): Column =
       concat(col("__cb_key"), lit("#"),
         (((rnCol - 1) / maxPerBlock).cast("int")).cast("string"))
-    // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
-    // what the one-phase window assigned every row of an in-cap block);
-    // over-cap rows pay the rank shuffle, and only them
-    val under = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_anti")
-      .withColumn("__capped_block", subBlock(lit(1)))
     val w = Window.partitionBy(col("__cb_key")).orderBy(orderCol)
-    val over = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_semi")
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__capped_block", subBlock(col("__rn"))).drop("__rn")
-    under.unionByName(over).drop("__cb_key")
+    if (mostBlocksOver) {
+      // one window pass over every block — cheapest when the split
+      // would route nearly all rows through the rank window anyway
+      keyed.withColumn("__rn", row_number().over(w))
+        .withColumn("__capped_block", subBlock(col("__rn")))
+        .drop("__rn", "__cb_key")
+    } else {
+      // phase 1: which blocks exceed the cap (partial-aggregated count —
+      // a hot block reaches its reducer as one row per upstream task)
+      val overKeys = keyed
+        .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+        .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
+      // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
+      // what the one-phase window assigned every row of an in-cap block);
+      // over-cap rows pay the rank shuffle, and only them
+      val under = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_anti")
+        .withColumn("__capped_block", subBlock(lit(1)))
+      val over = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_semi")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__capped_block", subBlock(col("__rn"))).drop("__rn")
+      under.unionByName(over).drop("__cb_key")
+    }
   }
 }

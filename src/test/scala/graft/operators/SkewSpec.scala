@@ -41,6 +41,21 @@ class SkewSpec extends AnyFunSuite {
     assert(sizes("b#0") == 1L)
   }
 
+  test("capBlocks modes are row-identical (pay-per-use vs mostBlocksOver)") {
+    // mixed profile: one over-cap block, one exactly-at-cap, one tiny,
+    // one null block — the two physical plans must agree row-for-row
+    val rows = (1 to 75).map(i => (Some("hot"), i.toLong)) ++
+      (1 to 30).map(i => (Some("edge"), (100 + i).toLong)) ++
+      Seq((Some("tiny"), 200L), (None: Option[String], 201L), (None, 202L))
+    val df = rows.toDF("block", "id")
+    def dump(mode: Boolean) =
+      Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, mostBlocksOver = mode)
+        .select("block", "id", "__capped_block").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1.getOrElse(""), t._2)).toSeq
+    assert(dump(mode = false) == dump(mode = true))
+  }
+
   test("capBlocks rejects reserved columns and non-positive caps") {
     val df = Seq(("g", 1L)).toDF("block", "__rn")
     intercept[IllegalArgumentException] {
