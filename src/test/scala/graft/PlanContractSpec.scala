@@ -264,4 +264,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(stagings == 1,
       s"lower(t2) must appear exactly once (the pre-explode staging), found $stagings:\n$p")
   }
+
+  test("q95 capped matching takes the one-window plan, not the pay-per-use split") {
+    // Matching's sector/location blocks engage the cap on ~all rows,
+    // so capBlocks(mostBlocksOver = true) must NOT plan the two-phase
+    // anti/semi split (measured +39% there — SCALE.md round-8). A
+    // dial flip back to the default would reintroduce the regression
+    // silently: the split's signature is the left-anti branch.
+    val p = plan("q95_matching_capped")
+    assert(!p.contains("LeftAnti"),
+      "capped matching must not plan the pay-per-use anti/semi split:\n" + p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("capped LSH keeps the pay-per-use split (under-cap rows skip the rank)") {
+    // The inverse pin: the LSH hot-bucket guard is a rarely-fired
+    // safety valve, where the two-phase plan saves ~30% (BucketCapProbe,
+    // SCALE.md round-8) — its left-anti pass-through branch must stay.
+    val docs = graft.Engine.table(spark, dir, "documents")
+    val p = graft.operators.Dedup.minhashLshPairs(
+        docs, "doc_id", "text", k = 16, bandsOf = 4, threshold = 0.7,
+        maxBucketSize = Some(8))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"),
+      "capped LSH must keep the pay-per-use anti/semi split:\n" + p)
+  }
 }
