@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Session + table plumbing shared by every query entry point.
   *
@@ -52,7 +52,29 @@ object Engine {
 
   /** Read one TESTDATA table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    utf8Strings(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Driver-table string-annotation latitude. The TESTDATA schemas
+    * declare NO binary columns, so a BinaryType arriving from a driver
+    * scan can only be a string whose writer dropped parquet's UTF8
+    * logical-type annotation (pyarrow `binary` instead of `string`, or
+    * an annotation-stripping writer flip) — Spark reads un-annotated
+    * BYTE_ARRAY as BinaryType and every string consumer then dies at
+    * analysis (the string analog of the round-4 events.ts drift). Cast
+    * it back: Spark's binary→string cast IS the UTF-8 decode the
+    * annotation would have declared, so annotated and un-annotated
+    * layouts read value-identical (LayoutEncodingSpec pins it).
+    *
+    * Deliberately NOT the global `spark.sql.parquet.binaryAsString`
+    * conf: that flip would also corrupt GENUINE payload binary
+    * (Multimodal media columns) on engine-internal parquet. Only
+    * driver-table reads route here; Scratch read-backs keep their
+    * written schema. */
+  def utf8Strings(df: DataFrame): DataFrame = {
+    val bin = df.schema.fields.collect { case f if f.dataType == BinaryType => f.name }
+    if (bin.isEmpty) df
+    else bin.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType)))
+  }
 
   /** Event-time column as ns-since-epoch LONG, whatever the parquet
     * encoding. Real event tables ship timestamps three ways — raw

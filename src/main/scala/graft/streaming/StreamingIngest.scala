@@ -56,9 +56,24 @@ object StreamingIngest {
     * stream-stream self-joins need one source instance per side. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", graft.Engine.epochNs(schema, "ts"))
+    // The driver table ships either as a single FILE events.parquet or
+    // a DIRECTORY events.parquet/part-*.parquet (the multi-file layout
+    // LayoutEncodingSpec pins). The streaming file source can't take a
+    // bare file path (basePath must be a directory) and a pathGlobFilter
+    // matches leaf FILE names only (a directory table would match
+    // nothing and silently stream zero rows) — dispatch on the shape.
+    val tablePath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (fs.getFileStatus(tablePath).isDirectory) reader.parquet(tablePath.toString)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // utf8Strings: same string-annotation latitude as the batch path
+    // (Engine.table) — un-annotated BYTE_ARRAY event_type/props arrive
+    // as BinaryType and must decode back to string before downstream
+    // filters/group keys (per-row cast, streaming-safe)
+    graft.Engine.utf8Strings(
+      src.withColumn("ts", graft.Engine.epochNs(schema, "ts")))
   }
 
   /** Event-time windowed aggregation driven as a synchronous streaming
@@ -88,7 +103,7 @@ object StreamingIngest {
     * only the aggregation keeps state). Same AvailableNow + memory-sink
     * + detach discipline as [[windowedEventCounts]]. */
   def enrichedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val dim = graft.Engine.table(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = eventStream(spark, sfDir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
