@@ -85,10 +85,21 @@ object Matching {
     * instead of O(|offers_block| * |cvs_block|). Cross-sub-block pairs
     * are deliberately dropped — the standard recall/cost dial; the
     * default (None) keeps exact semantics.
+    *
+    * `hashedSubBlocks` picks the sub-block assignment under the cap:
+    * false (default) ranks within the block — exact ≤`maxBlockSize`
+    * sub-blocks, but each block's rank window sorts on ONE task;
+    * true hashes the side's id ([[graft.operators.Skew.capBlocksHashed]])
+    * — sort-free and fully parallel at any block size, sub-block sizes
+    * ~cap in expectation only. The rank mode is right while the
+    * largest block's sort fits a task; the hash mode is the 100 TB
+    * escape hatch when it doesn't. Both pair same-index sub-blocks and
+    * both are oracle-replayed (q95 / q101).
     */
   def score(offers: DataFrame, cvs: DataFrame,
       clock: Option[java.sql.Timestamp] = None,
-      maxBlockSize: Option[Int] = None): DataFrame = {
+      maxBlockSize: Option[Int] = None,
+      hashedSubBlocks: Boolean = false): DataFrame = {
     // Both sides are STAGED to scratch parquet (one eager write job
     // each, at call time): each feeds TWO block joins plus the
     // attribute join-back, and the CV side's lineage is typically a
@@ -134,13 +145,17 @@ object Matching {
         // low-cardinality — the cap deliberately splits nearly every
         // block, so the pay-per-use split is pure overhead here
         // (q95 A/B in SCALE.md round-8)
-        graft.operators.Skew.capBlocks(
-            o.where(col(oKey).isNotNull), col(oKey), col("job_id"), m,
-            mostBlocksOver = true)
-          .join(
+        def capped(side: DataFrame, key: String, id: String): DataFrame =
+          if (hashedSubBlocks)
+            graft.operators.Skew.capBlocksHashed(
+              side.where(col(key).isNotNull), col(key), col(id), m)
+          else
             graft.operators.Skew.capBlocks(
-                c.where(col(cKey).isNotNull), col(cKey), col("candidate_id"), m,
-                mostBlocksOver = true)
+              side.where(col(key).isNotNull), col(key), col(id), m,
+              mostBlocksOver = true)
+        capped(o, oKey, "job_id")
+          .join(
+            capped(c, cKey, "candidate_id")
               .withColumnRenamed("__capped_block", "__cb_c"),
             col("__capped_block") === col("__cb_c"))
     }).select(col("job_id"), col("candidate_id"))

@@ -73,24 +73,47 @@ object Skew {
     * measured the two-phase plan at +39% over the one-phase window
     * (3.15 → 4.38 s back-to-back). `mostBlocksOver = true` takes the
     * single window pass over all blocks. Output is row-identical
-    * either way (SkewSpec pins it). */
+    * either way (SkewSpec pins it). A third profile — giant blocks
+    * where even ONE block's sort won't fit a task — is
+    * [[capBlocksHashed]], which trades the exact per-sub-block bound
+    * for a sort-free plan.
+    *
+    * DETERMINISM PRECONDITION (pay-per-use mode): `df`'s lineage is
+    * evaluated up to three times (the phase-1 count action, the anti
+    * branch, the semi branch) and the phases are only consistent when
+    * every evaluation yields the same rows. A nondeterministic lineage
+    * (rand()/uuid() columns, non-reproducible sampling, a re-read of
+    * mutating input) can route a row down BOTH or NEITHER branch.
+    * Production callers stage `df` to scratch parquet first (the
+    * Stages.apply idiom), which also makes the re-scans cheap.
+    *
+    * The phase-1 count is an EAGER action at call time (one job over
+    * the map-side-combined per-block counts — tiny output; one extra
+    * scan of `df`'s staged lineage). It buys two scale guards:
+    *   - zero over-cap blocks (the designed-for common case of the
+    *     safety-valve profile) short-circuits to a pure projection —
+    *     no anti/semi joins at all, where the previous always-built
+    *     split cost ~11.6% idle overhead (SCALE.md round-8);
+    *   - the over-cap key set is only broadcast-hinted when its
+    *     measured count is ≤ `broadcastKeyLimit`. Above the limit
+    *     (a small cap over a dense corpus: up to rows/cap distinct
+    *     keys — millions on a 100 TB run, past the driver/broadcast
+    *     ceiling) the hint is dropped and the planner falls back to
+    *     shuffled anti/semi joins: slower, but it completes instead
+    *     of dying in broadcast collect (round-9 ADVICE). The default
+    *     limit (1M keys ≈ tens of MB of block-key strings) keeps the
+    *     broadcast well under torrent-fanout pain at 1000 executors.
+    */
+  val DefaultBroadcastKeyLimit: Long = 1000000L
+
   def capBlocks(df: DataFrame, blockCol: Column, orderCol: Column,
-      maxPerBlock: Int, mostBlocksOver: Boolean = false): DataFrame = {
+      maxPerBlock: Int, mostBlocksOver: Boolean = false,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
-    // reserved working columns must not already exist (RangeJoin's
-    // __bucket precedent): silently overwriting a caller's column and
-    // dropping it would corrupt the output
-    Seq("__rn", "__cb_key", "__capped_block").foreach { c =>
-      require(!df.columns.contains(c), s"capBlocks: input already has a '$c' column")
-    }
-    // coalesce the null block: concat is null-intolerant, so a NULL
-    // block key would null __capped_block for its whole block — the
-    // one block a skew cap most needs to cap (dirty-data hot key)
-    // would ride uncapped through null-safe consumers. The string key
-    // also makes the anti/semi joins null-safe for free.
-    val keyed = df.withColumn("__cb_key",
-      coalesce(blockCol.cast("string"), lit("__null_block__")))
+    require(broadcastKeyLimit > 0,
+      s"broadcastKeyLimit must be positive, got $broadcastKeyLimit")
+    val keyed = cbKeyed(df, blockCol)
     def subBlock(rnCol: Column): Column =
       concat(col("__cb_key"), lit("#"),
         (((rnCol - 1) / maxPerBlock).cast("int")).cast("string"))
@@ -107,15 +130,107 @@ object Skew {
       val overKeys = keyed
         .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
         .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
-      // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
-      // what the one-phase window assigned every row of an in-cap block);
-      // over-cap rows pay the rank shuffle, and only them
-      val under = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_anti")
-        .withColumn("__capped_block", subBlock(lit(1)))
-      val over = keyed.join(broadcast(overKeys), Seq("__cb_key"), "left_semi")
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__capped_block", subBlock(col("__rn"))).drop("__rn")
+      val nOver = overKeys.count()
+      if (nOver == 0L) {
+        // cap never fires: every row is rank-1-equivalent — sub-bucket
+        // 0 with no joins, no shuffle, no sort
+        keyed.withColumn("__capped_block", subBlock(lit(1))).drop("__cb_key")
+      } else {
+        val build =
+          if (nOver <= broadcastKeyLimit) broadcast(overKeys) else overKeys
+        // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
+        // what the one-phase window assigned every row of an in-cap
+        // block); over-cap rows pay the rank shuffle, and only them
+        val under = keyed.join(build, Seq("__cb_key"), "left_anti")
+          .withColumn("__capped_block", subBlock(lit(1)))
+        val over = keyed.join(build, Seq("__cb_key"), "left_semi")
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__capped_block", subBlock(col("__rn"))).drop("__rn")
+        under.unionByName(over).drop("__cb_key")
+      }
+    }
+  }
+
+  /** Sort-free sub-blocking for GIANT blocks: same contract as
+    * [[capBlocks]] (pay-per-use mode) except over-cap rows are
+    * assigned to one of ceil(n/cap) sub-blocks by a deterministic HASH
+    * of `orderCol` instead of by rank — no window, no sort, so a block
+    * of any size spreads across the cluster instead of serializing
+    * its whole sort onto one task (the rank window's ceiling: one
+    * over-cap block = one task's memory and one task's time).
+    *
+    * The trade: sub-block sizes are ~cap in EXPECTATION (multinomial
+    * spread around n/ceil(n/cap)), not exactly bounded — the right
+    * dial when the cap is a quadratic-blowup guard rather than a hard
+    * memory bound. Same determinism precondition and eager phase-1
+    * count as [[capBlocks]]; same `broadcastKeyLimit` fallback — here
+    * the build side carries (key, count) so the assignment knows each
+    * block's sub-block fan-out.
+    *
+    * The hash is a PORTABLE Fibonacci-style mix, not xxhash64:
+    * `(((id mod 2^31) * 2654435761) mod 2^32) * nSub div 2^32` —
+    * multiply by the 32-bit golden-ratio constant, keep the
+    * well-mixed low 32 bits, fixed-point-scale into [0, nSub). Plain
+    * 64-bit integer arithmetic that never exceeds 2^63 (so the DuckDB
+    * oracle replays the assignment EXACTLY — q101; xxhash64 has no
+    * cross-engine twin), codegen-friendly, and — unlike
+    * `hash mod nSub` — immune to stride-id collapse: driver ids come
+    * in arithmetic progressions (p_partkey % 8 == 0), and a plain
+    * multiplicative mod maps a stride to ONE residue whenever
+    * gcd(stride·K, nSub) ≠ 1, un-splitting the very block the cap
+    * targets. Scaling by the HIGH bits has no such failure mode.
+    *
+    * `orderCol` must resolve to an integral type (the id column every
+    * caller orders by); anything else fails loudly — a silent
+    * cast-to-null would collapse all rows into sub-block 0. */
+  def capBlocksHashed(df: DataFrame, blockCol: Column, orderCol: Column,
+      maxPerBlock: Int,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
+    require(broadcastKeyLimit > 0,
+      s"broadcastKeyLimit must be positive, got $broadcastKeyLimit")
+    val idType = df.select(orderCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"capBlocksHashed hashes orderCol and needs an integral id column, " +
+        s"got $idType — pre-hash non-numeric ids (e.g. xxhash64) at the call site")
+    val keyed = cbKeyed(df, blockCol)
+    val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+      .where(col("__cb_n") > maxPerBlock)
+    val nOver = counts.count()
+    if (nOver == 0L) {
+      keyed.withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
+        .drop("__cb_key")
+    } else {
+      val build = if (nOver <= broadcastKeyLimit) broadcast(counts) else counts
+      val under = keyed.join(build.select(col("__cb_key")), Seq("__cb_key"), "left_anti")
+        .withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
+      // mixed low-32 bits of the id, then fixed-point scale by the
+      // block's sub-block count ceil(n/cap) — all exact 64-bit integer
+      // ops (`div` truncates like DuckDB's `//`; operands non-negative)
+      val over = keyed.join(build, Seq("__cb_key"))
+        .withColumn("__cb_h",
+          pmod(pmod(orderCol.cast("long"), lit(2147483648L)) * lit(2654435761L),
+            lit(4294967296L)))
+        .withColumn("__capped_block", concat(col("__cb_key"), lit("#"),
+          expr(s"(__cb_h * (((__cb_n - 1) div $maxPerBlock) + 1)) div 4294967296")
+            .cast("string")))
+        .drop("__cb_h", "__cb_n")
       under.unionByName(over).drop("__cb_key")
     }
+  }
+
+  /** Shared prologue: reserved-column guard + null-safe string block
+    * key. Coalescing the null block matters — concat is
+    * null-intolerant, so a NULL block key would null __capped_block
+    * for its whole block, and the dirty-data hot key is exactly the
+    * block a skew cap most needs to cap. The string key also makes
+    * the anti/semi joins null-safe for free. */
+  private def cbKeyed(df: DataFrame, blockCol: Column): DataFrame = {
+    Seq("__rn", "__cb_key", "__cb_n", "__cb_h", "__capped_block").foreach { c =>
+      require(!df.columns.contains(c), s"capBlocks: input already has a '$c' column")
+    }
+    df.withColumn("__cb_key",
+      coalesce(blockCol.cast("string"), lit("__null_block__")))
   }
 }

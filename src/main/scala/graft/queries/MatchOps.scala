@@ -21,13 +21,17 @@ import graft.textkit.Ids
   * chosen so every match ratio terminates well inside round-6 (no
   * cross-engine half-rounding hazard).
   *
-  * Two driver gates share the derivation:
+  * Three driver gates share the derivation:
   *  - q50: exact blocked matching (maxBlockSize off);
   *  - q95: the SKEW-CAPPED path (maxBlockSize on) — the dial q50
   *    leaves at its default, oracle-replayed via the deterministic
   *    sub-block construction ([[graft.operators.Skew.capBlocks]]:
   *    rank-within-block / cap = sub-block index, same-index sub-blocks
-  *    pair) which is plain window SQL.
+  *    pair) which is plain window SQL;
+  *  - q101: the SORT-FREE capped path
+  *    ([[graft.operators.Skew.capBlocksHashed]]) — sub-block by a
+  *    portable integer hash of the side's id instead of rank, the
+  *    giant-block profile where one block's sort would not fit a task.
   */
 object MatchOps {
 
@@ -101,6 +105,10 @@ object MatchOps {
   private def q95(s: SparkSession, dir: String): DataFrame =
     presentTopK(s, Matching.score(offersDf(s, dir), cvsDf(s, dir),
       clock = None, maxBlockSize = Some(CapSize)))
+
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    presentTopK(s, Matching.score(offersDf(s, dir), cvsDf(s, dir),
+      clock = None, maxBlockSize = Some(CapSize), hashedSubBlocks = true))
 
   /** Shared CTE prefix: the offer/CV derivations. */
   private val baseCtes =
@@ -203,7 +211,36 @@ object MatchOps {
             JOIN (${cappedSide("cvs", "c_loc", "candidate_id")}) c ON o.cb = c.cb)),
         $scoreTail"""
 
+  /** q101 oracle: [[graft.operators.Skew.capBlocksHashed]]'s sub-block
+    * key replayed verbatim — blocks at or under the cap keep sub-block
+    * 0; over-cap rows get the portable Fibonacci mix of the side's id
+    * fixed-point-scaled into ceil(n/cap) sub-blocks. Every step is
+    * 64-bit integer arithmetic both engines execute identically
+    * (DuckDB `//` and Spark `div` both truncate; all operands
+    * non-negative; max intermediate 2^32 * nSub << 2^63). */
+  private def hashedSide(src: String, block: String, id: String): String =
+    s"""SELECT *, $block || '#' || CAST(
+          CASE WHEN n <= $CapSize THEN 0
+               ELSE (((($id % 2147483648) * 2654435761) % 4294967296)
+                     * (((n - 1) // $CapSize) + 1)) // 4294967296 END
+          AS VARCHAR) AS cb
+        FROM (SELECT *, count(*) OVER (PARTITION BY $block) AS n FROM $src)"""
+
+  private val q101Sql =
+    s"""WITH $baseCtes,
+        cand AS (
+          SELECT DISTINCT job_id, candidate_id FROM (
+            SELECT o.job_id, c.candidate_id
+            FROM (${hashedSide("offers", "o_sect", "job_id")}) o
+            JOIN (${hashedSide("cvs", "c_sect", "candidate_id")}) c ON o.cb = c.cb
+            UNION ALL
+            SELECT o.job_id, c.candidate_id
+            FROM (${hashedSide("offers", "o_loc", "job_id")}) o
+            JOIN (${hashedSide("cvs", "c_loc", "candidate_id")}) c ON o.cb = c.cb)),
+        $scoreTail"""
+
   val all: Seq[Q] = Seq(
     Q("q50_matching_scores", q50 _, Some(q50Sql)),
-    Q("q95_matching_capped", q95 _, Some(q95Sql)))
+    Q("q95_matching_capped", q95 _, Some(q95Sql)),
+    Q("q101_matching_capped_hash", q101 _, Some(q101Sql)))
 }

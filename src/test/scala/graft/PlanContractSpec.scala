@@ -270,11 +270,33 @@ class PlanContractSpec extends AnyFunSuite {
     // so capBlocks(mostBlocksOver = true) must NOT plan the two-phase
     // anti/semi split (measured +39% there — SCALE.md round-8). A
     // dial flip back to the default would reintroduce the regression
-    // silently: the split's signature is the left-anti branch.
-    val p = plan("q95_matching_capped")
-    assert(!p.contains("LeftAnti"),
+    // silently. The needle is SCOPED to capBlocks' own subtree — a
+    // LeftAnti join ON the reserved __cb_key working column (simple
+    // mode prints join keys and type on one operator line) — so a
+    // future q95 component with a legitimate unrelated anti join
+    // can't false-trip the pin (round-9 ADVICE).
+    val p = SparkEntry.queries("q95_matching_capped")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val split = p.linesIterator.exists(l =>
+      l.contains("LeftAnti") && l.contains("__cb_key"))
+    assert(!split,
       "capped matching must not plan the pay-per-use anti/semi split:\n" + p)
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q101 hashed capped matching plans no window and no per-block sort") {
+    // the sort-free profile's contract at the query level: sub-block
+    // assignment is hash arithmetic, so no rank window may appear —
+    // and the whole reason the profile exists is that the rank
+    // window's per-block sort serializes a giant block onto one task.
+    // (The final presentation top-k window over candidate_id remains;
+    // the needle is the __cb_key rank window.)
+    val p = SparkEntry.queries("q101_matching_capped_hash")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val blockWindow = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("__cb_key"))
+    assert(!blockWindow,
+      "hashed capped matching must not rank-window the blocks:\n" + p)
   }
 
   test("capped LSH keeps the pay-per-use split (under-cap rows skip the rank)") {

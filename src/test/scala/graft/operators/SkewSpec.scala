@@ -65,4 +65,103 @@ class SkewSpec extends AnyFunSuite {
       Skew.capBlocks(Seq(("g", 1L)).toDF("block", "id"), $"block", $"id", 0)
     }
   }
+
+  test("capBlocks skips the broadcast hint above broadcastKeyLimit (shuffled fallback)") {
+    // 5 over-cap blocks, limit 3: the over-cap key set must NOT be
+    // broadcast-hinted (a dense corpus under a small cap can push it
+    // past the driver/broadcast ceiling) — the planner falls back to
+    // shuffled anti/semi joins, and the OUTPUT stays identical to the
+    // hinted plan
+    val rows = (0 until 5).flatMap(b => (1 to 40).map(i => (s"blk$b", (b * 100 + i).toLong)))
+    val df = rows.toDF("block", "id")
+    def dump(limit: Long) =
+      Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = limit)
+        .select("block", "id", "__capped_block").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
+    // disable stats-based auto-broadcast: these in-memory fixtures are
+    // tiny enough that the planner would broadcast them hint or no
+    // hint, masking exactly the guard under test (at the scale the
+    // guard exists for, the key set is past any auto threshold too)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val guarded = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = 3)
+      val planned = guarded.queryExecution.sparkPlan.toString
+      assert(!planned.contains("BroadcastHashJoin"),
+        s"over-cap key set must not be broadcast above the limit:\n$planned")
+      val hinted = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = 5)
+        .queryExecution.sparkPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"within the limit the key set must still broadcast:\n$hinted")
+    } finally spark.conf.set(key, prior)
+    assert(dump(3) == dump(Skew.DefaultBroadcastKeyLimit))
+  }
+
+  test("capBlocks with zero over-cap blocks plans no joins at all") {
+    // pay-per-use's designed-for common case: the cap never fires, so
+    // the result must be a pure projection — no anti/semi joins, no
+    // window (the previous always-built split cost ~11.6% idle
+    // overhead, SCALE.md round-8)
+    val df = (1 to 50).map(i => (s"b${i % 10}", i.toLong)).toDF("block", "id")
+    val capped = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30)
+    val planned = capped.queryExecution.sparkPlan.toString
+    assert(!planned.contains("Join") && !planned.contains("Window"),
+      s"no-over-cap capBlocks must be join- and window-free:\n$planned")
+    val sizes = capped.groupBy("__capped_block").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes.keys.forall(_.endsWith("#0")) && sizes.values.sum == 50L)
+  }
+
+  test("capBlocksHashed bounds expected sub-block fan-out and keeps every row") {
+    // one giant block (200 rows, cap 30 -> ceil = 7 sub-blocks), one
+    // under-cap block: fan-out must be exactly ceil(n/cap) POSSIBLE
+    // sub-blocks with every assignment in range, rows preserved, and
+    // the hash spread must actually use >1 sub-block (the stride-id
+    // collapse this mix exists to avoid: ids below are stride-8)
+    val rows = (1 to 200).map(i => ("giant", i.toLong * 8)) ++
+      (1 to 10).map(i => ("small", (10000 + i).toLong))
+    val df = rows.toDF("block", "id")
+    val capped = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30)
+    val out = capped.select("block", "id", "__capped_block").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 210 && out.map(t => (t._1, t._2)).toSet == rows.toSet)
+    val giantSubs = out.filter(_._1 == "giant").map(_._3).distinct
+    assert(giantSubs.forall { s =>
+      val i = s.stripPrefix("giant#").toInt; i >= 0 && i < 7
+    }, s"sub-block index out of [0,7): ${giantSubs.mkString(",")}")
+    assert(giantSubs.length >= 5,
+      s"stride-8 ids collapsed to ${giantSubs.length} of 7 sub-blocks — hash mix degenerated")
+    assert(out.filter(_._1 == "small").map(_._3).distinct.toSeq == Seq("small#0"))
+    // deterministic: a second plan assigns identically
+    val again = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30)
+      .select("block", "id", "__capped_block").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq == out.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("capBlocksHashed plans no sort and no window") {
+    // the profile's whole point: an over-cap block must not serialize
+    // a rank-window sort onto one task
+    val df = (1 to 100).map(i => ("giant", i.toLong)).toDF("block", "id")
+    val planned = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30)
+      .queryExecution.sparkPlan.toString
+    assert(!planned.contains("Window") && !planned.contains("Sort"),
+      s"hashed sub-blocking must be sort-free:\n$planned")
+  }
+
+  test("capBlocksHashed caps a NULL block and rejects non-integral order columns") {
+    val withNull = ((1 to 70).map(i => (None: Option[String], i.toLong)) :+
+      ((Some("b"), 99L))).toDF("block", "id")
+    val sizes = Skew.capBlocksHashed(withNull, $"block", $"id", maxPerBlock = 30)
+      .groupBy("__capped_block").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(sizes.forall(_._1 != null))
+    assert(sizes.filter(_._1.startsWith("__null_block__#")).map(_._2).sum == 70L)
+    val strings = Seq(("g", "x")).toDF("block", "id")
+    val err = intercept[IllegalArgumentException] {
+      Skew.capBlocksHashed(strings, $"block", $"id", maxPerBlock = 10)
+    }
+    assert(err.getMessage.contains("integral"))
+  }
 }
