@@ -47,7 +47,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - the consumer keeps only the LAST ~2000 chars of stdout, so the
   *     queries map is ordered by ascending median — the expensive
   *     (interesting) queries and the contention evidence land in the
-  *     preserved tail even when the front of the line is truncated.
+  *     preserved tail even when the front of the line is truncated;
+  *   - (round 10) container-scoped CPU accounting alongside the
+  *     host-wide load average: per-query cgroup and own-JVM CPU-time
+  *     deltas in the detail file, and a suite-level
+  *     `contention_source` ("container" / "host" / "unknown" /
+  *     "none") that attributes a contended run — /proc/loadavg on
+  *     this box is host-wide, so both the r8 and r9 driver artifacts
+  *     could say only "load was high" without naming whose load
+  *     (see [[cgroupCpuUsec]] / [[contentionSource]]).
   */
 object Bench {
 
@@ -188,8 +196,19 @@ object Bench {
     // Fatal errors (OOM etc.) propagate: "measuring" the remaining
     // queries in a heap-thrashing JVM produces garbage that looks real.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    val suiteWallT0 = System.nanoTime()
+    val cgStart = cgroupCpuUsec
+    val ownStart = processCpuUsec
+    // per-query CPU attribution: (cgroup delta, own-JVM delta) seconds
+    // across the query's measured iterations — in the detail file a
+    // slow wall time with a flat cgroup delta reads as starvation
+    // (host contention / IO), a slow wall with a fat cgroup-minus-own
+    // delta reads as in-container co-tenancy
+    val qCpu = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
+      val qCg = cgroupCpuUsec
+      val qOwn = processCpuUsec
       var failed = false
       val times = (1 to iters).flatMap { i =>
         val t0 = System.nanoTime()
@@ -211,6 +230,10 @@ object Bench {
         if (i < iters) { graft.operators.Scratch.releaseAll(); syncDisk() }
         t
       }
+      // sampled BEFORE resetSession: the between-query System.gc is
+      // hygiene, not this query's cost
+      for (a <- qCg; b <- cgroupCpuUsec; c <- qOwn; d <- processCpuUsec)
+        qCpu(name) = ((b - a) / 1e6, (d - c) / 1e6)
       resetSession(spark)
       syncDisk()
       name -> Measured(times, loadAtStart, failed)
@@ -265,6 +288,19 @@ object Bench {
         k -> ((if (rerunFailed) None else Some(warm)), loadAtRerun)
       }.toMap
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
+    // container-scoped contention attribution over the whole suite
+    // (reruns included, like loadAvgEnd): how many cores did NON-bench
+    // work inside this container burn per wall second, and who does
+    // the evidence indict — see contentionSource
+    val suiteWall = (System.nanoTime() - suiteWallT0) / 1e9
+    val otherBusyCores = for {
+      cg0 <- cgStart; cg1 <- cgroupCpuUsec
+      own0 <- ownStart; own1 <- processCpuUsec
+    } yield math.max(0.0, ((cg1 - cg0) - (own1 - own0)) / 1e6) / suiteWall
+    val source = contentionSource(
+      loadHigh = loadAvgStart > 3.0,
+      spreadFlag = results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0),
+      otherBusyCores = otherBusyCores)
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -298,16 +334,21 @@ object Bench {
     detail ++= s"""{"sf":$sf,"cpus":$cpus,"iters":$iters,"""
     detail ++= s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"""
     detail ++= s""""load_avg_min":$loadAvgMin,"""
-    detail ++= s""""contended":$contended,"queries":{"""
+    detail ++= s""""contended":$contended,"contention_source":"$source","""
+    detail ++= otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
+    detail ++= s""""queries":{"""
     detail ++= ordered.map { case (k, m) =>
       val ts = m.times.map(r3).mkString("[", ",", "]")
       val rerun = reruns.get(k).map {
         case (Some(t), l) => s""","rerun":${r3(t)},"rerun_load":${r2(l)}"""
         case (None, l) => s""","rerun_failed":true,"rerun_load":${r2(l)}"""
       }.getOrElse("")
+      val cpu = qCpu.get(k).map { case (cg, own) =>
+        s""","cg_cpu":${r2(cg)},"own_cpu":${r2(own)}"""
+      }.getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
-        s""""failed":${m.failed}$rerun}"""
+        s""""failed":${m.failed}$cpu$rerun}"""
     }.mkString(",")
     detail ++= "}}\n"
     try {
@@ -329,6 +370,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val env = s""""iters":$iters,"min_total":$minTotal,"spread":$spreads,""" +
       s""""rerun":$rerunJson,"contended":$contended,""" +
+      s""""contention_source":"$source",""" +
+      otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("") +
       s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
       s""""driver_max_mem_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},""" +
       s""""cpus":$cpus,"detail":"$detailPath""""
@@ -340,6 +383,68 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Cumulative CPU time of THIS CONTAINER's cgroup, in microseconds.
+    * /proc/loadavg on this box is HOST-wide (container-shared kernel,
+    * SCALE.md round-8), so the load-average flag cannot tell "another
+    * container is hammering the host" from "something else in OUR
+    * container (a parallel sbt, a stray probe) is eating the cores".
+    * The cgroup counter is container-scoped by construction. Tries
+    * cgroup v2 (`cpu.stat` usage_usec), the v1 unified hierarchy
+    * (same file under /unified — this box), then raw v1
+    * `cpuacct.usage` (ns). None present → None, evidence degrades to
+    * load-only. */
+  private[graft] def cgroupCpuUsec: Option[Long] = {
+    def fromStat(p: String): Option[Long] =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        try src.getLines().collectFirst {
+          case l if l.startsWith("usage_usec") => l.split("\\s+")(1).toLong
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def fromUsageNs(p: String): Option[Long] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").trim.toLong / 1000L)
+      catch { case scala.util.control.NonFatal(_) => None }
+    fromStat("/sys/fs/cgroup/cpu.stat")
+      .orElse(fromStat("/sys/fs/cgroup/unified/cpu.stat"))
+      .orElse(fromUsageNs("/sys/fs/cgroup/cpuacct/cpuacct.usage"))
+  }
+
+  /** Cumulative CPU time of THIS JVM, in microseconds — the bench's
+    * own share of the cgroup counter. (The sbt launcher JVM that
+    * forked us idles while we run, so cgroup − process ≈ co-tenant
+    * in-container work, give or take a few percent of one core.) */
+  private[graft] def processCpuUsec: Option[Long] =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val t = os.getProcessCpuTime
+        if (t >= 0) Some(t / 1000L) else None
+      case _ => None
+    }
+
+  /** Attribute a contended run: `otherBusyCores` is the co-tenant
+    * in-container CPU rate over the suite — (cgroupΔ − own JVMΔ) /
+    * suite wall seconds, i.e. how many cores something ELSE inside
+    * this container burned on average while we measured.
+    *   - ≥ 0.5 cores of non-bench container work → "container" (the
+    *     run contended with in-container activity; both the r8 and r9
+    *     driver runs could only say "load was high");
+    *   - otherwise, a high host load average with a quiet container →
+    *     "host" (co-tenant containers on the shared kernel);
+    *   - spread-flag only, container quiet, no load indictment →
+    *     "unknown" (transient spike or IO stall — the evidence
+    *     doesn't name a culprit);
+    *   - nothing indicts → "none".
+    * Pinned in BenchEvidenceSpec. */
+  private[graft] def contentionSource(loadHigh: Boolean, spreadFlag: Boolean,
+      otherBusyCores: Option[Double]): String =
+    otherBusyCores match {
+      case Some(b) if b >= 0.5 && (loadHigh || spreadFlag) => "container"
+      case _ if loadHigh => "host"
+      case _ if spreadFlag => "unknown"
+      case _ => "none"
+    }
 
   /** Flush dirty pages and wait (untimed window only). Scratch dirs
     * are deleted first, so most dirty data is simply dropped and the

@@ -85,4 +85,45 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(Bench.Measured(Nil, 0.0, failed = false).spreadRatio == 1.0)
     assert(!Bench.Measured(Seq(1.0, 9.0), 0.0, failed = true).material)
   }
+
+  test("contention source attributes container load before host load") {
+    // ≥ 0.5 cores of non-bench in-container CPU indicts the container
+    // regardless of which flag fired — host loadavg is host-wide on
+    // this box, so the cgroup evidence is the more specific witness
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = false,
+      Some(2.3)) == "container")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.8)) == "container")
+    // high host load with a quiet container: co-tenant containers
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = false,
+      Some(0.1)) == "host")
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = true,
+      Some(0.0)) == "host")
+    // spread spike, quiet container, no load indictment: unnamed culprit
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05)) == "unknown")
+    // counters unavailable: degrade to the load flag, never "container"
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = false, None) == "host")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true, None) == "unknown")
+    // a quiet run stays quiet even with busy-ish counters: an idle-run
+    // co-tenant is context, not an indictment of a run nothing flagged
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = false,
+      Some(2.0)) == "none")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = false, None) == "none")
+  }
+
+  test("container CPU counters are readable on this box") {
+    // the attribution degrades gracefully when absent, but THIS
+    // environment has the v1 unified hierarchy — if a driver-image
+    // change drops it, this names the loss instead of the artifact
+    // silently reverting to load-only evidence
+    val cg = Bench.cgroupCpuUsec
+    assert(cg.nonEmpty, "no cgroup cpu counter found under /sys/fs/cgroup")
+    val own = Bench.processCpuUsec
+    assert(own.nonEmpty, "JVM process CPU time unavailable")
+    // monotone and plausibly scaled: a second sample must not go back
+    val cg2 = Bench.cgroupCpuUsec
+    assert(cg2.get >= cg.get)
+    assert(own.get > 0L && cg.get > 0L)
+  }
 }
