@@ -137,6 +137,17 @@ object Dedup {
     * band's sub-bucketing is also suppressed at later shared bands by
     * the first-band-wins condition, which compares signature slices,
     * not emitted pairs). Default None = exact.
+    *
+    * EAGERNESS: with a cap (or `stageCascade`) this call runs Spark
+    * jobs at CONSTRUCTION time, not first action — the tokenize/
+    * minhash cascade is staged to scratch parquet immediately (the
+    * plan consumes it up to six ways and ReuseExchange can't dedupe
+    * the differently-pruned branches — see the inline note), and the
+    * capBlocks split adds its eager phase-1 bucket count. Callers
+    * timing or caching this operator must treat construction as part
+    * of its cost (Bench does: the timed window opens before the
+    * query function is invoked). Default (no cap, no staging) stays
+    * fully lazy.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double,
@@ -524,14 +535,29 @@ object Dedup {
     // and the alloc throws NegativeArraySizeException instead of naming
     // the real problem (unreachable at the 2M default cap, reachable
     // through the env override)
-    val totalLongs = chunks.iterator.map(_.length.toLong).sum
-    require(totalLongs <= Int.MaxValue,
-      s"connectedComponents: packed edge collect of $totalLongs longs exceeds " +
-        "the JVM array limit — lower GRAFT_CC_DRIVER_MAX_EDGES")
-    val out = new Array[Long](totalLongs.toInt)
+    val out = new Array[Long](packedTotalLongs(chunks.iterator.map(_.length)))
     var off = 0
     chunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
     out
+  }
+
+  /** Total packed-array length with the overflow guards the alloc
+    * needs (seam for ConnectedComponentsSpec — the real failure needs
+    * >16 GB of edges): the lengths are summed as LONG (past ~1.07G
+    * packed longs an Int sum wraps negative and the alloc throws
+    * NegativeArraySizeException instead of naming the real problem —
+    * unreachable at the 2M default cap, reachable through the env
+    * override), and the bound is Int.MaxValue - 8, not Int.MaxValue:
+    * HotSpot's actual array-length ceiling sits a few header words
+    * below 2^31-1, so an allocation in the gap dies as
+    * OutOfMemoryError("Requested array size exceeds VM limit") instead
+    * of this named error. */
+  private[graft] def packedTotalLongs(chunkLengths: Iterator[Int]): Int = {
+    val total = chunkLengths.foldLeft(0L)((acc, len) => acc + len)
+    require(total <= Int.MaxValue - 8,
+      s"connectedComponents: packed edge collect of $total longs exceeds " +
+        "the JVM array limit — lower GRAFT_CC_DRIVER_MAX_EDGES")
+    total.toInt
   }
 
   /** Edge cap for [[connectedComponents]]'s driver-side union-find
@@ -555,15 +581,19 @@ object Dedup {
     * driver transfer; an over-cap graph takes the distributed path
     * unchanged. GRAFT_CC_DRIVER_MAX_EDGES overrides for A/B probes. */
   private val DriverUnionFindMaxEdges: Long =
-    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map { v =>
-      // a bare .toLong here would surface a malformed override ('8m')
-      // as ExceptionInInitializerError on ANY Dedup use, hiding the
-      // actual cause (ADVICE round-7)
-      try v.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"GRAFT_CC_DRIVER_MAX_EDGES must be a plain long edge count, got '$v'")
-      }
-    }.getOrElse(2000000L)
+    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map(parseEdgeCapOverride)
+      .getOrElse(2000000L)
+
+  /** Parse the GRAFT_CC_DRIVER_MAX_EDGES override (seam for
+    * ConnectedComponentsSpec — sys.env is process-fixed under test).
+    * A bare .toLong would surface a malformed override ('8m') as
+    * ExceptionInInitializerError on ANY Dedup use, hiding the actual
+    * cause (ADVICE round-7) — name the variable and the bad value. */
+  private[graft] def parseEdgeCapOverride(v: String): Long =
+    try v.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"GRAFT_CC_DRIVER_MAX_EDGES must be a plain long edge count, got '$v'")
+    }
 
   /** Driver-side union-find over a PACKED edge array
     * (`[s0,d0,s1,d1,...]` — see [[collectPackedEdges]]) — the exact

@@ -111,4 +111,47 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral id columns"))
   }
+
+  test("a malformed GRAFT_CC_DRIVER_MAX_EDGES override names itself") {
+    // round-7 ADVICE fix, pinned: a bare .toLong surfaced '8m' as
+    // ExceptionInInitializerError on ANY Dedup use, hiding the cause
+    val e = intercept[IllegalArgumentException] {
+      Dedup.parseEdgeCapOverride("8m")
+    }
+    assert(e.getMessage.contains("GRAFT_CC_DRIVER_MAX_EDGES") &&
+      e.getMessage.contains("8m"))
+    assert(Dedup.parseEdgeCapOverride(" 3000000 ") == 3000000L)
+  }
+
+  test("packed-collect length guard sums as Long and names the array limit") {
+    // round-7 ADVICE fix, pinned via the seam (the real failure needs
+    // >16 GB of edges): an Int sum of chunk lengths wraps negative past
+    // ~1.07G packed longs and the alloc would throw
+    // NegativeArraySizeException; the guard must instead sum as Long
+    // and raise the NAMED error, with the bound at HotSpot's real
+    // array ceiling (Int.MaxValue - 8), not Int.MaxValue
+    assert(Dedup.packedTotalLongs(Iterator(5, 7)) == 12)
+    assert(Dedup.packedTotalLongs(Iterator(Int.MaxValue - 10, 2)) == Int.MaxValue - 8)
+    val overflowing = Iterator(Int.MaxValue, Int.MaxValue, Int.MaxValue)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.packedTotalLongs(overflowing)
+    }
+    assert(e.getMessage.contains("JVM array limit") &&
+      e.getMessage.contains((3L * Int.MaxValue).toString))
+    intercept[IllegalArgumentException] {
+      Dedup.packedTotalLongs(Iterator(Int.MaxValue - 9, 2)) // the HotSpot gap
+    }
+  }
+
+  test("bandBucketSizes spreads the signature scan before the banding explode") {
+    // round-7 ADVICE fix, pinned: on a single-file corpus the
+    // explode/partial-agg map side otherwise runs on ONE core (the
+    // CLAUDE.md single-split rule) — Engine.spread's round-robin
+    // exchange must sit in the plan
+    val docs = graft.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    val p = Dedup.bandBucketSizes(docs, "doc_id", "text", 16, 4)
+      .queryExecution.sparkPlan.toString
+    assert(p.toLowerCase.contains("roundrobin"),
+      s"bandBucketSizes lost its Engine.spread round-robin exchange:\n$p")
+  }
 }
