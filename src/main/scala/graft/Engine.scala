@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, unix_micros}
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Session + table plumbing shared by every query entry point.
   *
@@ -52,7 +52,7 @@ object Engine {
 
   /** Read one TESTDATA table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    utf8Strings(spark.read.parquet(s"$sfDir/$name.parquet"))
+    utf8Strings(canonicalNumerics(spark.read.parquet(s"$sfDir/$name.parquet")))
 
   /** Driver-table string-annotation latitude. The TESTDATA schemas
     * declare NO binary columns, so a BinaryType arriving from a driver
@@ -74,6 +74,35 @@ object Engine {
     val bin = df.schema.fields.collect { case f if f.dataType == BinaryType => f.name }
     if (bin.isEmpty) df
     else bin.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType)))
+  }
+
+  /** Driver-table DECIMAL latitude — the numeric analog of
+    * [[utf8Strings]]. The TESTDATA contract is double measures
+    * (l_extendedprice, o_totalprice, events.value, …) and integral
+    * keys, but TPC-H's CANONICAL schema types every money column
+    * DECIMAL(15,2): a driver generator flip (DuckDB's tpch extension,
+    * pyarrow decimal columns) would ship DecimalType, and every
+    * double-typed kernel parameter then fails analysis while decimal
+    * aggregate arithmetic drifts from the pinned double semantics.
+    * Normalize at the read boundary:
+    *  - scale == 0 → LongType (the key class; within the int-vs-long
+    *    latitude KeyWidthEncodingSpec already pins);
+    *  - scale  > 0 → DoubleType (the measure class; exact for values
+    *    carrying ≤ 17 significant digits, i.e. every money column —
+    *    and the oracle comparison rounds aggregates anyway).
+    * Only driver-table reads route here (same scoping rationale as
+    * [[utf8Strings]]); engine-internal scratch parquet keeps whatever
+    * schema it wrote. LayoutEncodingSpec's `decimal` variant pins
+    * value-identity against the canonical double layout. */
+  def canonicalNumerics(df: DataFrame): DataFrame = {
+    val decs = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[DecimalType] =>
+        (f.name, f.dataType.asInstanceOf[DecimalType])
+    }
+    if (decs.isEmpty) df
+    else decs.foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(if (t.scale == 0) LongType else DoubleType))
+    }
   }
 
   /** Event-time column as ns-since-epoch LONG, whatever the parquet

@@ -68,12 +68,13 @@ object StreamingIngest {
     val src =
       if (fs.getFileStatus(tablePath).isDirectory) reader.parquet(tablePath.toString)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    // utf8Strings: same string-annotation latitude as the batch path
-    // (Engine.table) — un-annotated BYTE_ARRAY event_type/props arrive
-    // as BinaryType and must decode back to string before downstream
-    // filters/group keys (per-row cast, streaming-safe)
-    graft.Engine.utf8Strings(
-      src.withColumn("ts", graft.Engine.epochNs(schema, "ts")))
+    // utf8Strings + canonicalNumerics: same string-annotation and
+    // decimal latitude as the batch path (Engine.table) — un-annotated
+    // BYTE_ARRAY event_type/props arrive as BinaryType, DECIMAL-typed
+    // value as DecimalType; both must normalize before downstream
+    // filters/group keys (per-row casts, streaming-safe)
+    graft.Engine.utf8Strings(graft.Engine.canonicalNumerics(
+      src.withColumn("ts", graft.Engine.epochNs(schema, "ts"))))
   }
 
   /** Event-time windowed aggregation driven as a synchronous streaming

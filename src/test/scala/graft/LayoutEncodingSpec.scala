@@ -52,6 +52,22 @@ import graft.TestSpark.spark
   *    drift). The third temporal backing the judge named, INT32 DATE,
   *    is the logical DATE encoding TemporalEncodingSpec already pins —
   *    parquet has no other physical backing for DATE.
+  *  - (round 10, cont.) numeric columns arriving as DECIMAL — TPC-H's
+  *    canonical schema types every money column DECIMAL(15,2) and some
+  *    generators (DuckDB's tpch extension) ship decimal keys too; a
+  *    driver generator flip lands DecimalType on every double/long
+  *    column at once. The variant recodes doubles as DECIMAL(38,18)
+  *    and longs as DECIMAL(20,0) — both value-preserving round-trips,
+  *    so this stays a LAYOUT drift (a real 2-dp regeneration would
+  *    also change VALUES, which the oracle would absorb since both
+  *    engines read the same files; what must not happen is an
+  *    analysis-time death or silent decimal-arithmetic drift —
+  *    `Engine.canonicalNumerics` normalizes at the read boundary);
+  *  - (round 10, cont.) array columns written in Spark's LEGACY parquet
+  *    list layout (`spark.sql.parquet.writeLegacyFormat` — the same
+  *    3-level "bag/array" group structure old pyarrow emitted before
+  *    `use_compliant_nested_types` flipped on by default in v12), the
+  *    plausible drift carrier for embeddings.embedding.
   *
   * Each variant rebuilds sf0.001 and pins one consumer query per
   * engine path VALUE-IDENTICAL to the canonical layout, so the next
@@ -85,6 +101,27 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q14_date_funcs",
     "q27_time_bucket_agg")
 
+  /** Consumers for the decimal variant: the queries that aggregate,
+    * filter, and join the recoded money/key columns (every aggregate
+    * they emit is rounded, so the double-vs-double comparison is
+    * partition-order stable — the property the existing multi-file
+    * variant already relies on). */
+  private val decimalConsumers = Seq(
+    "q01_agg",
+    "q02_filter_project",
+    "q03_star_join",
+    "q09_topk",
+    "q27_time_bucket_agg")
+
+  /** Consumers for the legacy-list variant: the embedding readers
+    * (brute-force, IVF, and PQ/ADC top-k — all row-bearing at
+    * sf0.001; the pair-join q35 finds no ≥0.95 pairs at this sf and
+    * would pin nothing). */
+  private val legacyListConsumers = Seq(
+    "q25_cosine_topk",
+    "q96_pq_adc_topk",
+    "q98_ivf_topk")
+
   private var root: Path = _
   private var multiDir: String = _
   private var v2Dir: String = _
@@ -93,6 +130,8 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var noAnnotDir: String = _
   private var int96Dir: String = _
   private var millisDir: String = _
+  private var decimalDir: String = _
+  private var legacyListDir: String = _
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft_layout_enc")
@@ -127,6 +166,27 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     int96Dir = withTimestampType("INT96") {
       rebuild("int96") { (_, df, out) => ltz(df).write.mode("overwrite").parquet(out) }
     }
+    decimalDir = rebuild("decimal") { (_, df, out) =>
+      // doubles → DECIMAL(38,18): a double ≤ ~1e20 carries ≤ 17
+      // significant digits, decimal(38,18) holds ≥ 20 for it, so the
+      // round-trip is exact and the drift stays layout-only. Longs →
+      // DECIMAL(20,0): exact for the full long range.
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val recoded = df.schema.fields.foldLeft(df) { (d, f) =>
+        f.dataType match {
+          case DoubleType => d.withColumn(f.name, col(f.name).cast("decimal(38,18)"))
+          case LongType   => d.withColumn(f.name, col(f.name).cast("decimal(20,0)"))
+          case _          => d
+        }
+      }
+      recoded.write.mode("overwrite").parquet(out)
+    }
+    legacyListDir = withWriterConf("spark.sql.parquet.writeLegacyFormat", "true") {
+      rebuild("legacylist") { (_, df, out) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+    }
     millisDir = withTimestampType("TIMESTAMP_MILLIS") {
       rebuild("millis") { (t, df, out) =>
         if (t == "events")
@@ -155,14 +215,15 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       else d
     }
 
-  /** Scope `spark.sql.parquet.outputTimestampType` around a build —
-    * a WRITER conf, so session-scoped with restore. */
-  private def withTimestampType[A](t: String)(body: => A): A = {
-    val key = "spark.sql.parquet.outputTimestampType"
+  /** Scope a session-level WRITER conf around a build, with restore. */
+  private def withWriterConf[A](key: String, value: String)(body: => A): A = {
     val prior = spark.conf.get(key)
-    spark.conf.set(key, t)
+    spark.conf.set(key, value)
     try body finally spark.conf.set(key, prior)
   }
+
+  private def withTimestampType[A](t: String)(body: => A): A =
+    withWriterConf("spark.sql.parquet.outputTimestampType", t)(body)
 
   private def rebuild(name: String)(write: (String, DataFrame, String) => Unit): String = {
     val dir = root.resolve(name)
@@ -266,6 +327,61 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "recode must NOT touch the micros-precision events table")
   }
 
+  test("decimal tables really carry DECIMAL money and key columns") {
+    val money = primitiveOf("decimal", "lineitem", "l_extendedprice")
+    assert(String.valueOf(money.getLogicalTypeAnnotation).startsWith("DECIMAL") &&
+      money.getPrimitiveTypeName.toString != "DOUBLE",
+      s"fixture degenerated: l_extendedprice is $money " +
+        s"(${money.getLogicalTypeAnnotation}) — decimal cast not applied")
+    val key = primitiveOf("decimal", "lineitem", "l_orderkey")
+    assert(String.valueOf(key.getLogicalTypeAnnotation).contains("scale=0") ||
+      String.valueOf(key.getLogicalTypeAnnotation).contains(",0)"),
+      s"fixture degenerated: l_orderkey carries ${key.getLogicalTypeAnnotation} — " +
+        "expected a scale-0 DECIMAL key")
+  }
+
+  test("decimal recode is a value-preserving round-trip") {
+    // if this ever fails the variant is a DATA drift, not a layout
+    // drift, and its consumer pins would chase phantom diffs. The
+    // decimal(38,18) round-trip is exact only while |x| stays above
+    // ~0.005 (double LSB spacing vs the 1e-18 quantization) — checked
+    // here against every recoded column of every table, so a future
+    // testdata regeneration with tinier values fails BY NAME.
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    Engine.tableNames.foreach { t =>
+      val raw = spark.read.parquet(s"$canonical/$t.parquet")
+      val recodedCols = raw.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == LongType => f.name
+      }
+      if (recodedCols.nonEmpty) {
+        val want = rows(raw.select(recodedCols.map(org.apache.spark.sql.functions.col): _*))
+        val got = rows(Engine.table(spark, decimalDir, t)
+          .select(recodedCols.map(org.apache.spark.sql.functions.col): _*))
+        assert(got == want, s"DECIMAL(38,18)/(20,0) recode changed values in $t — " +
+          "the variant no longer isolates layout from data")
+      }
+    }
+  }
+
+  test("legacylist tables really carry the legacy parquet list layout") {
+    val stream = Files.list(root.resolve("legacylist").resolve("embeddings.parquet"))
+    val file = try stream.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    finally stream.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    val groupStr = try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      schema.getType(schema.getFieldIndex("embedding")).toString
+    } finally reader.close()
+    // Spark's legacy writer names the repeated group "bag" and the
+    // element field "array"; the compliant layout uses "list"/"element"
+    assert(groupStr.contains("bag") || groupStr.contains("array"),
+      s"fixture degenerated: embeddings.embedding is $groupStr — " +
+        "writeLegacyFormat not applied")
+  }
+
   test("zstd tables really are zstd-compressed") {
     val stream = Files.list(root.resolve("zstd").resolve("documents.parquet"))
     val file = try stream.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
@@ -326,6 +442,37 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(fn(spark, millisDir)) == rows(fn(spark, canonical)),
         s"$q drifted under TIMESTAMP(MILLIS) backing")
     }
+  }
+
+  decimalConsumers.foreach { q =>
+    test(s"$q is value-identical under DECIMAL-typed numeric columns") {
+      val fn = SparkEntry.queries(q)
+      val want = rows(fn(spark, canonical))
+      assert(want.nonEmpty, s"$q returned no rows on canonical sf0.001 — pins nothing")
+      assert(rows(fn(spark, decimalDir)) == want,
+        s"$q drifted under DECIMAL-typed numeric columns")
+    }
+  }
+
+  legacyListConsumers.foreach { q =>
+    test(s"$q is value-identical under the legacy parquet list layout") {
+      val fn = SparkEntry.queries(q)
+      val want = rows(fn(spark, canonical))
+      assert(want.nonEmpty, s"$q returned no rows on canonical sf0.001 — pins nothing")
+      assert(rows(fn(spark, legacyListDir)) == want,
+        s"$q drifted under the legacy parquet list layout")
+    }
+  }
+
+  /** Streaming leg of the decimal net: the event stream's `value`
+    * column must normalize the same way the batch path does
+    * (StreamingIngest.eventStream routes Engine.canonicalNumerics). */
+  test("q30_stream_window_agg is value-identical under DECIMAL-typed numeric columns") {
+    val fn = SparkEntry.queries("q30_stream_window_agg")
+    val want = rows(fn(spark, canonical))
+    assert(want.nonEmpty, "q30 returned no rows on canonical sf0.001 — pins nothing")
+    assert(rows(fn(spark, decimalDir)) == want,
+      "q30 drifted under DECIMAL-typed numeric columns")
   }
 
   /** Streaming leg of the annotation net: q30 drives the event stream
