@@ -252,8 +252,11 @@ object Bench {
     // with clean spreads (visible via load_avg_min in the detail file)
     // triggers neither. Computed BEFORE the rerun pass: a contended run
     // widens the rerun set to the heaviest queries (see rerunTargets).
-    val contended = loadAvgStart > 3.0 ||
-      results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
+    // single derivation shared with contentionSource below — the flag
+    // and its attribution must never disagree after a threshold tweak
+    val loadHigh = loadAvgStart > 3.0
+    val spreadFlag = results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
+    val contended = loadHigh || spreadFlag
 
     // In-artifact resolution of flagged queries: with the suite done
     // (and the transient load that caused the flag presumably gone),
@@ -298,8 +301,8 @@ object Bench {
       own0 <- ownStart; own1 <- processCpuUsec
     } yield math.max(0.0, ((cg1 - cg0) - (own1 - own0)) / 1e6) / suiteWall
     val source = contentionSource(
-      loadHigh = loadAvgStart > 3.0,
-      spreadFlag = results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0),
+      loadHigh = loadHigh,
+      spreadFlag = spreadFlag,
       otherBusyCores = otherBusyCores)
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")

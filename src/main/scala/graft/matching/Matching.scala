@@ -100,6 +100,9 @@ object Matching {
       clock: Option[java.sql.Timestamp] = None,
       maxBlockSize: Option[Int] = None,
       hashedSubBlocks: Boolean = false): DataFrame = {
+    require(maxBlockSize.isDefined || !hashedSubBlocks,
+      "hashedSubBlocks picks the sub-block assignment UNDER maxBlockSize — " +
+        "asking for it without a cap would silently run the exact uncapped path")
     // Both sides are STAGED to scratch parquet (one eager write job
     // each, at call time): each feeds TWO block joins plus the
     // attribute join-back, and the CV side's lineage is typically a

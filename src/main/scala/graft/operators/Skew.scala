@@ -182,7 +182,18 @@ object Skew {
     *
     * `orderCol` must resolve to an integral type (the id column every
     * caller orders by); anything else fails loudly — a silent
-    * cast-to-null would collapse all rows into sub-block 0. */
+    * cast-to-null would collapse all rows into sub-block 0. NULL ids
+    * fold to id 0 (`coalesce` before the mix — concat is
+    * null-intolerant, so an unfolded null id would null the whole
+    * `__capped_block` and silently drop the row from non-null-safe
+    * consumers; rank mode keeps null-id rows, so hashed mode must
+    * too). NEGATIVE ids are folded non-negative by `pmod`, and the
+    * portable replay must do the same — DuckDB's `%` truncates, so
+    * the oracle twin of `pmod(id, m)` is `((id % m) + m) % m` (q101's
+    * hashedSide; identical to plain `%` for the non-negative case).
+    * Both matter for pre-hashed ids: the xxhash64 fallback this
+    * operator's own error message recommends is negative for half of
+    * all inputs. */
   def capBlocksHashed(df: DataFrame, blockCol: Column, orderCol: Column,
       maxPerBlock: Int,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
@@ -210,8 +221,8 @@ object Skew {
       // ops (`div` truncates like DuckDB's `//`; operands non-negative)
       val over = keyed.join(build, Seq("__cb_key"))
         .withColumn("__cb_h",
-          pmod(pmod(orderCol.cast("long"), lit(2147483648L)) * lit(2654435761L),
-            lit(4294967296L)))
+          pmod(pmod(coalesce(orderCol.cast("long"), lit(0L)), lit(2147483648L)) *
+            lit(2654435761L), lit(4294967296L)))
         .withColumn("__capped_block", concat(col("__cb_key"), lit("#"),
           expr(s"(__cb_h * (((__cb_n - 1) div $maxPerBlock) + 1)) div 4294967296")
             .cast("string")))

@@ -216,12 +216,17 @@ object MatchOps {
     * 0; over-cap rows get the portable Fibonacci mix of the side's id
     * fixed-point-scaled into ceil(n/cap) sub-blocks. Every step is
     * 64-bit integer arithmetic both engines execute identically
-    * (DuckDB `//` and Spark `div` both truncate; all operands
-    * non-negative; max intermediate 2^32 * nSub << 2^63). */
+    * (DuckDB `//` and Spark `div` both truncate; max intermediate
+    * 2^32 * nSub << 2^63). The first fold replays Spark's `pmod` in
+    * sign-safe form — `((x % m) + m) % m` — and null ids fold to 0,
+    * both identical to the plain `$id % m` the driver ids exercise
+    * (non-negative, non-null) but matching the operator exactly if a
+    * regeneration ever ships signed pre-hashed or nullable ids. */
   private def hashedSide(src: String, block: String, id: String): String =
     s"""SELECT *, $block || '#' || CAST(
           CASE WHEN n <= $CapSize THEN 0
-               ELSE (((($id % 2147483648) * 2654435761) % 4294967296)
+               ELSE ((((((coalesce($id, 0) % 2147483648) + 2147483648) % 2147483648)
+                       * 2654435761) % 4294967296)
                      * (((n - 1) // $CapSize) + 1)) // 4294967296 END
           AS VARCHAR) AS cb
         FROM (SELECT *, count(*) OVER (PARTITION BY $block) AS n FROM $src)"""

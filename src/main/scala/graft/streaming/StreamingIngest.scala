@@ -72,9 +72,14 @@ object StreamingIngest {
     // decimal latitude as the batch path (Engine.table) — un-annotated
     // BYTE_ARRAY event_type/props arrive as BinaryType, DECIMAL-typed
     // value as DecimalType; both must normalize before downstream
-    // filters/group keys (per-row casts, streaming-safe)
-    graft.Engine.utf8Strings(graft.Engine.canonicalNumerics(
-      src.withColumn("ts", graft.Engine.epochNs(schema, "ts"))))
+    // filters/group keys (per-row casts, streaming-safe). Normalize
+    // BEFORE epochNs, exactly like the batch path (Engine.events
+    // reads through Engine.table first): a ts column arriving as
+    // DECIMAL(20,0) — the uint64-ns class UnsignedEncodingSpec pins —
+    // must reach epochNs as the long it normalizes to, or epochNs
+    // rejects the raw decimal and streaming dies where batch passes.
+    val normalized = graft.Engine.utf8Strings(graft.Engine.canonicalNumerics(src))
+    normalized.withColumn("ts", graft.Engine.epochNs(normalized.schema, "ts"))
   }
 
   /** Event-time windowed aggregation driven as a synchronous streaming

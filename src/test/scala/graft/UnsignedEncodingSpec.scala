@@ -70,6 +70,7 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var root: Path = _
   private var unsignedDir: String = _
+  private var nsUintDir: String = _
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft_unsigned_enc")
@@ -80,6 +81,18 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       writeUnsigned(df, dir.resolve(s"$t.parquet").toString)
     }
     unsignedDir = dir.toString
+    // the sharpest event-time drift: ts as a numpy-uint64 NANOSECOND
+    // column (the legacy int64-ns fixture class, unsigned-annotated) —
+    // Spark reads DECIMAL(20,0), canonicalNumerics folds it to long,
+    // epochNs takes the ns-long path; BOTH read paths (batch
+    // Engine.events and streaming StreamingIngest.eventStream) must
+    // normalize BEFORE epochNs dispatches or the decimal ts kills them
+    val nsDir = root.resolve("nsuint")
+    Files.createDirectories(nsDir)
+    val ev = spark.read.parquet(s"$canonical/events.parquet")
+    writeUnsigned(ev.withColumn("ts", Engine.epochNs(ev, "ts")),
+      nsDir.resolve("events.parquet").toString)
+    nsUintDir = nsDir.toString
   }
 
   override def afterAll(): Unit = {
@@ -203,6 +216,26 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scale-0 DECIMAL keys beyond Long.MaxValue fail loudly, never silent-null") {
+    // canonicalNumerics casts scale-0 decimals to long; DECIMAL(20,0)
+    // exists precisely because it holds the full uint64 range Long
+    // cannot, so an id >= 2^63 must DIE NAMED under the session's ANSI
+    // cast — a silent null would vanish join rows and surface only as
+    // unexplained oracle value diffs
+    val dir = root.resolve("overflow")
+    Files.createDirectories(dir)
+    spark.sql("SELECT CAST('9223372036854775808' AS DECIMAL(20,0)) AS id")
+      .write.mode("overwrite").parquet(dir.resolve("t.parquet").toString)
+    val e = intercept[Exception] {
+      Engine.table(spark, dir.toString, "t").collect()
+    }
+    val msg = String.valueOf(e.getMessage) +
+      String.valueOf(Option(e.getCause).map(_.getMessage).orNull)
+    assert(msg.toUpperCase.contains("OVERFLOW") || msg.contains("cannot be represented") ||
+      msg.contains("CAST_OVERFLOW"),
+      s"over-long decimal key failed, but not by naming the overflow: $msg")
+  }
+
   consumers.foreach { q =>
     test(s"$q is value-identical under UINT-annotated key columns") {
       val fn = SparkEntry.queries(q)
@@ -210,6 +243,22 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(want.nonEmpty, s"$q returned no rows on canonical sf0.001 — pins nothing")
       assert(rows(fn(spark, unsignedDir)) == want,
         s"$q drifted under UINT-annotated key columns")
+    }
+  }
+
+  /** Both event-time read paths against the uint64-ns ts: q27 drives
+    * batch (Engine.events), q30 drives real MicroBatchExecution
+    * (StreamingIngest.eventStream). The streaming leg is the
+    * regression pin for normalize-before-epochNs ordering — with the
+    * normalization applied after epochNs, the decimal-typed ts throws
+    * in streaming while every batch query passes. */
+  Seq("q27_time_bucket_agg", "q30_stream_window_agg").foreach { q =>
+    test(s"$q is value-identical under uint64-NANOSECOND event time") {
+      val fn = SparkEntry.queries(q)
+      val want = rows(fn(spark, canonical))
+      assert(want.nonEmpty, s"$q returned no rows on canonical sf0.001 — pins nothing")
+      assert(rows(fn(spark, nsUintDir)) == want,
+        s"$q drifted under uint64-ns event time")
     }
   }
 }

@@ -164,4 +164,34 @@ class SkewSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integral"))
   }
+
+  test("capBlocksHashed keeps null-id rows and folds negative ids like the oracle") {
+    // null ids: concat is null-intolerant — an unfolded null id would
+    // null __capped_block and silently drop the row from every
+    // non-null-safe consumer downstream (rank mode keeps null-id rows,
+    // so hashed mode must too; they fold to id 0). Negative ids: the
+    // operator folds via pmod and the portable replay is the sign-safe
+    // ((x % m) + m) % m on both engines — pinned here against a local
+    // replay of the documented formula, because the xxhash64 pre-hash
+    // the operator's own error message recommends is negative for half
+    // of all inputs.
+    val rows = (1 to 60).map(i => ("giant", Some((i - 30).toLong * 7919))) ++
+      Seq(("giant", None), ("giant", None))
+    val df = rows.toDF("block", "id")
+    val out = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 20)
+      .select("id", "__capped_block").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+    assert(out.length == 62 && out.forall(_._2 != null),
+      "null/negative ids must keep rows with non-null capped blocks")
+    val nSub = (62 - 1) / 20 + 1
+    def replay(id: Long): Long = {
+      val m = 2147483648L
+      val folded = ((id % m) + m) % m
+      (((folded * 2654435761L) % 4294967296L) * nSub) / 4294967296L
+    }
+    out.foreach { case (id, cb) =>
+      val want = s"giant#${replay(id.getOrElse(0L))}"
+      assert(cb == want, s"id=$id assigned $cb, portable replay says $want")
+    }
+  }
 }
