@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Full-gate drift rehearsal: rebuild a testdata dir under a type drift
+the driver's generator could ship, then run the ENTIRE oracle gate
+against it — Spark (graft.Verify) and DuckDB (scripts/check.py) both
+reading the drifted tables. The spec-level nets (LayoutEncodingSpec,
+UnsignedEncodingSpec) pin the Spark side per consumer; this rehearses
+the ORACLE side too, where DuckDB's native arithmetic on the drifted
+types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
+double/long semantics `Engine.canonicalNumerics` normalizes to.
+
+Usage:
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint> <replica_dir>
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
+    python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
+
+Variants (both value-preserving, so any diff is a SEMANTICS gap, not
+data skew):
+  decimal  double -> DECIMAL(38,18), int64 -> DECIMAL(20,0)  (the
+           TPC-H-canonical-schema class; 18 dp round-trips any double
+           carrying <= 17 significant digits)
+  uint     int64 -> uint64, int32 -> uint32  (numpy-uint ids; Spark
+           reads DECIMAL(20,0)/LONG, DuckDB reads UBIGINT/UINTEGER)
+
+Round-10 findings this loop caught (all fixed, all no-ops on
+canonical data): DECIMAL multiplication overflow in every money
+expression, decimal ids in array_extract / bitwise z-order / the q101
+hash arithmetic, median-interpolation divergence on DECIMAL, and —
+after over-correcting with CAST AS DOUBLE inside trunc() — that
+DuckDB's decimal->double cast is not correctly rounded and flips
+trunc at integer boundaries, so the salary-kernel seeds take the raw
+column (exact decimal trunc == double trunc for round-trippable
+values).
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def recode(variant: str, f: pa.Field) -> pa.Field:
+    if variant == "decimal":
+        if pa.types.is_float64(f.type):
+            return pa.field(f.name, pa.decimal128(38, 18))
+        if pa.types.is_int64(f.type):
+            return pa.field(f.name, pa.decimal128(20, 0))
+    elif variant == "uint":
+        if pa.types.is_int64(f.type):
+            return pa.field(f.name, pa.uint64())
+        if pa.types.is_int32(f.type):
+            return pa.field(f.name, pa.uint32())
+    return f
+
+
+def main() -> None:
+    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint"):
+        sys.exit(__doc__)
+    src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    os.makedirs(dst, exist_ok=True)
+    for name in sorted(os.listdir(src)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src, name))
+        schema = pa.schema([recode(variant, f) for f in t.schema])
+        changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]
+        pq.write_table(t.cast(schema), os.path.join(dst, name))
+        print(f"{name}: recoded {len(changed)} column(s): {', '.join(changed) or '-'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,9 @@ object Skew {
     def subBlock(rnCol: Column): Column =
       concat(col("__cb_key"), lit("#"),
         (((rnCol - 1) / maxPerBlock).cast("int")).cast("string"))
+    // ASC default = NULLS FIRST: a null id ranks at the head of its
+    // block. DuckDB's window default is NULLS LAST, so the q95 oracle
+    // pins ORDER BY ... NULLS FIRST explicitly — keep them in lockstep
     val w = Window.partitionBy(col("__cb_key")).orderBy(orderCol)
     if (mostBlocksOver) {
       // one window pass over every block — cheapest when the split

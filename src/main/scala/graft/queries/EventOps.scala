@@ -46,7 +46,8 @@ object EventOps {
                     FROM events)
        SELECT sec - sec % 3600 AS hour_epoch,
        event_type, count(*) AS cnt,
-       round(sum(value) + 1e-9, 2) AS sum_val, round((avg(value)) + 1e-9, 4) AS avg_val
+       round(sum(CAST(value AS DOUBLE)) + 1e-9, 2) AS sum_val,
+       round((avg(CAST(value AS DOUBLE))) + 1e-9, 4) AS avg_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Sessionization: a 30-minute inactivity gap starts a new session
@@ -129,7 +130,7 @@ object EventOps {
     """WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
                     FROM events)
        SELECT sec - (((sec % 86400) + 86400) % 86400) AS day_epoch,
-       event_type, count(*) AS cnt, round(sum(value) + 1e-9, 2) AS sum_val
+       event_type, count(*) AS cnt, round(sum(CAST(value AS DOUBLE)) + 1e-9, 2) AS sum_val
        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Banded range join: events joined to per-user activity intervals
@@ -339,7 +340,7 @@ object EventOps {
 
   private lazy val q91Sql =
     """SELECT c_mktsegment, event_type, count(*)::BIGINT AS cnt,
-         round(sum(value) + 1e-9, 2) AS sum_val
+         round(sum(CAST(value AS DOUBLE)) + 1e-9, 2) AS sum_val
        FROM events JOIN customer ON user_id = c_custkey
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -394,7 +395,7 @@ object EventOps {
         sess AS (SELECT user_id, min(sec) AS session_start,
                    max(sec) + $SessGapSec AS session_end,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value) + 1e-9, 2) AS value_sum
+                   round(sum(CAST(value AS DOUBLE)) + 1e-9, 2) AS value_sum
                  FROM grp GROUP BY user_id, sid)
         SELECT user_id, session_start, session_end, n_events, value_sum
         FROM sess CROSS JOIN wm WHERE session_end <= w

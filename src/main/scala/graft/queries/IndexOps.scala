@@ -129,10 +129,13 @@ object IndexOps {
       .orderBy(col("zb"))
 
   private val q80Sql = {
-    val z = ZOrder.sqlZValue("l_partkey", "l_suppkey", ZBits)
+    // BIGINT-cast ids: bitwise &/>> bind to integral types only, so a
+    // DECIMAL(20,0)-typed key regeneration (the canonicalNumerics
+    // drift class) dies at the binder without the casts — no-ops today
+    val z = ZOrder.sqlZValue("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)", ZBits)
     s"""SELECT ($z >> $ZShift) AS zb, count(*)::BIGINT AS cnt,
-          min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
-          min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+          min(CAST(l_partkey AS BIGINT)) AS pk_min, max(CAST(l_partkey AS BIGINT)) AS pk_max,
+          min(CAST(l_suppkey AS BIGINT)) AS sk_min, max(CAST(l_suppkey AS BIGINT)) AS sk_max
         FROM lineitem GROUP BY 1 ORDER BY 1"""
   }
 

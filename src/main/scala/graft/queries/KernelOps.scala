@@ -87,13 +87,20 @@ object KernelOps {
     * applies the cascade's currency (x655 EUR / x600 USD), period
     * (//12 yearly truncating), confidence-modifier, inference-grid
     * (trunc(x*1.2) Abidjan, trunc(x*0.9) CDD — op-for-op IEEE parity)
-    * and F20 backfill rules directly. */
+    * and F20 backfill rules directly. The seed `trunc(o_totalprice)`
+    * deliberately takes the RAW column, not CAST(... AS DOUBLE): under
+    * a DECIMAL-typed regeneration the exact decimal trunc equals the
+    * double trunc (the 18-dp decimal round-trips the double), while
+    * DuckDB's decimal→double CAST is not correctly rounded and flips
+    * the trunc at integer boundaries (measured: 9 rows at sf0.01). */
   private val q51Sql =
     """WITH base AS (
          SELECT o_orderkey AS id,
            trunc(o_totalprice)::BIGINT AS amt,
-           trunc(o_totalprice)::BIGINT + (o_orderkey % 97) * 1000 + 1000 AS amt2,
-           o_orderkey % 7 AS b, o_orderkey % 2 AS m2, o_orderkey % 3 AS m3
+           trunc(o_totalprice)::BIGINT
+             + (CAST(o_orderkey AS BIGINT) % 97) * 1000 + 1000 AS amt2,
+           CAST(o_orderkey AS BIGINT) % 7 AS b, CAST(o_orderkey AS BIGINT) % 2 AS m2,
+           CAST(o_orderkey AS BIGINT) % 3 AS m3
          FROM orders),
        p AS (
          SELECT id,
@@ -307,8 +314,8 @@ object KernelOps {
       .map(c => s"'$c'").mkString(", ")
     s"""WITH base AS (
           SELECT o_orderkey AS id, trunc(o_totalprice)::BIGINT AS amt,
-                 o_orderkey % 6 AS b, o_orderkey % 7 AS m,
-                 o_orderkey % 4 AS cmod, o_orderkey % 2 AS par
+                 CAST(o_orderkey AS BIGINT) % 6 AS b, CAST(o_orderkey AS BIGINT) % 7 AS m,
+                 CAST(o_orderkey AS BIGINT) % 4 AS cmod, CAST(o_orderkey AS BIGINT) % 2 AS par
           FROM orders)
         SELECT id,
           'Offre numero ' || id AS title,
@@ -397,7 +404,7 @@ object KernelOps {
     val suffixes = SkillSuffixes.map(sqlLit).mkString("[", ", ", "]")
     s"""WITH e AS (
           SELECT doc_id,
-            text || ($suffixes)[(doc_id % 5) + 1] AS text
+            text || ($suffixes)[(CAST(doc_id AS BIGINT) % 5) + 1] AS text
           FROM documents),
         c AS (
           SELECT doc_id, text,

@@ -192,10 +192,18 @@ object MatchOps {
     * side's id, (rank-1)//cap = sub-block index, key "<block>#<i>" —
     * replayed as window SQL on each of the four (side x block-key)
     * combinations; only same-index sub-blocks pair. */
+  /** Rank-mode sub-block key. NULLS FIRST pins DuckDB to Spark's
+    * window default (Window.orderBy is ASC NULLS FIRST; DuckDB's
+    * default is NULLS LAST) — with a null id in an over-cap block the
+    * two engines would otherwise rank it at opposite ends and shift
+    * every other row's sub-block index by one. (Duplicate ids —
+    * including two-plus nulls per block — stay outside capBlocks'
+    * documented determinism precondition; hashed mode is the dial for
+    * those.) */
   private def cappedSide(src: String, block: String, id: String): String =
     s"""SELECT *, $block || '#' ||
-          CAST((row_number() OVER (PARTITION BY $block ORDER BY $id) - 1) // $CapSize
-               AS VARCHAR) AS cb
+          CAST((row_number() OVER (PARTITION BY $block ORDER BY $id NULLS FIRST) - 1)
+               // $CapSize AS VARCHAR) AS cb
         FROM $src"""
 
   private val q95Sql =
@@ -225,8 +233,8 @@ object MatchOps {
   private def hashedSide(src: String, block: String, id: String): String =
     s"""SELECT *, $block || '#' || CAST(
           CASE WHEN n <= $CapSize THEN 0
-               ELSE ((((((coalesce($id, 0) % 2147483648) + 2147483648) % 2147483648)
-                       * 2654435761) % 4294967296)
+               ELSE ((((((coalesce(CAST($id AS BIGINT), 0) % 2147483648) + 2147483648)
+                        % 2147483648) * 2654435761) % 4294967296)
                      * (((n - 1) // $CapSize) + 1)) // 4294967296 END
           AS VARCHAR) AS cb
         FROM (SELECT *, count(*) OVER (PARTITION BY $block) AS n FROM $src)"""

@@ -35,9 +35,9 @@ object Relational {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS sum_disc_price,
-       round((avg(l_discount)) + 1e-9, 6) AS avg_disc,
+       round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+       round((sum(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)))) + 1e-9, 2) AS sum_disc_price,
+       round((avg(CAST(l_discount AS DOUBLE))) + 1e-9, 6) AS avg_disc,
        count(*) AS cnt
        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -61,10 +61,10 @@ object Relational {
   private val q02Sql =
     """SELECT l_orderkey, l_linenumber::BIGINT AS line_no,
        CAST(l_shipdate AS DATE) AS ship_date,
-       round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 4) AS charge
+       round((CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)) * (1 + CAST(l_tax AS DOUBLE))) + 1e-9, 4) AS charge
        FROM lineitem
-       WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_discount > 0.05
-         AND l_quantity >= 30
+       WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND CAST(l_discount AS DOUBLE) > 0.05
+         AND CAST(l_quantity AS DOUBLE) >= 30
        ORDER BY l_orderkey, line_no"""
 
   /** Join J2: star-schema join, small dims broadcast, facts shuffled on
@@ -86,7 +86,7 @@ object Relational {
 
   private val q03Sql =
     """SELECT n_name,
-       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS revenue,
+       round((sum(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)))) + 1e-9, 2) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -124,7 +124,7 @@ object Relational {
   private val q05Sql =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
        WHERE EXISTS (SELECT 1 FROM orders
-                     WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+                     WHERE o_custkey = c_custkey AND CAST(o_totalprice AS DOUBLE) > 400000)
        ORDER BY c_custkey"""
 
   /** Join J4: self-pairing within a block — the idiomatic form of the
@@ -165,7 +165,7 @@ object Relational {
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
          SELECT *, row_number() OVER (
            PARTITION BY o_custkey
-           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rn
          FROM orders) t
        WHERE rn = 1 ORDER BY o_custkey"""
 
@@ -186,10 +186,10 @@ object Relational {
 
   private val q08Sql =
     """SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       round(sum(CAST(o_totalprice AS DOUBLE)) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
-       round(lag(o_totalprice, 1) OVER (
+       round(lag(CAST(o_totalprice AS DOUBLE), 1) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
        FROM orders ORDER BY o_custkey, o_orderkey"""
 
@@ -206,7 +206,7 @@ object Relational {
   }
 
   private val q09Sql =
-    """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+    """SELECT o_custkey, round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue,
               count(*) AS n_orders
        FROM orders GROUP BY o_custkey
        ORDER BY revenue DESC, o_custkey LIMIT 20"""
@@ -248,8 +248,8 @@ object Relational {
 
   private val q11Sql =
     """SELECT o_orderpriority,
-       count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS big_cnt,
-       round((avg(o_totalprice)) + 1e-9, 2) AS avg_price,
+       count(CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000 THEN 1 END) AS big_cnt,
+       round((avg(CAST(o_totalprice AS DOUBLE))) + 1e-9, 2) AS avg_price,
        round((avg(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END)) + 1e-9, 4) AS frac_open,
        count(*) AS cnt
        FROM orders GROUP BY 1 ORDER BY 1"""
@@ -332,7 +332,7 @@ object Relational {
     * portable statement executed verbatim by BOTH engines. */
   private val q34Text =
     """SELECT n_name,
-       round((sum(l_extendedprice * (1 - l_discount))) + 1e-9, 2) AS revenue,
+       round((sum(CAST(l_extendedprice AS DOUBLE) * (1 - CAST(l_discount AS DOUBLE)))) + 1e-9, 2) AS revenue,
        count(*) AS cnt
        FROM lineitem
        JOIN orders   ON l_orderkey = o_orderkey
@@ -360,8 +360,8 @@ object Relational {
 
   private val q36Sql =
     """SELECT count(*) AS n_orders,
-       round((avg(o_totalprice)) + 1e-9, 2) AS avg_price,
-       round(sum(o_totalprice), 2) AS total_price,
+       round((avg(CAST(o_totalprice AS DOUBLE))) + 1e-9, 2) AS avg_price,
+       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS total_price,
        count(DISTINCT o_custkey) AS n_customers
        FROM orders"""
 

@@ -76,7 +76,7 @@ object SearchOps {
   private val q71Sql =
     """SELECT date_trunc('month', o_orderdate)::DATE AS month,
          count(*)::BIGINT AS n_items,
-         round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue
+         round(sum(CAST(l_extendedprice AS DOUBLE) * (1.0 - CAST(l_discount AS DOUBLE))) + 1e-9, 2) AS revenue
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY 1 ORDER BY 1"""

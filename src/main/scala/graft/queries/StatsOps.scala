@@ -55,9 +55,10 @@ object StatsOps {
 
   private val q74Sql =
     """SELECT l_returnflag, count(*)::BIGINT AS n,
-         round(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS slope,
-         round(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS intercept,
-         round(corr(l_extendedprice, l_quantity) * corr(l_extendedprice, l_quantity)
+         round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) + 1e-9, 6) AS slope,
+         round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) + 1e-9, 6) AS intercept,
+         round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)) *
+               corr(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE))
                + 1e-9, 6) AS r2
        FROM lineitem GROUP BY 1 ORDER BY 1"""
 
@@ -70,8 +71,8 @@ object StatsOps {
       .orderBy(col("event_type"))
 
   private val q75Sql =
-    """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
-        d AS (SELECT e.event_type, e.value, m.med FROM events e JOIN m USING (event_type)),
+    """WITH m AS (SELECT event_type, median(CAST(value AS DOUBLE)) AS med FROM events GROUP BY 1),
+        d AS (SELECT e.event_type, CAST(e.value AS DOUBLE) AS value, m.med FROM events e JOIN m USING (event_type)),
         md AS (SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY 1)
        SELECT d.event_type, count(*)::BIGINT AS n,
          sum(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * md.mad
