@@ -481,8 +481,14 @@ object Dedup {
       repSize = stagedCount(s"rep${iter + 1}") // footers, not a count() job
       iter += 1
     }
-    // close the residual graph exactly on the driver
-    val residual = collectPackedEdges(rep)
+    // close the residual graph exactly on the driver. rep is
+    // SYMMETRIZED (contract preserves both orientations of edges0), and
+    // union-find needs each logical edge once — collecting src < dst
+    // halves the driver transfer and the union work at identical
+    // components. (The loop's cap still counts directed rows: the cap
+    // bounds the collect SIZE CLASS, and keeping its units tied to the
+    // frame the loop measures beats a subtle 2x re-interpretation.)
+    val residual = collectPackedEdges(rep.where(col("src") < col("dst")))
     // the returned plan must not lean on caches this call leaks: when
     // the loop never ran, mapping is still the cached round-0 frame —
     // materialize it, then release both round-0 caches
@@ -815,6 +821,12 @@ object Dedup {
     * reference's collect_list-then-O(n^2)-UDF dedup, deduplicate.py:236-270). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockKey: Column, n: Int, threshold: Double): DataFrame = {
+    // threshold > 0 makes the empty-shingle prune below output-neutral
+    // (an empty side scores 0.0, below any positive threshold) — the
+    // same contract minhashLshPairs/incrementalLshPairs require
+    require(threshold > 0.0,
+      s"ngramJaccardPairs needs threshold > 0 (got $threshold): 0 would " +
+        "emit every same-block pair, including all-degenerate ones")
     // staged projections bind each intermediate as a column: the token
     // array is computed once per row, NOT re-evaluated by every
     // element_at inside the shingle lambda (higher-order lambdas do not
@@ -827,7 +839,12 @@ object Dedup {
         tokens(col(textCol)).as("toks"))
       .select(col("id"), col("block"), shingles(col("toks"), n).as("shs"))
       .select(col("id"), col("block"),
-        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh")))
+        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh"))
+      // fewer-than-n-token docs carry zero shingles and can only score
+      // 0.0 — prune BEFORE the self-join or a block of short docs
+      // (plausible under a source/domain blockKey) generates quadratic
+      // doomed candidates, the LSH bomb NullTextProbeSpec pins
+      .where(size(col("sh")) > 0))
     val a = prepped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))

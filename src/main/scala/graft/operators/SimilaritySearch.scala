@@ -90,8 +90,12 @@ object SimilaritySearch {
       nLists: Int, seed: Long = 42L,
       scope: graft.CacheScope = graft.CacheScope.unmanaged): IvfIndex = {
     // spread: the toVec/transform UDF kernels over a single-file
-    // corpus scan would otherwise fill the index on one core (SCALE.md)
+    // corpus scan would otherwise fill the index on one core (SCALE.md).
+    // Null vectors are dropped like every other entry point (ivfAssign,
+    // pqEncode, ivfSearch): one dirty row must not NPE a whole index
+    // build inside KMeans featurization.
     val feats = graft.Engine.spread(corpus)
+      .where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("features", toVec(transform(col("vec"), x => x.cast("double"))))
     val model = new org.apache.spark.ml.clustering.KMeans()
@@ -115,14 +119,21 @@ object SimilaritySearch {
       centroids: Array[(Int, Array[Double])],
       scope: graft.CacheScope = graft.CacheScope.unmanaged): IvfIndex = {
     val cents = centroids // ships in the closure
+    val dim0 = centroids.headOption.map(_._2.length).getOrElse(0)
     val assignU = udf((v: Seq[Double]) => {
+      // fail fast on a dimension mismatch: a prefix distance would
+      // assign a confidently-wrong bucket (silent recall loss at scale)
+      if (v.length != dim0)
+        throw new IllegalArgumentException(
+          s"ivfAssign: vector dim ${v.length} != centroid dim $dim0 — " +
+            "mixed-dimension embeddings cannot share one index")
       var best = 0
       var bestD = Double.MaxValue
       var j = 0
       while (j < cents.length) {
         val c = cents(j)._2
         var d = 0.0; var i = 0
-        while (i < v.length && i < c.length) {
+        while (i < dim0) {
           val t = v(i) - c(i); d += t * t; i += 1
         }
         if (d < bestD) { bestD = d; best = cents(j)._1 }
@@ -152,11 +163,16 @@ object SimilaritySearch {
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cents = index.centroids // tiny; ships in the closure
     // Seq[Double] + call-site cast for element-width latitude — see toVec
+    val dim0 = cents.headOption.map(_._2.length).getOrElse(0)
     val probeBuckets = udf((q: Seq[Double]) => {
+      if (q.length != dim0)
+        throw new IllegalArgumentException(
+          s"ivfSearch: query dim ${q.length} != centroid dim $dim0 — " +
+            "a prefix distance would probe the wrong lists")
       val qd = q.toArray
       cents.map { case (b, c) =>
         var d = 0.0; var i = 0
-        while (i < qd.length && i < c.length) { val t = qd(i) - c(i); d += t * t; i += 1 }
+        while (i < dim0) { val t = qd(i) - c(i); d += t * t; i += 1 }
         (b, d)
       }.sortBy(_._2).take(nProbe).map(_._1)
     })
@@ -205,8 +221,11 @@ object SimilaritySearch {
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, seed: Long = 42L,
       scope: graft.CacheScope = graft.CacheScope.unmanaged): PqIndex = {
-    val base = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v")).persist()
+    // null vectors dropped before the dim probe and the subspace fits —
+    // same policy as ivfIndex/ivfAssign/pqEncode
+    val base = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v")).persist()
     val dim = base.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
@@ -237,7 +256,13 @@ object SimilaritySearch {
     val cb = codebooks // ships in the encode closure
     val m = cb.length
     val dsub = cb(0)(0).length
-    val encode = udf((v: Seq[Double]) =>
+    val encode = udf((v: Seq[Double]) => {
+      // named error instead of a bare IndexOutOfBounds: the codebook
+      // pins the dimensionality, a shorter/longer vector cannot encode
+      if (v.length != m * dsub)
+        throw new IllegalArgumentException(
+          s"pqEncode: vector dim ${v.length} != codebook dim ${m * dsub} " +
+            s"($m subspaces x $dsub)")
       (0 until m).map { s =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
@@ -250,7 +275,8 @@ object SimilaritySearch {
           c += 1
         }
         best
-      })
+      }
+    })
     // spread before the encode UDF — the per-row argmin kernel over a
     // single-file corpus scan would otherwise fill on one core. Null
     // vectors cannot be encoded (argmin would NPE): dropped, as in
@@ -274,7 +300,9 @@ object SimilaritySearch {
     val cb = index.codebooks
     val m = cb.length
     val dsub = cb(0)(0).length
-    val qVecs = corpus.where(col(idCol).isin(queryIds: _*))
+    // a query id with a null vector cannot build a distance table —
+    // dropped, same policy as the index side
+    val qVecs = corpus.where(col(idCol).isin(queryIds: _*) && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), transform(col(vecCol), x => x.cast("double")))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
@@ -368,9 +396,8 @@ object SimilaritySearch {
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(when(col("q_norm") * col("c_norm") === 0.0, 0.0)
-          .otherwise(intDot(col("q_codes"), col("c_codes")).cast("double") /
-            (col("q_norm") * col("c_norm"))), 6).as("qcos_sim"))
+        round(cosinePrepped(intDot(col("q_codes"), col("c_codes")).cast("double"),
+          col("q_norm"), col("c_norm")), 6).as("qcos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos_sim").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

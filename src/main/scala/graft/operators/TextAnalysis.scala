@@ -89,19 +89,27 @@ object TextAnalysis {
     df.select(
       col(idCol),
       nToks.as("n_tokens"),
-      round(avgTokLen + 1e-9, 4).as("avg_token_len"),
-      round(distinctRatio + 1e-9, 4).as("distinct_ratio"),
-      round(stopHits / greatest(size(tokSet).cast("double"), lit(1.0)) + 1e-9, 4)
+      graft.queries.roundSafe(avgTokLen, 4).as("avg_token_len"),
+      graft.queries.roundSafe(distinctRatio, 4).as("distinct_ratio"),
+      graft.queries.roundSafe(
+        stopHits / greatest(size(tokSet).cast("double"), lit(1.0)), 4)
         .as("stopword_type_ratio"),
-      round(least(nToks.cast("double") / 100.0, lit(1.0)) * distinctRatio + 1e-9, 4)
+      graft.queries.roundSafe(
+        least(nToks.cast("double") / 100.0, lit(1.0)) * distinctRatio, 4)
         .as("quality"))
   }
 
+  /** Whitespace token array — THE tokenization every whitespace-token
+    * consumer shares ([[wsTokenCount]], [[chunkDocuments]], and through
+    * it [[dedupSegments]]); must stay in lockstep with the oracles'
+    * string_split_regex replay, which is why it exists once. */
+  def wsTokens(c: Column): Column =
+    filter(split(c, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+
   /** Whitespace token count — shared by [[tokenStats]] and
-    * [[packSequences]]; must stay in lockstep with the oracles'
-    * string_split_regex replay. */
+    * [[packSequences]]. */
   def wsTokenCount(c: Column): Column =
-    size(filter(split(c, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)).cast("long")
+    size(wsTokens(c)).cast("long")
 
   /** Token-count accounting: whitespace tokens, BPE-ish pieces (letter
     * runs / digit runs / single other-glyphs), characters. */
@@ -143,6 +151,14 @@ object TextAnalysis {
     * projection only on kept rows). */
   def stratifiedHashSample(df: DataFrame, idCol: String, stratum: Column,
       ratesPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    // working/output columns must not silently overwrite caller data
+    // (the Skew.cbKeyed reserved-column rule): 'bucket' in particular
+    // is a name the IVF assignment and quantized corpus both emit
+    Seq("stratum", "bucket").foreach { c =>
+      require(!df.columns.contains(c),
+        s"stratifiedHashSample: input already has a '$c' column — rename it " +
+          "before sampling (the operator emits its own)")
+    }
     val rate = coalesce(
       element_at(typedLit(ratesPct), stratum).cast("long"),
       lit(defaultPct.toLong))
@@ -202,8 +218,7 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens); got overlap=$overlap chunkTokens=$chunkTokens")
     val stride = chunkTokens - overlap
-    df.select(col(idCol).as("id"),
-        filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), t => length(t) > 0).as("__toks"))
+    df.select(col(idCol).as("id"), wsTokens(col(textCol)).as("__toks"))
       .select(col("id"), col("__toks"), size(col("__toks")).cast("long").as("__n"))
       .where(col("__n") > 0)
       .select(col("id"), col("__toks"),
@@ -231,8 +246,15 @@ object TextAnalysis {
     * boilerplate removal step of web-corpus curation, expressed over
     * token windows because the synthetic corpus has no line structure.
     *
-    * Scale shape: one generate (segments), one shuffle on the segment
-    * MD5 (compact key; the window that picks winners), one per-doc
+    * Scale shape: one generate (segments), winner election as a
+    * map-side-combined MIN per segment digest (NOT a row_number
+    * window: the modal boilerplate segment of a web crawl has 10^8+
+    * copies, and a window partitioned on its digest serializes that
+    * whole partition's sort onto one task — the same single-task
+    * ceiling Skew.capBlocksHashed documents for rank windows; the
+    * partial-agg min reduces each mapper's copies to one row before
+    * the shuffle), then one digest join (AQE can split a skewed join
+    * partition, it cannot split a window partition) and one per-doc
     * aggregation. No self-join, no collect — the same plan C4's
     * three-sentence dedup runs at web scale.
     *
@@ -241,22 +263,26 @@ object TextAnalysis {
     */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val segs = chunkDocuments(df, idCol, textCol, segTokens, 0)
       .select(col("id"), col("chunk_idx").as("seg_idx"),
-        col("chunk_text").as("seg_text"))
-    // winner = first (id, seg_idx) per distinct segment; the window
-    // shuffles on the 128-bit digest, not the segment text itself
-    val w = Window.partitionBy(md5(col("seg_text")))
-      .orderBy(col("id"), col("seg_idx"))
-    val agg = segs.withColumn("__rn", row_number().over(w))
+        col("chunk_text").as("seg_text"),
+        md5(col("chunk_text")).as("__d"))
+    // winner = lexicographic min (id, seg_idx) per distinct digest —
+    // identical to first-by-(id, seg_idx) because (id, seg_idx) is
+    // unique by construction; min(struct) combines map-side, so the
+    // modal segment arrives at the reducer as one row per mapper
+    val winners = segs.groupBy(col("__d"))
+      .agg(min(struct(col("id"), col("seg_idx"))).as("__w"))
+    val agg = segs.join(winners, Seq("__d"))
+      .withColumn("__is_w",
+        struct(col("id"), col("seg_idx")) === col("__w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_segs"),
-        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("__is_w"), 1L).otherwise(0L)).as("n_dropped"),
         // collect_list skips the nulls the `when` leaves for losers;
         // array_sort on (seg_idx, seg_text) structs restores doc order
         array_join(transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__is_w"),
             struct(col("seg_idx"), col("seg_text"))))),
           s => s.getField("seg_text")), " ").as("clean_text"))
     df.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
@@ -457,8 +483,12 @@ object TextAnalysis {
     * the whole op is a single shuffle of |sources| rows.
     *
     * Sources absent from `targetShares` split the leftover share
-    * evenly. sampling_rate = target_tokens / available (values > 1
-    * mean multi-epoch upsampling; `epochs` = ceil). */
+    * evenly — and a NAMED source absent from the data releases its
+    * share back into that leftover pool (otherwise the budget is
+    * silently underspent by the missing source's share, with the
+    * unnamed sources starved on top). sampling_rate = target_tokens /
+    * available (values > 1 mean multi-epoch upsampling; `epochs` =
+    * ceil). */
   def mixtureWeights(df: DataFrame, sourceCol: String, textCol: String,
       targetShares: Map[String, Double], tokenBudget: Long): DataFrame = {
     val inv = df
@@ -478,8 +508,12 @@ object TextAnalysis {
     }
     val nNamedPresent = sum(when(isNamed, 1).otherwise(0)).over(
       org.apache.spark.sql.expressions.Window.partitionBy())
+    // leftover over the shares actually PRESENT, not the declared map:
+    // an absent named source's share flows back to the unnamed pool
+    val namedPresentSum = sum(coalesce(namedCase, lit(0.0))).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
     val share = coalesce(namedCase,
-      lit(1.0 - named) / greatest(nOther - nNamedPresent, lit(1)))
+      (lit(1.0) - namedPresentSum) / greatest(nOther - nNamedPresent, lit(1)))
     inv.select(
       col("source"), col("n_docs"), col("avail_tokens"),
       graft.queries.roundSafe(share, 6).as("target_share"),

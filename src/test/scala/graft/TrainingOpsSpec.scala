@@ -193,4 +193,37 @@ class TrainingOpsSpec extends AnyFunSuite {
       (2L, 2L, 2L, 1L, 0.0, 0.5),
       (3L, 0L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("dedupSegments elects winners without a window (modal-segment skew path)") {
+    // the modal boilerplate segment of a web crawl lands every copy in
+    // one window partition; winner election must be the map-side-
+    // combinable min + join shape, which AQE can skew-split
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.dedupSegments(df, "doc_id", "text", 3)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"),
+      s"winner election must be agg+join, not a window:\n$plan")
+  }
+
+  test("stratifiedHashSample rejects inputs that already carry its output columns") {
+    val df = Seq((1L, "x", 3L)).toDF("id", "text", "bucket")
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.stratifiedHashSample(df, "id", lit("s"), Map("s" -> 50), 10)
+    }
+    assert(err.getMessage.contains("bucket"))
+  }
+
+  test("mixtureWeights releases an absent named source's share to the leftover pool") {
+    // web named 0.6; code named 0.4 but ABSENT from the data; books
+    // unnamed. books must get the full present-share leftover 0.4 —
+    // not 0.0 with 40% of the token budget silently unspent
+    val docs = ((1 to 10).map(_ => ("web", "one two three four five")) ++
+      (1 to 10).map(_ => ("books", "one two three four five")))
+      .toDF("source", "text")
+    val out = TextAnalysis.mixtureWeights(docs, "source", "text",
+        Map("web" -> 0.6, "code" -> 0.4), 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(out.toSeq == Seq(("books", 0.4), ("web", 0.6)))
+  }
 }

@@ -107,4 +107,33 @@ class AnnSpec extends AnyFunSuite {
     assert(fwd(0).getAs[String]("payload") == "c2")
     assert(fwd(1).isNullAt(fwd(1).fieldIndex("payload")))
   }
+
+  test("null embeddings are dropped by every index entry point; dim mismatch dies named") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq[(Long, Seq[Float])](
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, null))
+      .toDF("vec_id", "embedding")
+    // ivfIndex: one dirty row must not NPE the KMeans featurization
+    val idx = SimilaritySearch.ivfIndex(corpus, "vec_id", "embedding", nLists = 2)
+    assert(idx.assigned.count() == 2)
+    // pqIndex: dim probe + subspace fits skip the null row
+    val pq = SimilaritySearch.pqIndex(corpus, "vec_id", "embedding", m = 1, k = 2)
+    assert(pq.codes.count() == 2)
+    // pqSearch: a null-vector query id is dropped, not an NPE
+    val hits = SimilaritySearch.pqSearch(pq, corpus, "vec_id", "embedding",
+      Seq(1L, 3L), topK = 1)
+    assert(hits.where(col("query_id") === 3L).count() == 0)
+    assert(hits.where(col("query_id") === 1L).count() == 1)
+    // a mixed-dimension corpus fails BY NAME, never via a silent
+    // prefix distance (confidently-wrong bucket = silent recall loss)
+    val mixed = Seq[(Long, Seq[Float])]((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.5f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      SimilaritySearch.ivfAssign(mixed, "vec_id", "embedding",
+        Array((0, Array(1.0, 0.0)))).assigned.collect()
+    }
+    val msg = String.valueOf(err.getMessage) + String.valueOf(err.getCause)
+    assert(msg.contains("vector dim"), s"expected a named dim error, got: $msg")
+  }
 }
