@@ -15,7 +15,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * PAIR. The fold order (((0 + a0*b0) + a1*b1) + ...) is exactly the
   * DuckDB oracle's `list_reduce`, so similarities stay bit-identical.
   * Elements are widened to double before multiplying; inputs of
-  * unequal length fold over the shorter prefix.
+  * unequal length fold over the shorter prefix (a documented contract
+  * both engines share). NULL ELEMENTS fail loudly: ArrayData reads a
+  * null slot as 0.0, which would silently zero one term while the
+  * oracle's list arithmetic nulls the whole product — a cross-engine
+  * divergence no gate would name. Top-level null arrays still yield
+  * null (BinaryExpression null-intolerance).
   */
 case class DotProductFold(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,6 +50,10 @@ case class DotProductFold(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_product_fold: null element at index $i — impute or drop " +
+            "null embedding elements before scoring")
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -63,6 +72,11 @@ case class DotProductFold(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "dot_product_fold: null element at index " + $i +
+         |      " — impute or drop null embedding elements before scoring");
+         |  }
          |  ${ev.value} += ${get(a, left)} * ${get(b, right)};
          |}
        """.stripMargin

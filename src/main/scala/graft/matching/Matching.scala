@@ -58,13 +58,20 @@ object Matching {
     when(desired.isNull || desired <= 0, 0.0)
       .when(offerMax.isNull, 0.0)
       .when(offerMax >= desired, 1.0)
-      .otherwise(offerMax.cast("double") / desired.cast("double"))
+      // greatest(0, ·): the documented [0,1] clamp — a negative
+      // salary_max (dirty offer row) must score 0, not drag the
+      // weighted match_score negative (oracle replays the clamp)
+      .otherwise(greatest(lit(0.0), offerMax.cast("double") / desired.cast("double")))
 
   def experienceMatchPct(level: Column, years: Column): Column = {
     val (lo, hi) = expBand(level)
     val dist = when(years < lo, lo - years).when(years > hi, years - hi).otherwise(0)
-    when(years.isNull, 0.0)
-      .when(level === "Non spécifié" || level.isNull, 1.0)
+    // "Non spécifié" matches everyone FIRST — including CVs whose
+    // years never parsed (CvIngest emits null there); an offer that
+    // doesn't care about experience must not dock unparsed CVs the
+    // full 0.2 weight (oracle replays the same clause order)
+    when(level === "Non spécifié" || level.isNull, 1.0)
+      .when(years.isNull, 0.0)
       .otherwise(greatest(lit(0.0), lit(1.0) - dist.cast("double") / 5.0))
   }
 
@@ -190,7 +197,16 @@ object Matching {
       graft.stages.Stages.processedAt(clock).as("calculated_at"))
   }
 
-  /** Top-k offers per candidate (dashboard "Top 20 offres-CVs"). */
+  /** Top-k offers per candidate (dashboard "Top 20 offres-CVs").
+    *
+    * A row_number window, DELIBERATELY not the TopKAgg partial-agg
+    * top-k: the output contract carries every score component column,
+    * so the aggregate shape would need a join-back over the same
+    * frame (TopKPairs forwards only (score, id)), and the window's
+    * per-candidate partitions are bounded by the capped blocking —
+    * this is not the single-giant-partition pathology capBlocksHashed
+    * and dedupSegments exist for. TopKAgg stays the dial when only
+    * (score, id) pairs are needed. */
   def topKPerCandidate(scores: DataFrame, k: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("candidate_id"))
       .orderBy(col("match_score").desc, col("job_id"))

@@ -149,9 +149,9 @@ object MatchOps {
             CASE WHEN c.c_sal IS NULL OR c.c_sal <= 0 THEN 0.0
                  WHEN o.o_sal_max IS NULL THEN 0.0
                  WHEN o.o_sal_max >= c.c_sal THEN 1.0
-                 ELSE o.o_sal_max::DOUBLE / c.c_sal::DOUBLE END AS sal_pct,
-            CASE WHEN c.c_years IS NULL THEN 0.0
-                 WHEN o.o_level = 'Non spécifié' OR o.o_level IS NULL THEN 1.0
+                 ELSE greatest(0.0, o.o_sal_max::DOUBLE / c.c_sal::DOUBLE) END AS sal_pct,
+            CASE WHEN o.o_level = 'Non spécifié' OR o.o_level IS NULL THEN 1.0
+                 WHEN c.c_years IS NULL THEN 0.0
                  ELSE greatest(0.0, 1.0 - (CASE
                     WHEN c.c_years < (CASE o.o_level WHEN 'Débutant' THEN 0
                          WHEN 'Intermédiaire' THEN 3 WHEN 'Senior' THEN 5 ELSE 0 END)

@@ -42,10 +42,11 @@ object CvIngest {
 
   /** Value-only JSON-lines parse (the file-source path IngestSpec-style
     * tests drive; the Kafka leg reuses StreamingIngest.kafkaReader with
-    * topic `cvs-raw` and this schema). */
+    * topic `cvs-raw` and this schema). Delegates to the SHARED parse
+    * step — the offers leg and this one must not drift independently
+    * (the same rule the shared sink step enforces). */
   def parseJsonValue(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value"), cvRaw).as("cv"))
-      .select(col("cv.*"))
+    IngestTransform.parseJsonValue(raw, cvRaw)
 
   /** Document-to-text seam: prefer the extractor's text, else decode
     * the document bytes (offline stand-in: UTF-8; production: the

@@ -21,11 +21,18 @@ object IngestTransform {
         from_json(col("json_value"), Schemas.jobOfferRaw).as("job_data"))
       .select(col("kafka_key"), col("job_data.*"))
 
+  /** Value-only JSON-lines parse, parameterized by schema so the offer
+    * and CV legs share ONE parse step (a corrupt-record policy fix
+    * must land on both at once — the same anti-drift rule the shared
+    * sink step follows). */
+  def parseJsonValue(raw: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw
+      .select(from_json(col("value"), schema).as("parsed"))
+      .select(col("parsed.*"))
+
   /** Same parse for a value-only JSON-lines source (offline tests). */
   def parseJsonValue(raw: DataFrame): DataFrame =
-    raw
-      .select(from_json(col("value"), Schemas.jobOfferRaw).as("job_data"))
-      .select(col("job_data.*"))
+    parseJsonValue(raw, Schemas.jobOfferRaw)
 
   private def cleanWs(c: Column): Column = regexp_replace(c, "\\s+", " ")
 

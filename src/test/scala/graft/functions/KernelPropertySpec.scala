@@ -55,4 +55,22 @@ class KernelPropertySpec extends AnyFunSuite {
         s"bitmap ${r.getDouble(0)} vs merge-walk ${r.getDouble(1)}")
     }
   }
+
+  test("DotProductFold dies named on a null element (both codegen and interpreted)") {
+    // ArrayData reads a null slot as 0.0 — a silently-zeroed term while
+    // the oracle's list arithmetic nulls the whole product; the kernel
+    // must fail by name instead
+    val df = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val err = intercept[Exception] {
+      df.select(graft.functions.VectorExpr.dotProduct(col("a"), col("b"))).collect()
+    }
+    val msg = String.valueOf(err.getMessage) + String.valueOf(err.getCause)
+    assert(msg.contains("null element"), s"expected the named null-element error, got: $msg")
+    // and clean inputs still fold exactly
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.VectorExpr.dotProduct(col("a"), col("b")))
+      .first().getDouble(0)
+    assert(ok == 11.0)
+  }
 }

@@ -103,4 +103,16 @@ class MatchingSpec extends AnyFunSuite {
       Matching.salaryMatchPct($"omax", $"want")).first()
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
   }
+
+  test("salary clamps at 0 for dirty offers; 'Non spécifié' matches unparsed CVs") {
+    val df = Seq((-100.0, 50000.0)).toDF("omax", "want")
+    assert(df.select(Matching.salaryMatchPct($"omax", $"want")).first().getDouble(0) == 0.0)
+    // an offer that doesn't care about experience must score 1.0 even
+    // when the CV's years never parsed (CvIngest emits null there)
+    val exp = Seq(("Non spécifié", null: java.lang.Long), (null: String, null: java.lang.Long),
+        ("Senior", null: java.lang.Long))
+      .toDF("level", "years")
+      .select(Matching.experienceMatchPct($"level", $"years")).collect().map(_.getDouble(0))
+    assert(exp.toSeq == Seq(1.0, 1.0, 0.0))
+  }
 }
