@@ -837,14 +837,19 @@ object Dedup {
     val prepped = graft.Engine.spread(df
       .select(col(idCol).as("id"), blockKey.as("block"),
         tokens(col(textCol)).as("toks"))
-      .select(col("id"), col("block"), shingles(col("toks"), n).as("shs"))
-      .select(col("id"), col("block"),
-        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh"))
       // fewer-than-n-token docs carry zero shingles and can only score
       // 0.0 — prune BEFORE the self-join or a block of short docs
       // (plausible under a source/domain blockKey) generates quadratic
-      // doomed candidates, the LSH bomb NullTextProbeSpec pins
-      .where(size(col("sh")) > 0))
+      // doomed candidates, the LSH bomb NullTextProbeSpec pins. The
+      // prune sits on the TOKS stage (the lshToks pattern): pushdown
+      // inlines the filter's expression below the projection, so a
+      // filter on the full shingle/hash/sort chain would compute that
+      // chain TWICE per row (measured: q20 1.3s -> 17s); size(toks)
+      // re-inlines only the tokenizer. size(NULL) is NULL -> dropped.
+      .where(size(col("toks")) >= n)
+      .select(col("id"), col("block"), shingles(col("toks"), n).as("shs"))
+      .select(col("id"), col("block"),
+        sort_array(array_distinct(transform(col("shs"), s => tokenHash(s)))).as("sh")))
     val a = prepped.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = prepped.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
