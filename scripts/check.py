@@ -50,10 +50,42 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    arrow_tables = {}  # keep registered pyarrow tables alive for the run
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # shape latitude (mirrors Engine.table): a table may arrive as a
+        # single file, a flat multi-file directory, or a hive-partitioned
+        # directory (key=value subdirs). DuckDB 1.0's hive_partitioning
+        # does NOT url-unescape partition values ('Brand#12' reads back
+        # 'Brand%2312' while Spark unescapes — the q13/q32 rehearsal
+        # catch), so directory shapes go through pyarrow, which both
+        # unescapes and type-infers partition columns like Spark does.
+        if os.path.isdir(p):
+            import pyarrow.parquet as pq_mod
+            tbl = pq_mod.read_table(p)
+            # partition columns come back dictionary-encoded; flatten to
+            # their value type so DuckDB/pandas compare as plain values
+            for i, f in enumerate(tbl.schema):
+                import pyarrow as pa_mod
+                if pa_mod.types.is_dictionary(f.type):
+                    tbl = tbl.set_column(
+                        i, f.name, tbl.column(i).cast(f.type.value_type))
+            arrow_tables[t] = tbl
+            con.register(f"{t}_arrow", tbl)
+            src = f"{t}_arrow"
+        else:
+            src = f"read_parquet('{p}')"
+        # string-annotation latitude (mirrors Engine.utf8Strings): the
+        # TESTDATA contract has no binary columns, so a BLOB here is a
+        # string whose writer dropped parquet's UTF8 annotation — decode
+        # it so the oracle SQL's string ops keep working
+        cols = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        blobs = [c[0] for c in cols if c[1] == "BLOB"]
+        sel = ("*" if not blobs else
+               "* REPLACE (" + ", ".join(f'decode("{c}") AS "{c}"' for c in blobs) + ")")
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = [n for n in sorted(os.listdir(out_dir))
              if os.path.isdir(os.path.join(out_dir, n))]

@@ -9,17 +9,24 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
 
-Variants (both value-preserving, so any diff is a SEMANTICS gap, not
+Variants (all value-preserving, so any diff is a SEMANTICS gap, not
 data skew):
   decimal  double -> DECIMAL(38,18), int64 -> DECIMAL(20,0)  (the
            TPC-H-canonical-schema class; 18 dp round-trips any double
            carrying <= 17 significant digits)
   uint     int64 -> uint64, int32 -> uint32  (numpy-uint ids; Spark
            reads DECIMAL(20,0)/LONG, DuckDB reads UBIGINT/UINTEGER)
+  binary   string -> binary (same BYTE_ARRAY bytes, UTF8 annotation
+           stripped; Spark reads BinaryType -> Engine.utf8Strings,
+           DuckDB reads BLOB -> check.py's decode() view)
+  hive     each table rewritten as a hive-partitioned DIRECTORY
+           (key=value subdirs, partition column re-inferred from dir
+           names; LayoutEncodingSpec's round-11 class — events
+           deliberately partitioned by its int64 user_id key)
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -49,11 +56,27 @@ def recode(variant: str, f: pa.Field) -> pa.Field:
             return pa.field(f.name, pa.uint64())
         if pa.types.is_int32(f.type):
             return pa.field(f.name, pa.uint32())
+    elif variant == "binary":
+        if pa.types.is_string(f.type):
+            return pa.field(f.name, pa.binary())
+        if pa.types.is_large_string(f.type):
+            return pa.field(f.name, pa.large_binary())
     return f
 
 
+# mirrors LayoutEncodingSpec.hivePartitionCol — events by its int64 KEY
+# so the oracle side also rehearses the partition-type re-inference
+HIVE_PARTITION_COL = {
+    "region": "r_name", "nation": "n_regionkey",
+    "customer": "c_mktsegment", "supplier": "s_nationkey",
+    "part": "p_brand", "orders": "o_orderstatus",
+    "lineitem": "l_returnflag", "events": "user_id",
+    "documents": "source", "embeddings": "label",
+}
+
+
 def main() -> None:
-    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint"):
+    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint", "binary", "hive"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -61,6 +84,11 @@ def main() -> None:
         if not name.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(src, name))
+        if variant == "hive":
+            pcol = HIVE_PARTITION_COL[name[: -len(".parquet")]]
+            pq.write_to_dataset(t, os.path.join(dst, name), partition_cols=[pcol])
+            print(f"{name}: hive-partitioned by {pcol}")
+            continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
         changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]
         pq.write_table(t.cast(schema), os.path.join(dst, name))

@@ -68,6 +68,19 @@ import graft.TestSpark.spark
   *    3-level "bag/array" group structure old pyarrow emitted before
   *    `use_compliant_nested_types` flipped on by default in v12), the
   *    plausible drift carrier for embeddings.embedding.
+  *  - (round 11) tables arriving as HIVE-PARTITIONED directories
+  *    (`events.parquet/user_id=42/part-*.parquet`) — what any
+  *    warehouse-export or `partitionBy` writer flip would ship. Three
+  *    sub-drifts ride along: the partition column migrates from the
+  *    data pages to directory NAMES (it must materialize back with
+  *    equal values), its TYPE re-infers from the dir-name strings
+  *    (int64 user_id → IntegerType, the width class
+  *    KeyWidthEncodingSpec pins; type inference must stay enabled or
+  *    every numeric partition key degrades to StringType and joins
+  *    silently coerce), and it moves to the END of the schema (the
+  *    column-order class). events is deliberately partitioned by a
+  *    NUMERIC KEY (user_id) so the streaming dispatch and the
+  *    re-inference class are both exercised on the same table.
   *
   * Each variant rebuilds sf0.001 and pins one consumer query per
   * engine path VALUE-IDENTICAL to the canonical layout, so the next
@@ -122,6 +135,25 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q96_pq_adc_topk",
     "q98_ivf_topk")
 
+  /** Per-table hive partition columns: every table partitioned by a
+    * low-cardinality column it actually has; events by its int64 KEY
+    * user_id (the column whose type re-infers narrower from dir
+    * names) — documents/orders/… by their natural category strings. */
+  private val hivePartitionCol = Map(
+    "region" -> "r_name", "nation" -> "n_regionkey",
+    "customer" -> "c_mktsegment", "supplier" -> "s_nationkey",
+    "part" -> "p_brand", "orders" -> "o_orderstatus",
+    "lineitem" -> "l_returnflag", "events" -> "user_id",
+    "documents" -> "source", "embeddings" -> "label")
+
+  /** Consumers for the hive variant that read the re-inferred numeric
+    * partition key (events.user_id) through batch grouping, session
+    * windows, and cohort joins. */
+  private val hiveEventConsumers = Seq(
+    "q27_time_bucket_agg",
+    "q28_sessionize",
+    "q93_cohort_retention")
+
   private var root: Path = _
   private var multiDir: String = _
   private var v2Dir: String = _
@@ -132,6 +164,7 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var millisDir: String = _
   private var decimalDir: String = _
   private var legacyListDir: String = _
+  private var hiveDir: String = _
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft_layout_enc")
@@ -186,6 +219,9 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       rebuild("legacylist") { (_, df, out) =>
         df.write.mode("overwrite").parquet(out)
       }
+    }
+    hiveDir = rebuild("hive") { (t, df, out) =>
+      df.write.partitionBy(hivePartitionCol(t)).mode("overwrite").parquet(out)
     }
     millisDir = withTimestampType("TIMESTAMP_MILLIS") {
       rebuild("millis") { (t, df, out) =>
@@ -382,6 +418,36 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "writeLegacyFormat not applied")
   }
 
+  test("hive tables really are key=value partition directories") {
+    val stream = Files.list(root.resolve("hive").resolve("events.parquet"))
+    val subdirs = try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally stream.close()
+    assert(subdirs.count(_.startsWith("user_id=")) >= 2,
+      s"fixture degenerated: events.parquet children $subdirs — partitionBy " +
+        "did not produce hive partition directories")
+  }
+
+  test("hive partition keys re-infer as integers, at the schema tail, value-complete") {
+    // the three sub-drifts this variant exists for, asserted directly
+    // on the read path every query uses. If partition type inference is
+    // ever disabled (conf flip), user_id arrives StringType and this
+    // fails BY NAME instead of queries silently join-coercing.
+    val df = Engine.table(spark, hiveDir, "events")
+    val f = df.schema.fields.last
+    assert(f.name == "user_id" &&
+      (f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.LongType),
+      s"events.user_id materialized as ${df.schema.fields.map(x => x.name -> x.dataType).toSeq} — " +
+        "expected an integral partition column at the schema tail")
+    val want = rows(spark.read.parquet(s"$canonical/events.parquet")
+      .select("event_id", "user_id"))
+    assert(rows(df.select(org.apache.spark.sql.functions.col("event_id"),
+      org.apache.spark.sql.functions.col("user_id").cast("long"))) == want,
+      "partition-column values drifted from the data-page canonical")
+  }
+
   test("zstd tables really are zstd-compressed") {
     val stream = Files.list(root.resolve("zstd").resolve("documents.parquet"))
     val file = try stream.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
@@ -427,6 +493,34 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(fn(spark, noAnnotDir)) == rows(fn(spark, canonical)),
         s"$q drifted under un-annotated BYTE_ARRAY strings")
     }
+    test(s"$q is value-identical under hive-partitioned table directories") {
+      val fn = SparkEntry.queries(q)
+      assert(rows(fn(spark, hiveDir)) == rows(fn(spark, canonical)),
+        s"$q drifted under hive-partitioned table directories")
+    }
+  }
+
+  hiveEventConsumers.foreach { q =>
+    test(s"$q is value-identical with events hive-partitioned by user_id") {
+      val fn = SparkEntry.queries(q)
+      val want = rows(fn(spark, canonical))
+      assert(want.nonEmpty, s"$q returned no rows on canonical sf0.001 — pins nothing")
+      assert(rows(fn(spark, hiveDir)) == want,
+        s"$q drifted with events hive-partitioned by its user_id key")
+    }
+  }
+
+  /** Streaming leg of the hive net: eventStream's directory dispatch
+    * must discover the user_id partition directories and materialize
+    * the key back — a pathGlobFilter-style flat read would stream zero
+    * rows (the class LayoutEncodingSpec's directory pin exists for),
+    * and a schema without the partition column would drop the key. */
+  test("q30_stream_window_agg is value-identical under hive-partitioned tables") {
+    val fn = SparkEntry.queries("q30_stream_window_agg")
+    val want = rows(fn(spark, canonical))
+    assert(want.nonEmpty, "q30 returned no rows on canonical sf0.001 — pins nothing")
+    assert(rows(fn(spark, hiveDir)) == want,
+      "q30 drifted under a hive-partitioned events table")
   }
 
   temporalConsumers.foreach { q =>
