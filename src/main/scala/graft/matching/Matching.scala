@@ -158,7 +158,8 @@ object Matching {
         def capped(side: DataFrame, key: String, id: String): DataFrame =
           if (hashedSubBlocks)
             graft.operators.Skew.capBlocksHashed(
-              side.where(col(key).isNotNull), col(key), col(id), m)
+              side.where(col(key).isNotNull), col(key), col(id), m,
+              mostBlocksOver = true)
           else
             graft.operators.Skew.capBlocks(
               side.where(col(key).isNotNull), col(key), col(id), m,

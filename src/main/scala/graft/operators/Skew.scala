@@ -170,13 +170,32 @@ object Skew {
     * the build side carries (key, count) so the assignment knows each
     * block's sub-block fan-out.
     *
+    * `mostBlocksOver` (round 11) is the same engagement-profile dial
+    * [[capBlocks]] has, reshaped for the hash plan: instead of the
+    * anti/semi split (three scans of `df`'s lineage plus a union), the
+    * per-block counts of ALL blocks join onto every row and the hash
+    * assignment runs unconditionally — an under-cap block has
+    * ceil(n/cap) = 1 sub-block, so its every row scales to index 0 and
+    * the output stays row-identical to the split plan (SkewSpec pins
+    * it). Two scans, no eager phase-1 action, no union; the right
+    * shape when the caller KNOWS most rows sit in over-cap blocks
+    * (Matching's low-cardinality sector/location blocks — q95 measured
+    * the split at +39% there for the rank mode, SCALE.md round-8). The
+    * counts side is one row per distinct block and deliberately
+    * UN-hinted: AQE broadcasts it while it is small and falls back to
+    * a shuffled join past the threshold — the same ceiling-safety the
+    * explicit `broadcastKeyLimit` guard gives the split mode.
+    *
     * The hash is a PORTABLE Fibonacci-style mix, not xxhash64:
     * `(((id mod 2^31) * 2654435761) mod 2^32) * nSub div 2^32` —
     * multiply by the 32-bit golden-ratio constant, keep the
     * well-mixed low 32 bits, fixed-point-scale into [0, nSub). Plain
-    * 64-bit integer arithmetic that never exceeds 2^63 (so the DuckDB
-    * oracle replays the assignment EXACTLY — q101; xxhash64 has no
-    * cross-engine twin), codegen-friendly, and — unlike
+    * 64-bit integer arithmetic that never exceeds 2^63 while
+    * ceil(n/cap) stays ≤ 2^31 — a per-row guard raises BY NAME on the
+    * absurd block past that bound (n > cap·2^31) instead of letting
+    * `__cb_h * nSub` wrap and silently mis-hash away from the DuckDB
+    * replay (round-10 ADVICE). Exact replay on the oracle side — q101;
+    * xxhash64 has no cross-engine twin — codegen-friendly, and — unlike
     * `hash mod nSub` — immune to stride-id collapse: driver ids come
     * in arithmetic progressions (p_partkey % 8 == 0), and a plain
     * multiplicative mod maps a stride to ONE residue whenever
@@ -198,7 +217,7 @@ object Skew {
     * operator's own error message recommends is negative for half of
     * all inputs. */
   def capBlocksHashed(df: DataFrame, blockCol: Column, orderCol: Column,
-      maxPerBlock: Int,
+      maxPerBlock: Int, mostBlocksOver: Boolean = false,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
@@ -209,28 +228,47 @@ object Skew {
       s"capBlocksHashed hashes orderCol and needs an integral id column, " +
         s"got $idType — pre-hash non-numeric ids (e.g. xxhash64) at the call site")
     val keyed = cbKeyed(df, blockCol)
-    val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
-      .where(col("__cb_n") > maxPerBlock)
-    val nOver = counts.count()
-    if (nOver == 0L) {
-      keyed.withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
-        .drop("__cb_key")
+    // mixed low-32 bits of the id, then fixed-point scale by the
+    // block's sub-block count ceil(n/cap) — all exact 64-bit integer
+    // ops (`div` truncates like DuckDB's `//`; operands non-negative).
+    // The scale product needs nSub = ceil(n/cap) ≤ 2^31 to stay inside
+    // a long; past that (n > cap·2^31) the row fails BY NAME instead
+    // of wrapping into an assignment the oracle replay would never
+    // reproduce. The guard is a per-row branch on an already-joined
+    // column — free under codegen, and the raise_error arm never
+    // evaluates on sane data.
+    def hashedSub(rows: DataFrame): DataFrame = rows
+      .withColumn("__cb_h",
+        pmod(pmod(coalesce(orderCol.cast("long"), lit(0L)), lit(2147483648L)) *
+          lit(2654435761L), lit(4294967296L)))
+      .withColumn("__capped_block", concat(col("__cb_key"), lit("#"),
+        expr(s"""if(__cb_n > ${maxPerBlock.toLong * 2147483648L}L,
+            raise_error(concat('capBlocksHashed: block ', __cb_key, ' has ',
+              cast(__cb_n as string),
+              ' rows — ceil(n/$maxPerBlock) sub-blocks exceeds 2^31 and the',
+              ' hash-scale arithmetic would wrap')),
+            (__cb_h * (((__cb_n - 1) div $maxPerBlock) + 1)) div 4294967296)""")
+          .cast("string")))
+      .drop("__cb_h", "__cb_n")
+    if (mostBlocksOver) {
+      // all-blocks counts joined onto every row; an under-cap block
+      // scales to "#0" by arithmetic (nSub = 1), so no split is needed
+      val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+      hashedSub(keyed.join(counts, Seq("__cb_key"))).drop("__cb_key")
     } else {
-      val build = if (nOver <= broadcastKeyLimit) broadcast(counts) else counts
-      val under = keyed.join(build.select(col("__cb_key")), Seq("__cb_key"), "left_anti")
-        .withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
-      // mixed low-32 bits of the id, then fixed-point scale by the
-      // block's sub-block count ceil(n/cap) — all exact 64-bit integer
-      // ops (`div` truncates like DuckDB's `//`; operands non-negative)
-      val over = keyed.join(build, Seq("__cb_key"))
-        .withColumn("__cb_h",
-          pmod(pmod(coalesce(orderCol.cast("long"), lit(0L)), lit(2147483648L)) *
-            lit(2654435761L), lit(4294967296L)))
-        .withColumn("__capped_block", concat(col("__cb_key"), lit("#"),
-          expr(s"(__cb_h * (((__cb_n - 1) div $maxPerBlock) + 1)) div 4294967296")
-            .cast("string")))
-        .drop("__cb_h", "__cb_n")
-      under.unionByName(over).drop("__cb_key")
+      val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+        .where(col("__cb_n") > maxPerBlock)
+      val nOver = counts.count()
+      if (nOver == 0L) {
+        keyed.withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
+          .drop("__cb_key")
+      } else {
+        val build = if (nOver <= broadcastKeyLimit) broadcast(counts) else counts
+        val under = keyed.join(build.select(col("__cb_key")), Seq("__cb_key"), "left_anti")
+          .withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
+        val over = hashedSub(keyed.join(build, Seq("__cb_key")))
+        under.unionByName(over).drop("__cb_key")
+      }
     }
   }
 

@@ -165,6 +165,36 @@ class SkewSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("capBlocksHashed modes are row-identical (pay-per-use vs mostBlocksOver)") {
+    // mixed profile on purpose: over-cap, exactly-at-cap, tiny, and
+    // null blocks — the all-blocks-joined plan must reproduce the
+    // split plan's assignment everywhere, including the under-cap
+    // blocks it routes through the hash arithmetic (nSub = 1 -> "#0")
+    val rows = (1 to 75).map(i => (Some("hot"), i.toLong * 8)) ++
+      (1 to 30).map(i => (Some("edge"), (1000 + i).toLong)) ++
+      Seq((Some("tiny"), 2000L), (None: Option[String], 2001L), (None, 2002L))
+    val df = rows.toDF("block", "id")
+    def dump(mode: Boolean) =
+      Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30, mostBlocksOver = mode)
+        .select("block", "id", "__capped_block").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2)))
+        .sortBy(t => (t._1.getOrElse(""), t._2)).toSeq
+    assert(dump(mode = false) == dump(mode = true))
+  }
+
+  test("capBlocksHashed mostBlocksOver plans one join and no union/sort/window") {
+    // the profile's point: no anti/semi split (three scans + a union)
+    // when the caller knows most blocks exceed the cap — just counts
+    // joined on. Still sort-free like the split plan.
+    val df = (1 to 100).map(i => ("giant", i.toLong)).toDF("block", "id")
+    val planned = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30,
+      mostBlocksOver = true).queryExecution.sparkPlan.toString
+    assert(!planned.contains("Union") && !planned.contains("Window") &&
+      !planned.contains("Sort"),
+      s"mostBlocksOver hashed plan must be split-free and sort-free:\n$planned")
+    assert(planned.contains("Join"), s"counts must join onto the rows:\n$planned")
+  }
+
   test("capBlocksHashed keeps null-id rows and folds negative ids like the oracle") {
     // null ids: concat is null-intolerant — an unfolded null id would
     // null __capped_block and silently drop the row from every
