@@ -48,6 +48,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // provenance stamp in a SEPARATE file: the driver iterates
+    // oracle_sql.json entries as (query -> SQL), so a commit key there
+    // would be "run" as SQL; a sibling file is inert to both the
+    // driver's compare and scripts/check.py (which only reads dirs +
+    // oracle_sql.json) while making the dump attributable to the code
+    // that produced it
+    val meta = Bench.gitHead.map(c => s""""commit": ${q(c)}, """).getOrElse("") +
+      s""""sf_dir": ${q(sfDir)}, "queries": ${SparkEntry.queries.size}"""
+    Files.writeString(Paths.get(s"$outDir/VERIFY_META.json"), s"{$meta}")
     spark.stop()
   }
 
