@@ -90,18 +90,44 @@ object Engine {
     *  - scale  > 0 → DoubleType (the measure class; exact for values
     *    carrying ≤ 17 significant digits, i.e. every money column —
     *    and the oracle comparison rounds aggregates anyway).
-    * Only driver-table reads route here (same scoping rationale as
-    * [[utf8Strings]]); engine-internal scratch parquet keeps whatever
-    * schema it wrote. LayoutEncodingSpec's `decimal` variant pins
-    * value-identity against the canonical double layout. */
+    * A scale-0 value past the Long range (a DECIMAL(20,0)/uint64 id
+    * above 2^63-1) fails BY NAME in BOTH cast regimes (round-10
+    * ADVICE; same fail-loud convention as [[epochNs]] and
+    * capBlocksHashed's type guard): under ANSI the cast throws anyway,
+    * but with ansi.enabled=false Spark's legacy decimal→long cast
+    * WRAPS (Decimal.toLong ≙ BigDecimal.longValue — 2^63 silently
+    * becomes Long.MinValue), which corrupts the join key without a
+    * null or an error anywhere — so the guard bound-checks the DECIMAL
+    * itself before casting. It only exists on columns whose precision
+    * can exceed a long (> 18 digits); narrower decimals cast
+    * unconditionally. Only driver-table reads route here
+    * (same scoping rationale as [[utf8Strings]]); engine-internal
+    * scratch parquet keeps whatever schema it wrote.
+    * LayoutEncodingSpec's `decimal` variant pins value-identity
+    * against the canonical double layout; UnsignedEncodingSpec pins
+    * the overflow case. */
   def canonicalNumerics(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
     val decs = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[DecimalType] =>
         (f.name, f.dataType.asInstanceOf[DecimalType])
     }
     if (decs.isEmpty) df
     else decs.foldLeft(df) { case (d, (c, t)) =>
-      d.withColumn(c, col(c).cast(if (t.scale == 0) LongType else DoubleType))
+      d.withColumn(c,
+        if (t.scale != 0) col(c).cast(DoubleType)
+        else if (t.precision <= 18) col(c).cast(LongType)
+        else {
+          val outOfRange =
+            col(c) > lit(Long.MaxValue) || col(c) < lit(Long.MinValue)
+          when(col(c).isNotNull && outOfRange,
+            raise_error(concat(
+              lit(s"Engine.canonicalNumerics: $c value "), col(c).cast(StringType),
+              lit(" exceeds the int64 range — scale-0 DECIMAL keys must fit a " +
+                "long (the legacy cast would silently wrap the key and drop " +
+                "join rows downstream)"))))
+            .otherwise(col(c).cast(LongType))
+        })
     }
   }
 

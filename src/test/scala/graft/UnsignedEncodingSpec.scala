@@ -219,9 +219,11 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("scale-0 DECIMAL keys beyond Long.MaxValue fail loudly, never silent-null") {
     // canonicalNumerics casts scale-0 decimals to long; DECIMAL(20,0)
     // exists precisely because it holds the full uint64 range Long
-    // cannot, so an id >= 2^63 must DIE NAMED under the session's ANSI
-    // cast — a silent null would vanish join rows and surface only as
-    // unexplained oracle value diffs
+    // cannot, so an id >= 2^63 must DIE NAMED — since round 11 on the
+    // guard's own bound-check message (which fires before the cast in
+    // either ANSI regime); Spark's CAST_OVERFLOW is also accepted so a
+    // future expression-reorder that lets the ANSI cast throw first
+    // still counts as loud
     val dir = root.resolve("overflow")
     Files.createDirectories(dir)
     spark.sql("SELECT CAST('9223372036854775808' AS DECIMAL(20,0)) AS id")
@@ -231,9 +233,49 @@ class UnsignedEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val msg = String.valueOf(e.getMessage) +
       String.valueOf(Option(e.getCause).map(_.getMessage).orNull)
-    assert(msg.toUpperCase.contains("OVERFLOW") || msg.contains("cannot be represented") ||
-      msg.contains("CAST_OVERFLOW"),
+    assert(msg.contains("exceeds the int64 range") ||
+      msg.toUpperCase.contains("OVERFLOW") || msg.contains("cannot be represented"),
       s"over-long decimal key failed, but not by naming the overflow: $msg")
+  }
+
+  test("the overflow guard fires even with ANSI casts disabled (no silent null)") {
+    // the ANSI-on leg above rides Spark's own CAST_OVERFLOW; a library
+    // consumer running spark.sql.ansi.enabled=false would instead get
+    // the non-ANSI cast's silent NULL — a nulled join key that drops
+    // rows with no error anywhere (round-10 ADVICE). canonicalNumerics
+    // now guards scale-0 decimals wider than 18 digits with an explicit
+    // raise_error, so the failure is named in BOTH cast regimes.
+    val dir = root.resolve("overflow_noansi")
+    Files.createDirectories(dir)
+    spark.sql("SELECT CAST('9223372036854775808' AS DECIMAL(20,0)) AS id")
+      .write.mode("overwrite").parquet(dir.resolve("t.parquet").toString)
+    val key = "spark.sql.ansi.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val e = intercept[Exception] {
+        Engine.table(spark, dir.toString, "t").collect()
+      }
+      val msg = String.valueOf(e.getMessage) +
+        String.valueOf(Option(e.getCause).map(_.getMessage).orNull)
+      assert(msg.contains("canonicalNumerics") && msg.contains("int64 range"),
+        s"non-ANSI over-long decimal key must die on the named guard, got: $msg")
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("in-range DECIMAL(20,0) keys still flow through the guard untouched") {
+    // the guard must be inert on sane data — including Long.MaxValue
+    // itself and NULL ids (isNotNull gate)
+    val dir = root.resolve("inrange")
+    Files.createDirectories(dir)
+    spark.sql(
+      "SELECT * FROM VALUES (CAST('9223372036854775807' AS DECIMAL(20,0)))," +
+        "(CAST(42 AS DECIMAL(20,0))),(CAST(NULL AS DECIMAL(20,0))) AS t(id)")
+      .write.mode("overwrite").parquet(dir.resolve("t.parquet").toString)
+    val got = Engine.table(spark, dir.toString, "t")
+    assert(got.schema("id").dataType == LongType)
+    assert(got.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSet == Set(Some(Long.MaxValue), Some(42L), None))
   }
 
   consumers.foreach { q =>
