@@ -65,13 +65,16 @@ def recode(variant: str, f: pa.Field) -> pa.Field:
 
 
 # mirrors LayoutEncodingSpec.hivePartitionCol — events by its int64 KEY
-# so the oracle side also rehearses the partition-type re-inference
+# so the oracle side also rehearses the partition-type re-inference;
+# documents TWO-LEVEL (nested key=value dirs); part's p_brand values
+# carry '#' so the url-escaping path is exercised (q13/q32 caught
+# DuckDB 1.0 reading 'Brand%2312' literally)
 HIVE_PARTITION_COL = {
-    "region": "r_name", "nation": "n_regionkey",
-    "customer": "c_mktsegment", "supplier": "s_nationkey",
-    "part": "p_brand", "orders": "o_orderstatus",
-    "lineitem": "l_returnflag", "events": "user_id",
-    "documents": "source", "embeddings": "label",
+    "region": ["r_name"], "nation": ["n_regionkey"],
+    "customer": ["c_mktsegment"], "supplier": ["s_nationkey"],
+    "part": ["p_brand"], "orders": ["o_orderstatus"],
+    "lineitem": ["l_returnflag"], "events": ["user_id"],
+    "documents": ["source", "lang"], "embeddings": ["label"],
 }
 
 
@@ -85,9 +88,9 @@ def main() -> None:
             continue
         t = pq.read_table(os.path.join(src, name))
         if variant == "hive":
-            pcol = HIVE_PARTITION_COL[name[: -len(".parquet")]]
-            pq.write_to_dataset(t, os.path.join(dst, name), partition_cols=[pcol])
-            print(f"{name}: hive-partitioned by {pcol}")
+            pcols = HIVE_PARTITION_COL[name[: -len(".parquet")]]
+            pq.write_to_dataset(t, os.path.join(dst, name), partition_cols=pcols)
+            print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
             continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
         changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]

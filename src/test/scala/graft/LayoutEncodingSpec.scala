@@ -138,13 +138,17 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Per-table hive partition columns: every table partitioned by a
     * low-cardinality column it actually has; events by its int64 KEY
     * user_id (the column whose type re-infers narrower from dir
-    * names) — documents/orders/… by their natural category strings. */
+    * names); documents TWO-LEVEL (source/lang — nested key=value
+    * dirs, the daily-export shape) — orders/… by their natural
+    * category strings. part's p_brand values carry '#', so the
+    * variant also exercises url-escaped partition values
+    * (Brand%2323 on disk) through the q13/q32 rehearsal consumers. */
   private val hivePartitionCol = Map(
-    "region" -> "r_name", "nation" -> "n_regionkey",
-    "customer" -> "c_mktsegment", "supplier" -> "s_nationkey",
-    "part" -> "p_brand", "orders" -> "o_orderstatus",
-    "lineitem" -> "l_returnflag", "events" -> "user_id",
-    "documents" -> "source", "embeddings" -> "label")
+    "region" -> Seq("r_name"), "nation" -> Seq("n_regionkey"),
+    "customer" -> Seq("c_mktsegment"), "supplier" -> Seq("s_nationkey"),
+    "part" -> Seq("p_brand"), "orders" -> Seq("o_orderstatus"),
+    "lineitem" -> Seq("l_returnflag"), "events" -> Seq("user_id"),
+    "documents" -> Seq("source", "lang"), "embeddings" -> Seq("label"))
 
   /** Consumers for the hive variant that read the re-inferred numeric
     * partition key (events.user_id) through batch grouping, session
@@ -221,7 +225,7 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
     hiveDir = rebuild("hive") { (t, df, out) =>
-      df.write.partitionBy(hivePartitionCol(t)).mode("overwrite").parquet(out)
+      df.write.partitionBy(hivePartitionCol(t): _*).mode("overwrite").parquet(out)
     }
     millisDir = withTimestampType("TIMESTAMP_MILLIS") {
       rebuild("millis") { (t, df, out) =>
@@ -427,6 +431,22 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(subdirs.count(_.startsWith("user_id=")) >= 2,
       s"fixture degenerated: events.parquet children $subdirs — partitionBy " +
         "did not produce hive partition directories")
+    // documents is TWO-LEVEL (source=…/lang=…): assert the nesting is
+    // really there, or the variant silently stops covering that class
+    val srcStream = Files.list(root.resolve("hive").resolve("documents.parquet"))
+    val firstSrc = try {
+      import scala.jdk.CollectionConverters._
+      srcStream.iterator().asScala.find(_.getFileName.toString.startsWith("source="))
+    } finally srcStream.close()
+    assert(firstSrc.nonEmpty, "documents.parquet has no source= partition dirs")
+    val langStream = Files.list(firstSrc.get)
+    val langs = try {
+      import scala.jdk.CollectionConverters._
+      langStream.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally langStream.close()
+    assert(langs.exists(_.startsWith("lang=")),
+      s"fixture degenerated: ${firstSrc.get} children $langs — second " +
+        "partition level missing")
   }
 
   test("hive partition keys re-infer as integers, at the schema tail, value-complete") {
