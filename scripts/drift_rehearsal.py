@@ -89,7 +89,14 @@ def main() -> None:
         t = pq.read_table(os.path.join(src, name))
         if variant == "hive":
             pcols = HIVE_PARTITION_COL[name[: -len(".parquet")]]
-            pq.write_to_dataset(t, os.path.join(dst, name), partition_cols=pcols)
+            out = os.path.join(dst, name)
+            # write_to_dataset APPENDS uuid-named files — a rerun onto an
+            # existing replica would silently double every row (the
+            # single-file modes overwrite); clear the table dir first
+            if os.path.isdir(out):
+                import shutil
+                shutil.rmtree(out)
+            pq.write_to_dataset(t, out, partition_cols=pcols)
             print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
             continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
