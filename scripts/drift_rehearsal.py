@@ -87,21 +87,24 @@ def main() -> None:
         if not name.endswith(".parquet"):
             continue
         t = pq.read_table(os.path.join(src, name))
+        out = os.path.join(dst, name)
+        # reruns must be idempotent ACROSS variants too: hive leaves
+        # <table>.parquet as a DIRECTORY, which a later single-file
+        # variant's write_table would crash into mid-loop (leaving a
+        # half-drifted replica the gate would happily read); and
+        # write_to_dataset APPENDS uuid-named files, silently doubling
+        # rows on a hive→hive rerun. Clear the target either way.
+        if os.path.isdir(out):
+            import shutil
+            shutil.rmtree(out)
         if variant == "hive":
             pcols = HIVE_PARTITION_COL[name[: -len(".parquet")]]
-            out = os.path.join(dst, name)
-            # write_to_dataset APPENDS uuid-named files — a rerun onto an
-            # existing replica would silently double every row (the
-            # single-file modes overwrite); clear the table dir first
-            if os.path.isdir(out):
-                import shutil
-                shutil.rmtree(out)
             pq.write_to_dataset(t, out, partition_cols=pcols)
             print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
             continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
         changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]
-        pq.write_table(t.cast(schema), os.path.join(dst, name))
+        pq.write_table(t.cast(schema), out)
         print(f"{name}: recoded {len(changed)} column(s): {', '.join(changed) or '-'}")
 
 

@@ -148,18 +148,34 @@ object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
-  /** Short git HEAD of the repo this binary was built from — stamped
-    * into every artifact so a bench/verify number is attributable to
-    * the code that produced it (round-10 ADVICE: BENCH_DETAIL versions
-    * only implicitly, via whichever commit later includes it).
-    * Best-effort: no repo / no git → None, artifacts omit the field. */
+  /** Short git HEAD of the repo this binary runs IN — stamped into
+    * every artifact so a bench/verify number is attributable to the
+    * code that produced it (round-10 ADVICE: BENCH_DETAIL versions
+    * only implicitly, via whichever commit later includes it). Three
+    * deliberate properties:
+    *   - resolves from the process working directory, not a hardcoded
+    *     checkout path — a foreign checkout must stamp ITS repo or
+    *     nothing, never /root/repo's unrelated HEAD;
+    *   - a dirty working tree stamps `<hash>-dirty`: pre-commit A/B
+    *     probes are the NORM here (commit-per-milestone), and a clean
+    *     hash on uncommitted code sends the next reader to reproduce
+    *     the wrong source;
+    *   - bounded: a hung git (stale index.lock) must not stall the
+    *     artifact write that happens right after — 2 s then give up.
+    * Best-effort: no repo / no git / timeout → None, field omitted. */
   private[graft] def gitHead: Option[String] =
     try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
-        .directory(new java.io.File("/root/repo"))
+      val p = new ProcessBuilder("git", "describe", "--always", "--dirty",
+          "--abbrev=12", "--exclude=*")
+        .directory(new java.io.File(System.getProperty("user.dir")))
         .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) Some(out) else None
+      if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else {
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.exitValue == 0 && out.matches("[0-9a-f]{6,40}(-dirty)?")) Some(out)
+        else None
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The one-line stdout artifact. Field order is load-bearing both

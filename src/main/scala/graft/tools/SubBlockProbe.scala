@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Engine
 import graft.operators.Skew
 
-/** A/B for the three [[Skew.capBlocks]]/[[Skew.capBlocksHashed]]
-  * engagement profiles on a SYNTHETIC GIANT BLOCK — the shape the
+/** A/B for the four [[Skew.capBlocks]]/[[Skew.capBlocksHashed]]
+  * engagement profiles (rank pay-per-use / rank one-window / hash
+  * pay-per-use / hash mostBlocksOver) on a SYNTHETIC GIANT BLOCK — the shape the
   * sort-free hash mode exists for: one block holding most of the
   * input, so the rank window's per-block sort serializes onto a
   * single task no matter how many cores the cluster has.
@@ -47,6 +48,8 @@ object SubBlockProbe {
         case "rank-onewindow" =>
           Skew.capBlocks(rows, $"block", $"rid", cap, mostBlocksOver = true)
         case "hash" => Skew.capBlocksHashed(rows, $"block", $"rid", cap)
+        case "hash-mostover" =>
+          Skew.capBlocksHashed(rows, $"block", $"rid", cap, mostBlocksOver = true)
       }
       graft.Bench.exec(plan)
       val t = (System.nanoTime() - t0) / 1e9
@@ -56,7 +59,7 @@ object SubBlockProbe {
     }
 
     once("rank-onewindow") // warm JIT + page cache
-    Seq("rank-payperuse", "rank-onewindow", "hash").foreach { mode =>
+    Seq("rank-payperuse", "rank-onewindow", "hash", "hash-mostover").foreach { mode =>
       var maxSub = 0L
       val times = (1 to 3).map { _ =>
         val (t, m) = once(mode); maxSub = m

@@ -179,8 +179,25 @@ class BenchEvidenceSpec extends AnyFunSuite {
   }
 
   test("gitHead stamps a plausible commit in this repo") {
+    // portability: on a checkout without .git (a source tarball) the
+    // stamp is documented-absent, so the pin cancels rather than
+    // coupling suite green-ness to the layout (same rule as the
+    // cgroup-counter test above)
+    assume(new java.io.File(System.getProperty("user.dir"), ".git").exists,
+      "no .git in the working directory — gitHead is documented to omit the stamp")
     val h = Bench.gitHead
-    assert(h.nonEmpty && h.get.matches("[0-9a-f]{6,40}"),
+    assert(h.nonEmpty && h.get.matches("[0-9a-f]{6,40}(-dirty)?"),
       s"gitHead returned $h in a git repo — artifacts would lose attribution")
+    // this test runs from a session with uncommitted edits often
+    // enough that asserting either clean or dirty would flake; the
+    // -dirty MECHANISM is what matters — porcelain status and the
+    // suffix must agree
+    val status = new ProcessBuilder("git", "status", "--porcelain")
+      .directory(new java.io.File(System.getProperty("user.dir"))).start()
+    val dirty = new String(status.getInputStream.readAllBytes, "UTF-8").trim.nonEmpty
+    status.waitFor()
+    assert(h.get.endsWith("-dirty") == dirty,
+      s"gitHead says ${h.get} but porcelain dirty=$dirty — pre-commit probe " +
+        "artifacts would be attributed to the wrong source")
   }
 }

@@ -449,6 +449,27 @@ class LayoutEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "partition level missing")
   }
 
+  test("the hive rehearsal script mirrors this spec's partition map") {
+    // scripts/drift_rehearsal.py carries a Python copy of
+    // hivePartitionCol (the oracle-side rehearsal must exercise the
+    // SAME shape this spec pins); nothing else fails if they diverge —
+    // the spec would pin one layout while the rehearsal covers
+    // another, silently losing end-to-end coverage. Parse the literal
+    // out of the script and compare.
+    val script = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/drift_rehearsal.py")), "UTF-8")
+    val block = script.split("HIVE_PARTITION_COL = \\{", 2)(1).split("\\}", 2)(0)
+    val entry = """"([a-z_]+)":\s*\[([^\]]+)\]""".r
+    val parsed = entry.findAllMatchIn(block).map { m =>
+      m.group(1) -> m.group(2).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).toSeq
+    }.toMap
+    assert(parsed == hivePartitionCol,
+      s"drift_rehearsal.py HIVE_PARTITION_COL $parsed diverged from the " +
+        s"spec's $hivePartitionCol — the rehearsal no longer exercises the " +
+        "pinned hive shape")
+  }
+
   test("hive partition keys re-infer as integers, at the schema tail, value-complete") {
     // the three sub-drifts this variant exists for, asserted directly
     // on the read path every query uses. If partition type inference is
