@@ -9,7 +9,7 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
 
@@ -27,6 +27,11 @@ data skew):
            (key=value subdirs, partition column re-inferred from dir
            names; LayoutEncodingSpec's round-11 class — events
            deliberately partitioned by its int64 user_id key)
+  nanos    timestamp columns -> timestamp[ns] (pandas datetime64[ns]
+           without coerce_timestamps; Spark's nanosAsLong surfaces
+           them as raw ns LONGs -> Engine.recoverNanosTimestamps
+           rebuilds the timestamp from the footer annotation; DuckDB
+           reads TIMESTAMP_NS natively — NanosEncodingSpec)
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -61,6 +66,9 @@ def recode(variant: str, f: pa.Field) -> pa.Field:
             return pa.field(f.name, pa.binary())
         if pa.types.is_large_string(f.type):
             return pa.field(f.name, pa.large_binary())
+    elif variant == "nanos":
+        if pa.types.is_timestamp(f.type):
+            return pa.field(f.name, pa.timestamp("ns", tz=f.type.tz))
     return f
 
 
@@ -79,7 +87,7 @@ HIVE_PARTITION_COL = {
 
 
 def main() -> None:
-    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint", "binary", "hive"):
+    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint", "binary", "hive", "nanos"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -104,7 +112,12 @@ def main() -> None:
             continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
         changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]
-        pq.write_table(t.cast(schema), out)
+        # nanos needs parquet format >= 2.6 (the TIMESTAMP(NANOS)
+        # annotation) — older targets silently coerce ns back to us and
+        # the variant would rehearse nothing
+        kwargs = ({"version": "2.6", "coerce_timestamps": None}
+                  if variant == "nanos" else {})
+        pq.write_table(t.cast(schema), out, **kwargs)
         print(f"{name}: recoded {len(changed)} column(s): {', '.join(changed) or '-'}")
 
 
