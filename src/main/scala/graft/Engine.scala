@@ -80,8 +80,15 @@ object Engine {
     * types the us/millis annotations would have produced.
     * Best-effort by design: an unreadable footer leaves the frame
     * untouched (the query then fails analysis exactly as before).
-    * NanosEncodingSpec pins the premise, the recovery, and the
-    * events.ts exemption. */
+    * Cost: one listFiles + footer-tail read per table read whenever
+    * the frame has long columns (≈ always — every table has int64
+    * keys); measured invisible on the bench's lightest queries (q02
+    * 0.441 s vs the 0.44 s clean control), and deliberately NOT
+    * memoized — a path-keyed cache would serve stale results to any
+    * same-JVM spec that rewrites its fixture dir between reads.
+    * NanosEncodingSpec pins the premise, both recovery branches (NTZ
+    * wall-clock and tz-aware LTZ), the directory-shaped footer probe,
+    * and the events.ts exemption. */
   private[graft] def recoverNanosTimestamps(spark: SparkSession, path: String,
       df: DataFrame, exempt: Set[String]): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
