@@ -9,7 +9,7 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
 
@@ -32,6 +32,10 @@ data skew):
            them as raw ns LONGs -> Engine.recoverNanosTimestamps
            rebuilds the timestamp from the footer annotation; DuckDB
            reads TIMESTAMP_NS natively — NanosEncodingSpec)
+  bss      double columns re-encoded BYTE_STREAM_SPLIT (no dictionary
+           on those columns) — the float-compression flip a pyarrow
+           option ships; schema-identical, so this rehearses both
+           engines' DECODERS only
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -87,7 +91,8 @@ HIVE_PARTITION_COL = {
 
 
 def main() -> None:
-    if len(sys.argv) != 4 or sys.argv[2] not in ("decimal", "uint", "binary", "hive", "nanos"):
+    if len(sys.argv) != 4 or sys.argv[2] not in (
+            "decimal", "uint", "binary", "hive", "nanos", "bss"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -109,6 +114,17 @@ def main() -> None:
             pcols = HIVE_PARTITION_COL[name[: -len(".parquet")]]
             pq.write_to_dataset(t, out, partition_cols=pcols)
             print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
+            continue
+        if variant == "bss":
+            dcols = [f.name for f in t.schema
+                     if pa.types.is_floating(f.type)]
+            if dcols:
+                pq.write_table(t, out, use_byte_stream_split=dcols,
+                               use_dictionary=[c for c in t.schema.names
+                                               if c not in dcols])
+            else:
+                pq.write_table(t, out)
+            print(f"{name}: BYTE_STREAM_SPLIT on {', '.join(dcols) or '-'}")
             continue
         schema = pa.schema([recode(variant, f) for f in t.schema])
         changed = [f.name for f, g in zip(t.schema, schema) if f.type != g.type]

@@ -53,6 +53,19 @@ object Engine {
   /** Read one TESTDATA table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
+    val raw = spark.read.parquet(path)
+    // BYTE_STREAM_SPLIT pages (a pyarrow use_byte_stream_split float
+    // recode) are readable by parquet-mr but NOT by Spark's vectorized
+    // reader — every scan dies at execution with "Unsupported
+    // encoding". Absorb by restaging ONCE through the non-vectorized
+    // path (conf scoped around the eager scratch write) into standard
+    // encodings; the returned plan reads the scratch leaf vectorized.
+    // Canonical layouts never hit this branch (footer probe, shared
+    // with the nanos recovery below). BssEncodingSpec pins premise +
+    // round-trip; the read-back follows the Scratch lifecycle (consume
+    // before Bench.resetSession, like every staged operator).
+    val safePath = byteStreamSplitSafePath(spark, path, name)
+    val base = if (safePath == path) raw else spark.read.parquet(safePath)
     // events.ts is EXEMPT from nanos recovery: epochNs owns that
     // column's encoding dispatch (a raw ns LONG is its exact-integer
     // fast path — recoding it to a micros timestamp would silently
@@ -60,7 +73,7 @@ object Engine {
     // columns recovered here carry midnight/micros values by contract)
     val exempt = if (name == "events") Set("ts") else Set.empty[String]
     utf8Strings(canonicalNumerics(
-      recoverNanosTimestamps(spark, path, spark.read.parquet(path), exempt)))
+      recoverNanosTimestamps(spark, path, base, exempt)))
   }
 
   /** TIMESTAMP(NANOS) recovery — the third leg of the temporal
@@ -117,10 +130,11 @@ object Engine {
     }
   }
 
-  /** INT64 TIMESTAMP(NANOS) columns (name → isAdjustedToUTC) from the
-    * footer of the table's first leaf parquet file. */
-  private def nanosAnnotated(spark: SparkSession, path: String): Map[String, Boolean] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
+  /** Run `body` over the footer of the table's first leaf parquet file
+    * (file, multi-file dir, and hive dir shapes). Best-effort: any
+    * failure yields None and the caller's latitude degrades. */
+  private def withLeafFooter[A](spark: SparkSession, path: String)(
+      body: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): Option[A] =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val conf = spark.sparkContext.hadoopConfiguration
@@ -131,24 +145,64 @@ object Engine {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith(".parquet")) leaf = f.getPath
       }
-      if (leaf == null) Map.empty
+      if (leaf == null) None
       else {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(leaf, conf))
-        try {
-          import scala.jdk.CollectionConverters._
-          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
-            case f if f.isPrimitive =>
-              (f.getName, f.asPrimitiveType().getLogicalTypeAnnotation)
-          }.collect {
-            case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
-                if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
-              n -> t.isAdjustedToUTC
-          }.toMap
-        } finally reader.close()
+        try Some(body(reader.getFooter)) finally reader.close()
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** INT64 TIMESTAMP(NANOS) columns (name → isAdjustedToUTC) from the
+    * footer of the table's first leaf parquet file. */
+  private def nanosAnnotated(spark: SparkSession, path: String): Map[String, Boolean] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    withLeafFooter(spark, path) { footer =>
+      import scala.jdk.CollectionConverters._
+      footer.getFileMetaData.getSchema.getFields.asScala.collect {
+        case f if f.isPrimitive =>
+          (f.getName, f.asPrimitiveType().getLogicalTypeAnnotation)
+      }.collect {
+        case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+          n -> t.isAdjustedToUTC
+      }.toMap
+    }.getOrElse(Map.empty)
   }
+
+  /** A path whose parquet Spark's VECTORIZED reader can decode: the
+    * original `path` when its encodings are standard, else a scratch
+    * directory holding a one-time restage written through the
+    * non-vectorized reader (conf scoped around the eager write).
+    * Shared by [[table]] and the streaming event source — a streaming
+    * scan hits the same "Unsupported encoding: BYTE_STREAM_SPLIT"
+    * execution death a batch scan does, and the staged DIRECTORY slots
+    * straight into the file-stream source's directory branch. The
+    * scratch dir follows the [[graft.operators.Scratch]] lifecycle:
+    * consume the plan before the harness's next releaseAll. */
+  private[graft] def byteStreamSplitSafePath(spark: SparkSession, path: String,
+      name: String): String =
+    if (!usesByteStreamSplit(spark, path)) path
+    else {
+      val (_, dir) = graft.operators.Scratch.newDir(spark, s"graft-bss-$name")
+      val key = "spark.sql.parquet.enableVectorizedReader"
+      val prior = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try spark.read.parquet(path).write.mode("overwrite").parquet(dir.toString)
+      finally spark.conf.set(key, prior)
+      dir.toString
+    }
+
+  /** Whether any column chunk of the table's first leaf file carries
+    * BYTE_STREAM_SPLIT pages (Spark's vectorized reader cannot decode
+    * them — see [[byteStreamSplitSafePath]]). */
+  private def usesByteStreamSplit(spark: SparkSession, path: String): Boolean =
+    withLeafFooter(spark, path) { footer =>
+      import scala.jdk.CollectionConverters._
+      footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
+        _.getEncodings.asScala.exists(
+          _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT)))
+    }.getOrElse(false)
 
   /** Driver-table string-annotation latitude. The TESTDATA schemas
     * declare NO binary columns, so a BinaryType arriving from a driver

@@ -55,14 +55,20 @@ object StreamingIngest {
     * sf dir, glob-filtered to the events file. A `def` by design —
     * stream-stream self-joins need one source instance per side. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // BYTE_STREAM_SPLIT latitude first: a streaming scan dies at
+    // execution on those pages exactly like a batch scan, and the
+    // restaged scratch DIRECTORY slots into the directory branch below
+    // (no-op path equality on standard encodings)
+    val srcPath = graft.Engine.byteStreamSplitSafePath(
+      spark, s"$sfDir/events.parquet", "events")
+    val schema = spark.read.parquet(srcPath).schema
     // The driver table ships either as a single FILE events.parquet or
     // a DIRECTORY events.parquet/part-*.parquet (the multi-file layout
     // LayoutEncodingSpec pins). The streaming file source can't take a
     // bare file path (basePath must be a directory) and a pathGlobFilter
     // matches leaf FILE names only (a directory table would match
     // nothing and silently stream zero rows) — dispatch on the shape.
-    val tablePath = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val tablePath = new org.apache.hadoop.fs.Path(srcPath)
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val reader = spark.readStream.schema(schema)
     val src =
