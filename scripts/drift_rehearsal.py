@@ -9,7 +9,7 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
 
@@ -36,6 +36,10 @@ data skew):
            on those columns) — the float-compression flip a pyarrow
            option ships; schema-identical, so this rehearses both
            engines' DECODERS only
+  lz4      every page recompressed lz4 (pyarrow compression='lz4') —
+           the remaining codec flip beyond the snappy/zstd pins;
+           transparent in principle, rehearsed so a flip can never be
+           conflated with a real drift
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -92,7 +96,7 @@ HIVE_PARTITION_COL = {
 
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[2] not in (
-            "decimal", "uint", "binary", "hive", "nanos", "bss"):
+            "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -114,6 +118,10 @@ def main() -> None:
             pcols = HIVE_PARTITION_COL[name[: -len(".parquet")]]
             pq.write_to_dataset(t, out, partition_cols=pcols)
             print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
+            continue
+        if variant == "lz4":
+            pq.write_table(t, out, compression="lz4")
+            print(f"{name}: recompressed lz4")
             continue
         if variant == "bss":
             dcols = [f.name for f in t.schema
