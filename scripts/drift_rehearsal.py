@@ -124,12 +124,23 @@ def main() -> None:
             print(f"{name}: recompressed lz4")
             continue
         if variant == "bss":
-            dcols = [f.name for f in t.schema
-                     if pa.types.is_floating(f.type)]
+            # top-level float columns AND nested list<float> leaves
+            # (embeddings.embedding — the boolean form of
+            # use_byte_stream_split hits nested leaves too, so the
+            # rehearsal must): dotted leaf paths address them
+            dcols = []
+            for f in t.schema:
+                if pa.types.is_floating(f.type):
+                    dcols.append(f.name)
+                elif (pa.types.is_list(f.type)
+                      and pa.types.is_floating(f.type.value_type)):
+                    dcols.append(f"{f.name}.list.element")
             if dcols:
+                # dictionary off wholesale: dict pages would mask BSS,
+                # and the no-dictionary layout is already pinned
+                # latitude (LayoutEncodingSpec's v2 variant)
                 pq.write_table(t, out, use_byte_stream_split=dcols,
-                               use_dictionary=[c for c in t.schema.names
-                                               if c not in dcols])
+                               use_dictionary=False)
             else:
                 pq.write_table(t, out)
             print(f"{name}: BYTE_STREAM_SPLIT on {', '.join(dcols) or '-'}")

@@ -53,19 +53,14 @@ object Engine {
   /** Read one TESTDATA table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val raw = spark.read.parquet(path)
     // BYTE_STREAM_SPLIT pages (a pyarrow use_byte_stream_split float
     // recode) are readable by parquet-mr but NOT by Spark's vectorized
     // reader — every scan dies at execution with "Unsupported
-    // encoding". Absorb by restaging ONCE through the non-vectorized
-    // path (conf scoped around the eager scratch write) into standard
-    // encodings; the returned plan reads the scratch leaf vectorized.
-    // Canonical layouts never hit this branch (footer probe, shared
-    // with the nanos recovery below). BssEncodingSpec pins premise +
-    // round-trip; the read-back follows the Scratch lifecycle (consume
-    // before Bench.resetSession, like every staged operator).
-    val safePath = byteStreamSplitSafePath(spark, path, name)
-    val base = if (safePath == path) raw else spark.read.parquet(safePath)
+    // encoding". Absorb by restaging through the non-vectorized path
+    // into standard encodings (memoized per path; see
+    // byteStreamSplitSafePath). Canonical layouts never hit the
+    // branch (footer probe, shared with the nanos recovery below).
+    val base = spark.read.parquet(byteStreamSplitSafePath(spark, path, name))
     // events.ts is EXEMPT from nanos recovery: epochNs owns that
     // column's encoding dispatch (a raw ns LONG is its exact-integer
     // fast path — recoding it to a micros timestamp would silently
@@ -85,8 +80,8 @@ object Engine {
     * then surfaces EVERY such column as a raw ns-since-epoch LONG —
     * and each date function on o_orderdate/l_shipdate dies at
     * analysis. The Spark schema has already erased the annotation, so
-    * recovery reads the parquet FOOTER (first leaf file — file,
-    * multi-file, and hive dir shapes all covered) and rebuilds the
+    * recovery reads the parquet FOOTER (via [[probeLeafFacts]] —
+    * file, multi-file, and hive dir shapes all covered) and rebuilds the
     * timestamp: exact integer floor to micros (pmod keeps pre-epoch
     * values on the floor, matching DuckDB's ns→us semantics), then
     * NTZ or LTZ per the annotation's isAdjustedToUTC — the same two
@@ -128,39 +123,61 @@ object Engine {
     }
   }
 
-  /** Run `body` over the footer of the table's first leaf parquet file
-    * (file, multi-file dir, and hive dir shapes). Best-effort: any
-    * failure yields None and the caller's latitude degrades. */
-  private def withLeafFooter[A](spark: SparkSession, path: String)(
-      body: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): Option[A] =
+  /** Probe EVERY leaf parquet file of the table (file, multi-file dir,
+    * and hive dir shapes): the schema-level nanos fact comes from the
+    * first footer (driver layouts are schema-uniform), but the
+    * BYTE_STREAM_SPLIT fact is a per-COLUMN-CHUNK property that a
+    * mixed-writer export can carry in only SOME part files — a
+    * single-leaf sample would miss it and the un-restaged scan would
+    * die at execution anyway. Best-effort: any failure yields None
+    * and the caller's latitude degrades for THIS read. */
+  private def probeLeafFacts(spark: SparkSession, path: String): Option[LeafFacts] =
     try {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import scala.jdk.CollectionConverters._
       val p = new org.apache.hadoop.fs.Path(path)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = p.getFileSystem(conf)
       val it = fs.listFiles(p, true) // recursive: hive layouts nest dirs
-      var leaf: org.apache.hadoop.fs.Path = null
-      while (leaf == null && it.hasNext) {
+      var nanos: Map[String, Boolean] = null
+      var bss = false
+      while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) leaf = f.getPath
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try {
+            val footer = reader.getFooter
+            if (nanos == null)
+              nanos = footer.getFileMetaData.getSchema.getFields.asScala.collect {
+                case g if g.isPrimitive =>
+                  (g.getName, g.asPrimitiveType().getLogicalTypeAnnotation)
+              }.collect {
+                case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+                  n -> t.isAdjustedToUTC
+              }.toMap
+            bss = bss || footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
+              _.getEncodings.asScala.exists(
+                _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT)))
+          } finally reader.close()
+        }
       }
-      if (leaf == null) None
-      else {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(leaf, conf))
-        try Some(body(reader.getFooter)) finally reader.close()
-      }
+      if (nanos == null) None else Some(LeafFacts(nanos, bss))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Everything the read latitude needs from a table's parquet footer:
     * TIMESTAMP(NANOS) columns (name → isAdjustedToUTC) and whether any
     * column chunk carries BYTE_STREAM_SPLIT pages. Extracted in ONE
-    * footer open and MEMOIZED per path for the JVM lifetime — the
-    * unmemoized two-probe version did two listFiles+footer opens per
-    * table read per iteration; a back-to-back full-suite A/B read
-    * 91.1 s vs 91.7 s (adjacent windows at the same HEAD spanned
-    * 83.5-96.9 s), i.e. the probes were already lost in ambient
-    * window variance — the memo is kept as a pure IO saving, not a
-    * measured win. Cache contract: a path's
+    * probe pass over the leaf footers (schema fact from the first,
+    * the per-chunk encoding fact OR'd across ALL — see
+    * [[probeLeafFacts]]) and MEMOIZED per path for the JVM lifetime —
+    * the unmemoized version did the pass per table read per
+    * iteration; a back-to-back full-suite A/B read 91.1 s vs 91.7 s
+    * (adjacent windows at the same HEAD spanned 83.5-96.9 s), i.e.
+    * the probes were already lost in ambient window variance — the
+    * memo is kept as a pure IO saving, not a measured win. Cache
+    * contract: a path's
     * layout is immutable once read. Every current producer honors it
     * (driver testdata, spec fixtures in fresh temp dirs, rehearsal
     * replicas rebuilt before a new JVM); a test that rewrites an
@@ -171,24 +188,19 @@ object Engine {
   private val leafFactsCache =
     new java.util.concurrent.ConcurrentHashMap[String, LeafFacts]
 
-  private def leafFacts(spark: SparkSession, path: String): LeafFacts =
-    leafFactsCache.computeIfAbsent(path, _ =>
-      withLeafFooter(spark, path) { footer =>
-        import org.apache.parquet.schema.LogicalTypeAnnotation
-        import scala.jdk.CollectionConverters._
-        val nanos = footer.getFileMetaData.getSchema.getFields.asScala.collect {
-          case f if f.isPrimitive =>
-            (f.getName, f.asPrimitiveType().getLogicalTypeAnnotation)
-        }.collect {
-          case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
-            n -> t.isAdjustedToUTC
-        }.toMap
-        val bss = footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
-          _.getEncodings.asScala.exists(
-            _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT)))
-        LeafFacts(nanos, bss)
-      }.getOrElse(LeafFacts(Map.empty, byteStreamSplit = false)))
+  private def leafFacts(spark: SparkSession, path: String): LeafFacts = {
+    val cached = leafFactsCache.get(path)
+    if (cached != null) cached
+    else probeLeafFacts(spark, path) match {
+      case Some(facts) => leafFactsCache.put(path, facts); facts
+      case None =>
+        // a FAILED probe is deliberately NOT cached: pinning "no
+        // facts" for the JVM lifetime would turn one transient FS
+        // hiccup into silently-degraded latitude for every later read
+        // of the path — degrade this read only, retry on the next
+        LeafFacts(Map.empty, byteStreamSplit = false)
+    }
+  }
 
   /** INT64 TIMESTAMP(NANOS) columns (name → isAdjustedToUTC) from the
     * footer of the table's first leaf parquet file. */
@@ -197,25 +209,51 @@ object Engine {
 
   /** A path whose parquet Spark's VECTORIZED reader can decode: the
     * original `path` when its encodings are standard, else a scratch
-    * directory holding a one-time restage written through the
-    * non-vectorized reader (conf scoped around the eager write).
-    * Shared by [[table]] and the streaming event source — a streaming
-    * scan hits the same "Unsupported encoding: BYTE_STREAM_SPLIT"
-    * execution death a batch scan does, and the staged DIRECTORY slots
-    * straight into the file-stream source's directory branch. The
-    * scratch dir follows the [[graft.operators.Scratch]] lifecycle:
-    * consume the plan before the harness's next releaseAll. */
+    * directory holding a restage written through the non-vectorized
+    * reader. Shared by [[table]] and the streaming event source — a
+    * streaming scan hits the same "Unsupported encoding:
+    * BYTE_STREAM_SPLIT" execution death a batch scan does, and the
+    * staged DIRECTORY slots straight into the file-stream source's
+    * directory branch.
+    *
+    * The restage is MEMOIZED per source path and revalidated against
+    * the staged dir's _SUCCESS marker: the scratch dir follows the
+    * [[graft.operators.Scratch]] lifecycle (releaseAll deletes it
+    * between harness queries), so the next read after a release
+    * restages fresh instead of returning a dangling path — one
+    * restage per path per harness query, not one per Engine.table
+    * call (a q97-shape query reads events once per join side).
+    * The whole restage is serialized under one lock: the
+    * enableVectorizedReader flip is session-global, and two unlocked
+    * concurrent restages could interleave set/restore and leave the
+    * vectorized reader off for the rest of the session. (Callers
+    * flipping that conf OUTSIDE this helper are on their own.) */
+  private val bssStageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val bssStageLock = new Object
+
   private[graft] def byteStreamSplitSafePath(spark: SparkSession, path: String,
       name: String): String =
     if (!usesByteStreamSplit(spark, path)) path
-    else {
-      val (_, dir) = graft.operators.Scratch.newDir(spark, s"graft-bss-$name")
-      val key = "spark.sql.parquet.enableVectorizedReader"
-      val prior = spark.conf.get(key)
-      spark.conf.set(key, "false")
-      try spark.read.parquet(path).write.mode("overwrite").parquet(dir.toString)
-      finally spark.conf.set(key, prior)
-      dir.toString
+    else bssStageLock.synchronized {
+      val conf = spark.sparkContext.hadoopConfiguration
+      def complete(dir: String): Boolean =
+        try {
+          val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+          marker.getFileSystem(conf).exists(marker)
+        } catch { case scala.util.control.NonFatal(_) => false }
+      val cached = bssStageCache.get(path)
+      if (cached != null && complete(cached)) cached
+      else {
+        val (_, dir) = graft.operators.Scratch.newDir(spark, s"graft-bss-$name")
+        val key = "spark.sql.parquet.enableVectorizedReader"
+        val prior = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try spark.read.parquet(path).write.mode("overwrite").parquet(dir.toString)
+        finally spark.conf.set(key, prior)
+        bssStageCache.put(path, dir.toString)
+        dir.toString
+      }
     }
 
   /** Whether any column chunk of the table's first leaf file carries

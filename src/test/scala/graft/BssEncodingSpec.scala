@@ -48,6 +48,7 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var root: Path = _
   private var bssDir: String = _
+  private var mixedDir: String = _
 
   override def beforeAll(): Unit = {
     root = Files.createTempDirectory("graft_bss_enc")
@@ -62,6 +63,21 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
           dir.resolve(s"$t.parquet"))
     }
     bssDir = dir.toString
+    // MIXED multi-file dir: part-0 standard encodings, part-1 BSS —
+    // the mixed-writer/append shape where a single-leaf footer sample
+    // would miss the BSS fact (plain file deliberately named to sort
+    // FIRST, the order local listings usually return) and the
+    // un-restaged scan would die at execution
+    val mixed = root.resolve("mixed")
+    val tableDir = mixed.resolve("lineitem.parquet")
+    Files.createDirectories(tableDir)
+    val ldf = spark.read.parquet(s"$canonical/lineitem.parquet")
+    import org.apache.spark.sql.functions.col
+    writeBss(ldf.where(col("l_orderkey") % 2 === 0),
+      tableDir.resolve("part-0.parquet").toString, bss = false)
+    writeBss(ldf.where(col("l_orderkey") % 2 === 1),
+      tableDir.resolve("part-1.parquet").toString, bss = true)
+    mixedDir = mixed.toString
   }
 
   override def afterAll(): Unit = {
@@ -73,7 +89,7 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Re-emit `df` with BYTE_STREAM_SPLIT float/double pages (canonical
     * annotations everywhere, values unchanged — a pure encoding
     * drift). */
-  private def writeBss(df: DataFrame, outFile: String): Unit = {
+  private def writeBss(df: DataFrame, outFile: String, bss: Boolean = true): Unit = {
     val fields = df.schema.fields
     val schema: MessageType = {
       val b = Types.buildMessage()
@@ -104,7 +120,7 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withType(schema)
       .withConf(spark.sparkContext.hadoopConfiguration)
       .withDictionaryEncoding(false) // dictionary pages would mask BSS
-      .withByteStreamSplitEncoding(true)
+      .withByteStreamSplitEncoding(bss)
       .build()
     try {
       df.collect().foreach { row =>
@@ -165,6 +181,16 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
         rows(Engine.table(spark, canonical, t)),
         s"$t drifted under BYTE_STREAM_SPLIT pages")
     }
+  }
+
+  test("a MIXED plain+BSS multi-file dir is detected and restaged (all-leaf probe)") {
+    // the encoding fact is per column chunk, not per table: a probe
+    // that sampled only the first-listed leaf (the plain part-0 here)
+    // would skip the restage and the scan would die at execution on
+    // part-1's BSS pages
+    assert(rows(Engine.table(spark, mixedDir, "lineitem")) ==
+      rows(Engine.table(spark, canonical, "lineitem")),
+      "lineitem drifted (or died) under a mixed plain+BSS multi-file dir")
   }
 
   // q01 aggregates the BSS money doubles; q30 drives the streaming
