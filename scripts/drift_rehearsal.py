@@ -9,9 +9,12 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4|brotli> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
+    # EXCEPT brotli: the expected outcome is every table-reading query
+    # failing BY NAME ("cannot decode ... BrotliCodec"), not N ok —
+    # grep Verify's stderr; an OPAQUE FAILED_READ_FILE is the bug
 
 Variants (all value-preserving, so any diff is a SEMANTICS gap, not
 data skew):
@@ -40,6 +43,24 @@ data skew):
            the remaining codec flip beyond the snappy/zstd pins;
            transparent in principle, rehearsed so a flip can never be
            conflated with a real drift
+  gzip     every page recompressed gzip — with snappy canonical, zstd
+           spec-pinned, and lz4 rehearsed, this completes the
+           decodable-codec matrix (hadoop's GzipCodec ships in the
+           Spark distribution; transparent in principle)
+  duckdb   every table rewritten by DuckDB's OWN parquet writer
+           (COPY ... TO (FORMAT PARQUET)) — the driver toolchain
+           ships duckdb, so a generator swap from pyarrow to DuckDB
+           COPY is a realistic whole-WRITER flip (different
+           encodings, page layout, metadata) rather than a
+           single-knob drift; transparent in principle
+  brotli   every page recompressed brotli — the UNDECODABLE codec
+           class: pyarrow/DuckDB ship brotli but no hadoop codec class
+           is on this Spark classpath, so NEITHER Spark reader can
+           decode the pages and no restage can absorb them. The gate
+           on this replica must fail BY NAME per query (Engine's
+           footer probe: table + BROTLI + the missing class —
+           CodecEncodingSpec pins it), never as opaque
+           FAILED_READ_FILE scan deaths
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -96,7 +117,8 @@ HIVE_PARTITION_COL = {
 
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[2] not in (
-            "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4"):
+            "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4",
+            "gzip", "duckdb", "brotli"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -119,9 +141,24 @@ def main() -> None:
             pq.write_to_dataset(t, out, partition_cols=pcols)
             print(f"{name}: hive-partitioned by {'/'.join(pcols)}")
             continue
-        if variant == "lz4":
-            pq.write_table(t, out, compression="lz4")
-            print(f"{name}: recompressed lz4")
+        if variant in ("lz4", "gzip", "brotli"):
+            pq.write_table(t, out, compression=variant)
+            print(f"{name}: recompressed {variant}")
+            continue
+        if variant == "duckdb":
+            import duckdb
+            con = duckdb.connect()
+            try:
+                # escape single quotes defensively; COPY writes a
+                # single parquet file at the target path
+                s = os.path.join(src, name).replace("'", "''")
+                d = out.replace("'", "''")
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet('{s}')) TO '{d}' "
+                    "(FORMAT PARQUET)")
+            finally:
+                con.close()
+            print(f"{name}: rewritten by DuckDB's parquet writer")
             continue
         if variant == "bss":
             # top-level float columns AND nested list<float> leaves

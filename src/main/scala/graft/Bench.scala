@@ -74,6 +74,11 @@ object Bench {
   def resetSession(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     graft.operators.Scratch.releaseAll()
+    // footer-fact + BSS-restage memos: releaseAll just deleted any
+    // staged dirs, and a rehearsal/spec that rewrites a table path
+    // between queries must not inherit pre-rewrite facts (the caches'
+    // immutability contract is per harness query, not per JVM)
+    graft.Engine.invalidateFooterFacts()
     // Terminated streaming queries leave their state-store PROVIDERS
     // loaded (in-memory version maps per partition per operator) until
     // the maintenance task's next tick notices they're inactive — in a
@@ -148,6 +153,95 @@ object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
+  /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
+    * format as the detail file) plus the context that decides whether
+    * comparing against it means anything. */
+  private[graft] case class Control(path: String, commit: Option[String],
+      sf: String, cpus: String, medians: Map[String, Double])
+
+  /** The HIGHEST-round BENCH_CONTROL_rNN.json in `dir`, parsed.
+    * Controls live under their own filename because the driver
+    * overwrites BENCH_DETAIL.json every round — the round-11 clean
+    * control survived only in git history (round-11 verdict item 2).
+    * Best-effort: unreadable/absent → None, the tripwire just stays
+    * off. */
+  private[graft] def latestControl(dir: String): Option[Control] =
+    try {
+      val rx = "BENCH_CONTROL_r([0-9]+)\\.json".r
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _     => None
+        })
+        .sortBy(-_._1).headOption.flatMap { case (_, f) => parseControl(f) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] def parseControl(f: java.io.File): Option[Control] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(f)
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d)  => Some(d)
+        case JInt(i)     => Some(i.toDouble)
+        case JLong(l)    => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _           => None
+      }
+      // sf/cpus kept as their RENDERED JSON forms: comparability below
+      // is exact-form equality against this run's own rendering
+      def rendered(v: JValue): String =
+        org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
+      val medians = (j \ "queries") match {
+        case JObject(fields) => fields.flatMap { case (k, v) =>
+          num(v \ "median").filter(_ > 0).map(k -> _)
+        }.toMap
+        case _ => Map.empty[String, Double]
+      }
+      if (medians.isEmpty) None
+      else Some(Control(f.getPath,
+        (j \ "commit") match { case JString(c) => Some(c); case _ => None },
+        rendered(j \ "sf"), rendered(j \ "cpus"), medians))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Whether `commit` (a control's stamp; `-dirty` suffix stripped —
+    * the dirty tree was based on that hash) is an ancestor of this
+    * repo's HEAD. None = indeterminate (no git, timeout, unknown
+    * hash); the tripwire treats only a POSITIVE "foreign lineage" as
+    * disqualifying — best-effort evidence, not a gate. */
+  private[graft] def isAncestorOfHead(commit: String): Option[Boolean] =
+    try {
+      val p = new ProcessBuilder("git", "merge-base", "--is-ancestor",
+          commit.stripSuffix("-dirty"), "HEAD")
+        .directory(new java.io.File(System.getProperty("user.dir")))
+        .redirectErrorStream(true).start()
+      if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); None
+      } else p.exitValue match {
+        case 0 => Some(true)
+        case 1 => Some(false)
+        case _ => None // not a repo / unknown hash — indeterminate
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Regression-tripwire candidates: queries whose CURRENT median runs
+    * past 2x the control's AND at least 1 s slower absolute (the
+    * sub-second tail jitters past any ratio; same materiality shape as
+    * the spread evidence). Candidates earn a rerun; only a rerun that
+    * CONFIRMS (same 2x + 1 s test on the warm rerun time) lands in the
+    * artifact's `regressed` list — round 10's q20 16.9 s catch was
+    * manual diffing against a committed control, this makes the catch
+    * structural (round-11 verdict item 3). */
+  private[graft] def regressionCandidates(results: Map[String, Measured],
+      control: Map[String, Double]): Map[String, Double] =
+    results.collect {
+      case (k, m) if m.median >= 0 && control.get(k).exists(ctl =>
+          regressedVs(m.median, ctl)) =>
+        k -> control(k)
+    }
+
+  private[graft] def regressedVs(current: Double, control: Double): Boolean =
+    control > 0 && current > 2 * control && current - control > 1.0
+
   /** Short git HEAD of the repo this binary runs IN — stamped into
     * every artifact so a bench/verify number is attributable to the
     * code that produced it (round-10 ADVICE: BENCH_DETAIL versions
@@ -194,28 +288,61 @@ object Bench {
     *     machine-extractable summary (regex `\{[^{}]*\}\}$`). The
     *     duplication is deliberate; keys never repeat at one nesting
     *     level. BenchEvidenceSpec pins all three properties. */
+  /** JSON string literal (quotes included): escapes backslash, quote
+    * and control characters. The line is hand-assembled, so every
+    * UNVALIDATED string field must route here — detailPath comes
+    * straight from SPARK_GRAFT_DETAIL, and one quote in it would
+    * invalidate the whole artifact the tail-summary design exists to
+    * protect (round-11 ADVICE). commit/source skip it by proof: both
+    * are regex/enum-constrained at their producers. */
+  private[graft] def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'            => sb ++= "\\\""
+      case '\\'           => sb ++= "\\\\"
+      case c if c < ' '   => sb ++= f"\\u${c.toInt}%04x"
+      case c              => sb += c
+    }
+    (sb += '"').toString
+  }
+
+  /** `cpus` (an env string, normally an integer) as a JSON value: a
+    * non-numeric SPARK_GRAFT_CPUS degrades to a quoted string — wrong
+    * is visible, invalid JSON is not. */
+  private[graft] def jnum(s: String): String =
+    if (s.matches("-?[0-9]+(\\.[0-9]+)?")) s else jstr(s)
+
   private[graft] def renderLine(total: Double, minTotal: Double,
       contended: Boolean, source: String, otherBusyCores: Option[Double],
       commit: Option[String], qs: String, sf: String, iters: Int,
       spreads: String, rerunJson: String, loadAvgStart: Double,
       loadAvgEnd: Double, maxMemMb: Long, cpus: String,
-      detailPath: String): String = {
+      detailPath: String, regressed: Seq[String] = Nil): String = {
     val busy = otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
     val cm = commit.map(c => s""""commit":"$c",""").getOrElse("")
+    val rg =
+      if (regressed.isEmpty) ""
+      else regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
     val head = s""""value":$total,"min_total":$minTotal,"contended":$contended,""" +
-      s""""contention_source":"$source",""" + busy + cm
+      s""""contention_source":"$source",""" + busy + rg + cm
     val summary = s""""summary":{${head.stripSuffix(",")}""" +
       s""","load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd}"""
     s"""{"metric":"total",$head"queries":$qs,"sf":$sf,"unit":"sec",""" +
       s""""iters":$iters,"spread":$spreads,"rerun":$rerunJson,""" +
       s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
-      s""""driver_max_mem_mb":$maxMemMb,"cpus":$cpus,"detail":"$detailPath",""" +
+      s""""driver_max_mem_mb":$maxMemMb,"cpus":${jnum(cpus)},""" +
+      s""""detail":${jstr(detailPath)},""" +
       summary + "}"
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // validated up front: a typo'd round number must fail before the
+    // suite spends an hour, not after it when the control write fires
+    val controlRound = sys.env.get("SPARK_GRAFT_CONTROL_ROUND")
+    controlRound.foreach(r => require(r.matches("[0-9]+"),
+      s"SPARK_GRAFT_CONTROL_ROUND must be a round number, got '$r'"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -323,6 +450,29 @@ object Bench {
     val spreadFlag = results.values.exists(m => m.spreadRatio > 2.0 && m.spreadAbs > 1.0)
     val contended = loadHigh || spreadFlag
 
+    // numeric sf parsed from the dir name (".../sf0.1" -> 0.1); a dir
+    // that doesn't embed one falls back to the quoted path so the line
+    // stays valid JSON either way
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(jstr(sfDir))
+
+    // Regression tripwire: compare per-query medians against the
+    // latest COMMITTED clean-window control, where one exists and is
+    // comparable — same sf, same cpus, and not from a foreign lineage
+    // (an indeterminate ancestry check still compares: evidence, not a
+    // gate). Candidates are added to the rerun set below; only a
+    // confirming rerun lands in `regressed`.
+    val control = latestControl(System.getProperty("user.dir")).filter { c =>
+      val comparable = c.sf == sf && c.cpus == jnum(cpus) &&
+        c.commit.forall(cm => !isAncestorOfHead(cm).contains(false))
+      if (!comparable) System.err.println(
+        s"[bench] control ${c.path} (sf=${c.sf}, cpus=${c.cpus}, " +
+          s"commit=${c.commit.getOrElse("?")}) not comparable to this run — tripwire off")
+      comparable
+    }
+    val candidates = control.map(c => regressionCandidates(results, c.medians))
+      .getOrElse(Map.empty[String, Double])
+
     // In-artifact resolution of flagged queries: with the suite done
     // (and the transient load that caused the flag presumably gone),
     // re-run each target under the same hygiene. Two executions, the
@@ -335,7 +485,7 @@ object Bench {
     // the old -1.0 encoding sat below every min, so a crashed rerun
     // read as an exonerating fast rerun (ADVICE round-7).
     val reruns: Map[String, (Option[Double], Double)] =
-      rerunTargets(ordered, contended).map { k =>
+      (rerunTargets(ordered, contended) ++ candidates.keys.toSeq.sorted).distinct.map { k =>
         val loadAtRerun = loadAvg
         var rerunFailed = false
         def once(): Double = {
@@ -355,6 +505,18 @@ object Bench {
         resetSession(spark)
         k -> ((if (rerunFailed) None else Some(warm)), loadAtRerun)
       }.toMap
+    // rerun-confirmed regressions only: a candidate whose rerun is
+    // back under the bar was contention (logged, visible in the detail
+    // file's rerun fields); a candidate whose rerun FAILED confirms
+    // nothing and is likewise left to the detail evidence
+    val regressed: Seq[String] = candidates.collect {
+      case (k, ctl) if reruns.get(k).flatMap(_._1).exists(t => regressedVs(t, ctl)) => k
+    }.toSeq.sorted
+    if (regressed.nonEmpty) System.err.println(
+      s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
+        regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
+          s"${r3(candidates(k))}s)").mkString(", "))
+
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
     // container-scoped contention attribution over the whole suite
     // (reruns included, like loadAvgEnd): how many cores did NON-bench
@@ -384,12 +546,6 @@ object Bench {
     val spreads = ordered.collect {
       case (k, m) if m.material => "\"" + k + "\":" + r2(m.spreadRatio)
     }.mkString("{", ",", "}")
-    // numeric sf parsed from the dir name (".../sf0.1" -> 0.1); a dir
-    // that doesn't embed one falls back to the quoted path so the line
-    // stays valid JSON either way
-    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-
     // full evidence file: every iteration of every query + the load
     // average at each query's start. Too big for the one-line stdout
     // contract (the consumer truncates to ~2000 chars), so it lands
@@ -400,12 +556,15 @@ object Bench {
     val loadAvgMin = r2(
       (results.values.map(_.loadAtStart).toSeq :+ loadAvgStart).min)
     val commit = gitHead
-    detail ++= s"""{"sf":$sf,"cpus":$cpus,"iters":$iters,"""
+    detail ++= s"""{"sf":$sf,"cpus":${jnum(cpus)},"iters":$iters,"""
     detail ++= commit.map(c => s""""commit":"$c",""").getOrElse("")
     detail ++= s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"""
     detail ++= s""""load_avg_min":$loadAvgMin,"""
     detail ++= s""""contended":$contended,"contention_source":"$source","""
     detail ++= otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
+    control.foreach(c => detail ++= s""""control":${jstr(c.path)},""")
+    if (regressed.nonEmpty)
+      detail ++= regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
     detail ++= s""""queries":{"""
     detail ++= ordered.map { case (k, m) =>
       val ts = m.times.map(r3).mkString("[", ",", "]")
@@ -416,9 +575,10 @@ object Bench {
       val cpu = qCpu.get(k).map { case (cg, own) =>
         s""","cg_cpu":${r2(cg)},"own_cpu":${r2(own)}"""
       }.getOrElse("")
+      val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
-        s""""failed":${m.failed}$cpu$rerun}"""
+        s""""failed":${m.failed}$cpu$ctl$rerun}"""
     }.mkString(",")
     detail ++= "}}\n"
     try {
@@ -426,6 +586,22 @@ object Bench {
         detail.toString.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write detail file $detailPath: $e")
+    }
+    // Clean-window CONTROL runs (SPARK_GRAFT_CONTROL_ROUND=NN) land the
+    // same evidence at BENCH_CONTROL_rNN.json too — a filename the
+    // driver never writes, so committing it preserves the control
+    // across rounds (BENCH_DETAIL.json is driver-overwritten every
+    // round; the round-11 control survived only in git history). The
+    // tripwire above reads the highest-round one back.
+    controlRound.foreach { r =>
+      val p = java.nio.file.Paths.get(System.getProperty("user.dir"),
+        s"BENCH_CONTROL_r$r.json")
+      try {
+        java.nio.file.Files.write(p, detail.toString.getBytes("UTF-8"))
+        System.err.println(s"[bench] wrote control $p")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write control file $p: $e")
+      }
     }
 
     // machine context so a contended run is identifiable from the JSON
@@ -441,7 +617,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(renderLine(total, minTotal, contended, source, otherBusyCores,
       commit, qs, sf, iters, spreads, rerunJson, loadAvgStart, loadAvgEnd,
-      Runtime.getRuntime.maxMemory / (1 << 20), cpus, detailPath))
+      Runtime.getRuntime.maxMemory / (1 << 20), cpus, detailPath, regressed))
     spark.stop()
   }
 

@@ -124,13 +124,18 @@ object Engine {
   }
 
   /** Probe EVERY leaf parquet file of the table (file, multi-file dir,
-    * and hive dir shapes): the schema-level nanos fact comes from the
-    * first footer (driver layouts are schema-uniform), but the
-    * BYTE_STREAM_SPLIT fact is a per-COLUMN-CHUNK property that a
-    * mixed-writer export can carry in only SOME part files — a
-    * single-leaf sample would miss it and the un-restaged scan would
-    * die at execution anyway. Best-effort: any failure yields None
-    * and the caller's latitude degrades for THIS read. */
+    * and hive dir shapes). All three facts are unioned across leaves:
+    * BYTE_STREAM_SPLIT and the codec set are per-COLUMN-CHUNK
+    * properties that a mixed-writer export can carry in only SOME part
+    * files, and the TIMESTAMP(NANOS) map is merged per column too
+    * (first-seen flag wins on the pathological conflicting-annotation
+    * case — both flags read the same ns longs, and a genuinely mixed
+    * instant/wall-clock export is ambiguous beyond any frame-level
+    * recovery) so an appended part file that introduces the annotation
+    * is still recovered. A single-leaf sample would miss any of these
+    * and the scan would die (or mis-type) at execution. Best-effort:
+    * any failure yields None and the caller's latitude degrades for
+    * THIS read. */
   private def probeLeafFacts(spark: SparkSession, path: String): Option[LeafFacts] =
     try {
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -141,6 +146,7 @@ object Engine {
       val it = fs.listFiles(p, true) // recursive: hive layouts nest dirs
       var nanos: Map[String, Boolean] = null
       var bss = false
+      var codecs = Set.empty[String]
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
@@ -148,45 +154,64 @@ object Engine {
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
           try {
             val footer = reader.getFooter
-            if (nanos == null)
-              nanos = footer.getFileMetaData.getSchema.getFields.asScala.collect {
-                case g if g.isPrimitive =>
-                  (g.getName, g.asPrimitiveType().getLogicalTypeAnnotation)
-              }.collect {
-                case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
-                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
-                  n -> t.isAdjustedToUTC
-              }.toMap
-            bss = bss || footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
-              _.getEncodings.asScala.exists(
-                _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT)))
+            val leafNanos = footer.getFileMetaData.getSchema.getFields.asScala.collect {
+              case g if g.isPrimitive =>
+                (g.getName, g.asPrimitiveType().getLogicalTypeAnnotation)
+            }.collect {
+              case (n, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+                n -> t.isAdjustedToUTC
+            }.toMap
+            nanos =
+              if (nanos == null) leafNanos
+              else nanos ++ (leafNanos -- nanos.keySet) // first-seen flag wins
+            val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            bss = bss || chunks.exists(_.getEncodings.asScala.exists(
+              _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT))
+            codecs = codecs ++ chunks.map(_.getCodec.name).toSet
           } finally reader.close()
         }
       }
-      if (nanos == null) None else Some(LeafFacts(nanos, bss))
+      if (nanos == null) None else Some(LeafFacts(nanos, bss, codecs))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Everything the read latitude needs from a table's parquet footer:
-    * TIMESTAMP(NANOS) columns (name → isAdjustedToUTC) and whether any
-    * column chunk carries BYTE_STREAM_SPLIT pages. Extracted in ONE
-    * probe pass over the leaf footers (schema fact from the first,
-    * the per-chunk encoding fact OR'd across ALL — see
+    * TIMESTAMP(NANOS) columns (name → isAdjustedToUTC), whether any
+    * column chunk carries BYTE_STREAM_SPLIT pages, and the set of
+    * compression codecs in use. Extracted in ONE probe pass over the
+    * leaf footers (all three facts unioned across ALL leaves — see
     * [[probeLeafFacts]]) and MEMOIZED per path for the JVM lifetime —
     * the unmemoized version did the pass per table read per
     * iteration; a back-to-back full-suite A/B read 91.1 s vs 91.7 s
     * (adjacent windows at the same HEAD spanned 83.5-96.9 s), i.e.
     * the probes were already lost in ambient window variance — the
     * memo is kept as a pure IO saving, not a measured win. Cache
-    * contract: a path's
-    * layout is immutable once read. Every current producer honors it
-    * (driver testdata, spec fixtures in fresh temp dirs, rehearsal
-    * replicas rebuilt before a new JVM); a test that rewrites an
-    * already-read path in the same JVM would see stale facts and must
-    * use a fresh directory instead. */
-  private case class LeafFacts(nanos: Map[String, Boolean], byteStreamSplit: Boolean)
+    * contract: a path's layout is immutable while its facts are
+    * cached. [[invalidateFooterFacts]] drops the memo — Bench/Verify
+    * wire it into the between-query session reset, so across harness
+    * queries the contract only needs to hold WITHIN one query; a test
+    * or library caller that rewrites an already-read path in the same
+    * JVM calls it too (or uses a fresh directory). */
+  private case class LeafFacts(nanos: Map[String, Boolean], byteStreamSplit: Boolean,
+      codecs: Set[String] = Set.empty)
 
   private val leafFactsCache =
     new java.util.concurrent.ConcurrentHashMap[String, LeafFacts]
+
+  /** Drop every memoized footer fact and BSS restage mapping. The
+    * caches assume a path's layout is immutable while cached (see
+    * [[LeafFacts]]) — nothing enforces that against a same-JVM rewrite
+    * of an already-read path (a reused fixture dir, a rehearsal
+    * replica rebuilt in place), which would otherwise serve stale
+    * facts and silently miss a newly-introduced BSS/NANOS/codec drift.
+    * `Bench.resetSession` calls this between harness queries (the BSS
+    * stage mapping is revalidated against its _SUCCESS marker anyway,
+    * but a rewritten SOURCE under a still-complete stage would
+    * otherwise read the pre-rewrite rows). */
+  def invalidateFooterFacts(): Unit = {
+    leafFactsCache.clear()
+    bssStageCache.clear()
+  }
 
   private def leafFacts(spark: SparkSession, path: String): LeafFacts = {
     val cached = leafFactsCache.get(path)
@@ -207,6 +232,37 @@ object Engine {
   private def nanosAnnotated(spark: SparkSession, path: String): Map[String, Boolean] =
     leafFacts(spark, path).nanos
 
+  /** The hadoop codec class a parquet compression codec resolves to
+    * when it is NOT on this build's classpath, else None — i.e. "can
+    * Spark decode pages compressed with `codec` at all". Mirrors
+    * parquet-java's CodecFactory lookup (CompressionCodecName →
+    * getHadoopCompressionCodecClassName → conf.getClassByName): the
+    * built-in codecs (snappy/gzip/zstd/lz4/lz4_raw) resolve to classes
+    * inside the parquet/hadoop jars Spark ships, while BROTLI and LZO
+    * resolve to optional codec jars this deployment does not carry —
+    * parquet then throws ClassNotFoundException per column chunk at
+    * EXECUTION, one opaque FAILED_READ_FILE per scan (the same
+    * whole-gate death mode as the pre-round-11 BSS class, except no
+    * restage can absorb it: the NON-vectorized reader needs the same
+    * class). Dynamic by design: dropping a brotli-codec jar onto the
+    * deployment classpath makes the guard pass and the read just work.
+    * Memoized per codec name (Class.forName on a miss costs a
+    * classloader scan per call otherwise). */
+  private val codecClassCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]
+
+  private def missingCodecClass(spark: SparkSession, codec: String): Option[String] =
+    codecClassCache.computeIfAbsent(codec, c => {
+      val cls =
+        try org.apache.parquet.hadoop.metadata.CompressionCodecName
+          .valueOf(c).getHadoopCompressionCodecClassName
+        catch { case _: IllegalArgumentException => null } // future codec enum value
+      if (cls == null) None // UNCOMPRESSED (or unmapped): nothing to load
+      else
+        try { spark.sparkContext.hadoopConfiguration.getClassByName(cls); None }
+        catch { case _: ClassNotFoundException => Some(cls) }
+    })
+
   /** A path whose parquet Spark's VECTORIZED reader can decode: the
     * original `path` when its encodings are standard, else a scratch
     * directory holding a restage written through the non-vectorized
@@ -215,6 +271,15 @@ object Engine {
     * BYTE_STREAM_SPLIT" execution death a batch scan does, and the
     * staged DIRECTORY slots straight into the file-stream source's
     * directory branch.
+    *
+    * Also the shared UNDECODABLE-CODEC gate (it sits on every driver
+    * table read path, batch and streaming): a table compressed with a
+    * codec whose hadoop class is absent (brotli, lzo) cannot be
+    * decoded by EITHER parquet reader — no restage can absorb it — so
+    * the read fails HERE, by name, naming table, codec, and the
+    * missing class, instead of as one opaque FAILED_READ_FILE per
+    * query across the whole gate (CodecEncodingSpec pins it; the
+    * round-11 bss rehearsal proved the 27-opaque-reds failure shape).
     *
     * The restage is MEMOIZED per source path and revalidated against
     * the staged dir's _SUCCESS marker: the scratch dir follows the
@@ -233,8 +298,15 @@ object Engine {
   private val bssStageLock = new Object
 
   private[graft] def byteStreamSplitSafePath(spark: SparkSession, path: String,
-      name: String): String =
-    if (!usesByteStreamSplit(spark, path)) path
+      name: String): String = {
+    val facts = leafFacts(spark, path)
+    for (codec <- facts.codecs.toSeq.sorted; cls <- missingCodecClass(spark, codec))
+      throw new IllegalStateException(
+        s"Engine: table '$name' at $path is compressed with codec $codec, which " +
+          s"this Spark build cannot decode (codec class $cls is not on the " +
+          "classpath) — re-export the table with snappy/zstd/gzip/lz4, or add " +
+          "the codec jar to the deployment")
+    if (!facts.byteStreamSplit) path
     else bssStageLock.synchronized {
       val conf = spark.sparkContext.hadoopConfiguration
       def complete(dir: String): Boolean =
@@ -255,12 +327,7 @@ object Engine {
         dir.toString
       }
     }
-
-  /** Whether any column chunk of the table's first leaf file carries
-    * BYTE_STREAM_SPLIT pages (Spark's vectorized reader cannot decode
-    * them — see [[byteStreamSplitSafePath]]). */
-  private def usesByteStreamSplit(spark: SparkSession, path: String): Boolean =
-    leafFacts(spark, path).byteStreamSplit
+  }
 
   /** Driver-table string-annotation latitude. The TESTDATA schemas
     * declare NO binary columns, so a BinaryType arriving from a driver

@@ -310,7 +310,11 @@ object Dedup {
     * distinct-collect only runs when it is known to be tiny; 2x margin
     * covers the sketch's rsd. Runs 1-2 eager Spark jobs — which is why
     * it only executes under the opt-in [[LshEncoding.Auto]], never for
-    * the default plan-only path. */
+    * the default plan-only path. TWO jobs is BY DESIGN — do not fold
+    * the approx gate and the exact collect into one pass, and do not
+    * promote this eager probe into the default path: the sketch job is
+    * what keeps the exact distinct-collect from ever running (and
+    * OOMing the driver) on a large-vocabulary corpus. */
   private def smallUniverse(toks: DataFrame): Option[Array[Long]] = {
     val approx = toks.select(explode(col("toks")).as("h"))
       .agg(approx_count_distinct(col("h")).as("v"))

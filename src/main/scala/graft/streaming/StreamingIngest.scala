@@ -53,7 +53,18 @@ object StreamingIngest {
     * reproduces the round-4 analysis failure on timestamp-encoded
     * data). The streaming file source wants a directory: stream the
     * sf dir, glob-filtered to the events file. A `def` by design —
-    * stream-stream self-joins need one source instance per side. */
+    * stream-stream self-joins need one source instance per side.
+    *
+    * LIFECYCLE: when the table carries BYTE_STREAM_SPLIT pages the
+    * returned stream is rooted at a restaged SCRATCH directory, which
+    * `Scratch.releaseAll` (run by `Bench.resetSession` between harness
+    * queries) deletes — a query still running across a session reset
+    * fails mid-stream on missing files. Harness callers are safe
+    * (every run here is AvailableNow-to-completion before the reset);
+    * a library consumer holding a LONG-LIVED stream must either skip
+    * resetSession while it runs or restage the table to a stable path
+    * first — the same contract as runAvailableNow's append-sink note
+    * below. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     // BYTE_STREAM_SPLIT latitude first: a streaming scan dies at
     // execution on those pages exactly like a batch scan, and the

@@ -178,6 +178,101 @@ class BenchEvidenceSpec extends AnyFunSuite {
       bare.contains("\"summary\":{\"value\":1.0"))
   }
 
+  test("unvalidated string fields cannot invalidate the JSON line") {
+    // detailPath comes straight from SPARK_GRAFT_DETAIL and cpus from
+    // SPARK_GRAFT_CPUS: a quote/backslash path or a non-numeric cpus
+    // must degrade to correctly-escaped/quoted JSON, never to a line
+    // the driver parses as null — the exact failure the tail-summary
+    // redesign exists to prevent (round-11 ADVICE)
+    val line = Bench.renderLine(1.0, 1.0, contended = false, source = "none",
+      otherBusyCores = None, commit = None, qs = "{}", sf = "0.1", iters = 1,
+      spreads = "{}", rerunJson = "{}", loadAvgStart = 0.5, loadAvgEnd = 0.5,
+      maxMemMb = 1024, cpus = "thirty\"two", detailPath = "/tmp/we\"ird\\dir/d.json")
+    val parsed = org.json4s.jackson.JsonMethods.parse(line) // throws if invalid
+    import org.json4s._
+    assert((parsed \ "detail") == JString("/tmp/we\"ird\\dir/d.json"),
+      s"detail round-trip failed: $line")
+    assert((parsed \ "cpus") == JString("thirty\"two"))
+    // the normal numeric cpus stays a bare number (consumer compatibility)
+    assert(Bench.jnum("32") == "32" && Bench.jnum("0.5") == "0.5")
+  }
+
+  test("rerun-confirmed regressions land in both the headline and the tail summary") {
+    val line = Bench.renderLine(50.0, 48.0, contended = false, source = "none",
+      otherBusyCores = None, commit = Some("abc123"), qs = """{"q1":20.0}""",
+      sf = "0.1", iters = 3, spreads = "{}", rerunJson = """{"q1":19.5}""",
+      loadAvgStart = 0.5, loadAvgEnd = 0.5, maxMemMb = 1024, cpus = "32",
+      detailPath = "/tmp/d.json", regressed = Seq("q1"))
+    org.json4s.jackson.JsonMethods.parse(line)
+    // headline (front window) AND the tail summary duplicate both
+    // carry it — a regression must survive either truncation direction
+    assert(line.indexOf("\"regressed\":[\"q1\"]") >= 0 &&
+      line.indexOf("\"regressed\":[\"q1\"]") < line.indexOf("\"queries\""),
+      s"regressed must lead the line:\n$line")
+    val tail = """"summary":(\{[^{}\[\]]*(\[[^\]]*\])?[^{}]*\})""".r
+      .findFirstMatchIn(line.takeRight(250))
+    assert(tail.exists(_.group(1).contains("\"regressed\":[\"q1\"]")),
+      s"tail summary lacks regressed: ${line.takeRight(250)}")
+    // a clean run emits NO regressed field at all
+    val clean = Bench.renderLine(50.0, 48.0, contended = false, source = "none",
+      otherBusyCores = None, commit = None, qs = "{}", sf = "0.1", iters = 3,
+      spreads = "{}", rerunJson = "{}", loadAvgStart = 0.5, loadAvgEnd = 0.5,
+      maxMemMb = 1024, cpus = "32", detailPath = "/tmp/d.json")
+    assert(!clean.contains("regressed"))
+  }
+
+  test("the committed-control tripwire: filename, parsing, and confirm semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctl").toFile
+    try {
+      def write(name: String, body: String): Unit =
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          body.getBytes("UTF-8"))
+      // detail-file format, the exact bytes a control run writes
+      write("BENCH_CONTROL_r11.json",
+        """{"sf":0.1,"cpus":32,"iters":3,"commit":"abc","queries":{
+          |"q_fast":{"median":0.4},"q_heavy":{"median":4.0}}}""".stripMargin)
+      write("BENCH_CONTROL_r9.json",
+        """{"sf":0.1,"cpus":32,"queries":{"q_heavy":{"median":99.0}}}""")
+      write("BENCH_DETAIL.json", // driver-owned, must NEVER be read as a control
+        """{"sf":0.1,"cpus":32,"queries":{"q_heavy":{"median":0.001}}}""")
+      val c = Bench.latestControl(dir.getPath)
+      assert(c.nonEmpty, "no control parsed")
+      // highest round wins; sf/cpus keep their rendered forms; the
+      // driver detail file is invisible to the control lookup
+      assert(c.get.path.endsWith("BENCH_CONTROL_r11.json"))
+      assert(c.get.sf == "0.1" && c.get.cpus == "32" && c.get.commit.contains("abc"))
+      assert(c.get.medians == Map("q_fast" -> 0.4, "q_heavy" -> 4.0))
+      // candidate selection: >2x AND >1s absolute, failed queries exempt
+      def meas(t: Double) = Bench.Measured(Seq(t, t, t), 0.0, failed = false)
+      val results = Map(
+        "q_heavy" -> meas(9.0),   // 2.25x and +5s  -> candidate
+        "q_fast"  -> meas(0.9),   // 2.25x but +0.5s -> sub-second jitter, no
+        "q_new"   -> meas(50.0),  // no control median -> no
+        "q_dead"  -> Bench.Measured(Seq(9.0), 0.0, failed = true)) // -1 median
+      assert(Bench.regressionCandidates(results, c.get.medians).keySet == Set("q_heavy"))
+      // confirmation applies the same bar to the warm rerun time
+      assert(Bench.regressedVs(9.0, 4.0))    // 2.25x, +5s: confirmed
+      assert(!Bench.regressedVs(4.3, 4.0))   // +0.3s: not even 2x
+      assert(!Bench.regressedVs(1.9, 0.9))   // 2.1x but +1.0s: below the floor
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("control lineage: HEAD's own commit is an ancestor, garbage is indeterminate") {
+    assume(new java.io.File(System.getProperty("user.dir"), ".git").exists,
+      "no .git — ancestry is documented-indeterminate outside a repo")
+    val head = Bench.gitHead
+    assume(head.nonEmpty, "gitHead unavailable")
+    // a control stamped at (or dirty-on-top-of) the current HEAD is
+    // same-lineage; the -dirty suffix is stripped before the check
+    assert(Bench.isAncestorOfHead(head.get).contains(true),
+      s"HEAD ${head.get} not its own ancestor?")
+    // unknown hash: indeterminate (None), which the tripwire treats as
+    // comparable — best-effort evidence, not a gate
+    assert(Bench.isAncestorOfHead("0000000000000000000000000000000000000000").isEmpty)
+  }
+
   test("gitHead stamps a plausible commit in this repo") {
     // portability: on a checkout without .git (a source tarball) the
     // stamp is documented-absent, so the pin cancels rather than

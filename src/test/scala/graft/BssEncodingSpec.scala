@@ -193,6 +193,23 @@ class BssEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "lineitem drifted (or died) under a mixed plain+BSS multi-file dir")
   }
 
+  test("invalidateFooterFacts drops stale facts after a same-JVM path rewrite") {
+    // the footer-fact memo assumes a path's layout is immutable while
+    // cached; Bench.resetSession clears it between harness queries so
+    // a rewritten table (rehearsal replica rebuilt in place, reused
+    // fixture dir) is re-probed — without the clear, the pre-rewrite
+    // "no BSS" fact would skip the restage and the scan would die
+    val dir = Files.createTempDirectory(root, "rewrite")
+    val table = dir.resolve("lineitem.parquet")
+    Files.copy(java.nio.file.Paths.get(s"$canonical/lineitem.parquet"), table)
+    val want = rows(Engine.table(spark, dir.toString, "lineitem")) // caches plain facts
+    Files.delete(table)
+    writeBss(spark.read.parquet(s"$canonical/lineitem.parquet"), table.toString)
+    Engine.invalidateFooterFacts()
+    assert(rows(Engine.table(spark, dir.toString, "lineitem")) == want,
+      "post-rewrite read served stale footer facts (or drifted) despite invalidation")
+  }
+
   // q01 aggregates the BSS money doubles; q30 drives the streaming
   // event source (the same execution death, absorbed by the shared
   // safe-path helper) through real MicroBatchExecution
