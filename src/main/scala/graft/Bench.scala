@@ -157,7 +157,8 @@ object Bench {
     * format as the detail file) plus the context that decides whether
     * comparing against it means anything. */
   private[graft] case class Control(path: String, commit: Option[String],
-      sf: String, cpus: String, medians: Map[String, Double])
+      sf: String, cpus: String, maxMemMb: Option[Long],
+      medians: Map[String, Double])
 
   /** The HIGHEST-round BENCH_CONTROL_rNN.json in `dir`, parsed.
     * Controls live under their own filename because the driver
@@ -200,7 +201,8 @@ object Bench {
       if (medians.isEmpty) None
       else Some(Control(f.getPath,
         (j \ "commit") match { case JString(c) => Some(c); case _ => None },
-        rendered(j \ "sf"), rendered(j \ "cpus"), medians))
+        rendered(j \ "sf"), rendered(j \ "cpus"),
+        num(j \ "driver_max_mem_mb").map(_.toLong), medians))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Whether `commit` (a control's stamp; `-dirty` suffix stripped —
@@ -458,15 +460,21 @@ object Bench {
 
     // Regression tripwire: compare per-query medians against the
     // latest COMMITTED clean-window control, where one exists and is
-    // comparable — same sf, same cpus, and not from a foreign lineage
-    // (an indeterminate ancestry check still compares: evidence, not a
-    // gate). Candidates are added to the rerun set below; only a
-    // confirming rerun lands in `regressed`.
+    // comparable — same sf, same cpus, same driver heap (an 8 g JVM
+    // runs the suite ~17 s slower than the driver's 32 g via GC alone
+    // — measured round 12 — which would flag every heavy query), and
+    // not from a foreign lineage (an indeterminate ancestry check
+    // still compares: evidence, not a gate). Candidates are added to
+    // the rerun set below; only a confirming rerun lands in
+    // `regressed`.
+    val maxMemMb = Runtime.getRuntime.maxMemory / (1 << 20)
     val control = latestControl(System.getProperty("user.dir")).filter { c =>
       val comparable = c.sf == sf && c.cpus == jnum(cpus) &&
+        c.maxMemMb.forall(_ == maxMemMb) &&
         c.commit.forall(cm => !isAncestorOfHead(cm).contains(false))
       if (!comparable) System.err.println(
         s"[bench] control ${c.path} (sf=${c.sf}, cpus=${c.cpus}, " +
+          s"mem=${c.maxMemMb.getOrElse(-1L)}, " +
           s"commit=${c.commit.getOrElse("?")}) not comparable to this run — tripwire off")
       comparable
     }
@@ -557,6 +565,7 @@ object Bench {
       (results.values.map(_.loadAtStart).toSeq :+ loadAvgStart).min)
     val commit = gitHead
     detail ++= s"""{"sf":$sf,"cpus":${jnum(cpus)},"iters":$iters,"""
+    detail ++= s""""driver_max_mem_mb":$maxMemMb,"""
     detail ++= commit.map(c => s""""commit":"$c",""").getOrElse("")
     detail ++= s""""load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,"""
     detail ++= s""""load_avg_min":$loadAvgMin,"""
@@ -617,7 +626,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(renderLine(total, minTotal, contended, source, otherBusyCores,
       commit, qs, sf, iters, spreads, rerunJson, loadAvgStart, loadAvgEnd,
-      Runtime.getRuntime.maxMemory / (1 << 20), cpus, detailPath, regressed))
+      maxMemMb, cpus, detailPath, regressed))
     spark.stop()
   }
 

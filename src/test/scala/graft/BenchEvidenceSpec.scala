@@ -229,7 +229,8 @@ class BenchEvidenceSpec extends AnyFunSuite {
           body.getBytes("UTF-8"))
       // detail-file format, the exact bytes a control run writes
       write("BENCH_CONTROL_r11.json",
-        """{"sf":0.1,"cpus":32,"iters":3,"commit":"abc","queries":{
+        """{"sf":0.1,"cpus":32,"iters":3,"driver_max_mem_mb":32768,
+          |"commit":"abc","queries":{
           |"q_fast":{"median":0.4},"q_heavy":{"median":4.0}}}""".stripMargin)
       write("BENCH_CONTROL_r9.json",
         """{"sf":0.1,"cpus":32,"queries":{"q_heavy":{"median":99.0}}}""")
@@ -241,6 +242,12 @@ class BenchEvidenceSpec extends AnyFunSuite {
       // driver detail file is invisible to the control lookup
       assert(c.get.path.endsWith("BENCH_CONTROL_r11.json"))
       assert(c.get.sf == "0.1" && c.get.cpus == "32" && c.get.commit.contains("abc"))
+      // heap is part of comparability: an 8g-vs-32g JVM delta reads as
+      // a uniform slowdown and would flag every heavy query (a control
+      // without the field — pre-round-12 format — compares as before)
+      assert(c.get.maxMemMb.contains(32768L))
+      assert(Bench.parseControl(new java.io.File(dir, "BENCH_CONTROL_r9.json"))
+        .get.maxMemMb.isEmpty)
       assert(c.get.medians == Map("q_fast" -> 0.4, "q_heavy" -> 4.0))
       // candidate selection: >2x AND >1s absolute, failed queries exempt
       def meas(t: Double) = Bench.Measured(Seq(t, t, t), 0.0, failed = false)
