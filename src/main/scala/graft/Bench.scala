@@ -160,13 +160,16 @@ object Bench {
       sf: String, cpus: String, maxMemMb: Option[Long],
       medians: Map[String, Double])
 
-  /** The HIGHEST-round BENCH_CONTROL_rNN.json in `dir`, parsed.
-    * Controls live under their own filename because the driver
-    * overwrites BENCH_DETAIL.json every round — the round-11 clean
-    * control survived only in git history (round-11 verdict item 2).
-    * Best-effort: unreadable/absent → None, the tripwire just stays
-    * off. */
-  private[graft] def latestControl(dir: String): Option[Control] =
+  /** Every BENCH_CONTROL_rNN.json in `dir`, parsed, NEWEST ROUND
+    * FIRST — the caller takes the first COMPARABLE one, so a newer
+    * control at a different sf/cpus/heap (a one-off probe someone
+    * committed) degrades to the older matching control instead of
+    * turning the tripwire off. Controls live under their own filename
+    * because the driver overwrites BENCH_DETAIL.json every round —
+    * the round-11 clean control survived only in git history
+    * (round-11 verdict item 2). Best-effort: unreadable/absent →
+    * empty, the tripwire just stays off. */
+  private[graft] def controls(dir: String): Seq[Control] =
     try {
       val rx = "BENCH_CONTROL_r([0-9]+)\\.json".r
       Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
@@ -174,8 +177,8 @@ object Bench {
           case rx(n) => Some((n.toInt, f))
           case _     => None
         })
-        .sortBy(-_._1).headOption.flatMap { case (_, f) => parseControl(f) }
-    } catch { case scala.util.control.NonFatal(_) => None }
+        .sortBy(-_._1).toSeq.flatMap { case (_, f) => parseControl(f) }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   private[graft] def parseControl(f: java.io.File): Option[Control] =
     try {
@@ -468,16 +471,17 @@ object Bench {
     // the rerun set below; only a confirming rerun lands in
     // `regressed`.
     val maxMemMb = Runtime.getRuntime.maxMemory / (1 << 20)
-    val control = latestControl(System.getProperty("user.dir")).filter { c =>
-      val comparable = c.sf == sf && c.cpus == jnum(cpus) &&
+    val allControls = controls(System.getProperty("user.dir"))
+    val control = allControls.find { c =>
+      c.sf == sf && c.cpus == jnum(cpus) &&
         c.maxMemMb.forall(_ == maxMemMb) &&
         c.commit.forall(cm => !isAncestorOfHead(cm).contains(false))
-      if (!comparable) System.err.println(
-        s"[bench] control ${c.path} (sf=${c.sf}, cpus=${c.cpus}, " +
-          s"mem=${c.maxMemMb.getOrElse(-1L)}, " +
-          s"commit=${c.commit.getOrElse("?")}) not comparable to this run — tripwire off")
-      comparable
     }
+    if (control.isEmpty && allControls.nonEmpty) System.err.println(
+      s"[bench] no committed control comparable to this run " +
+        s"(sf=$sf, cpus=${jnum(cpus)}, mem=$maxMemMb; candidates: " +
+        allControls.map(c => s"${c.path} sf=${c.sf}/cpus=${c.cpus}/" +
+          s"mem=${c.maxMemMb.getOrElse(-1L)}").mkString(", ") + ") — tripwire off")
     val candidates = control.map(c => regressionCandidates(results, c.medians))
       .getOrElse(Map.empty[String, Double])
 

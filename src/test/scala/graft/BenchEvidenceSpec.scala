@@ -236,10 +236,15 @@ class BenchEvidenceSpec extends AnyFunSuite {
         """{"sf":0.1,"cpus":32,"queries":{"q_heavy":{"median":99.0}}}""")
       write("BENCH_DETAIL.json", // driver-owned, must NEVER be read as a control
         """{"sf":0.1,"cpus":32,"queries":{"q_heavy":{"median":0.001}}}""")
-      val c = Bench.latestControl(dir.getPath)
-      assert(c.nonEmpty, "no control parsed")
-      // highest round wins; sf/cpus keep their rendered forms; the
-      // driver detail file is invisible to the control lookup
+      val cs = Bench.controls(dir.getPath)
+      assert(cs.nonEmpty, "no control parsed")
+      // newest round first (so the caller's find() prefers it, but an
+      // incomparable newer control FALLS BACK to an older matching one
+      // instead of disabling the tripwire); sf/cpus keep their rendered
+      // forms; the driver detail file is invisible to the lookup
+      assert(cs.map(c => c.path.takeRight(21)) ==
+        Seq("BENCH_CONTROL_r11.json", "BENCH_CONTROL_r9.json").map(_.takeRight(21)))
+      val c = cs.headOption
       assert(c.get.path.endsWith("BENCH_CONTROL_r11.json"))
       assert(c.get.sf == "0.1" && c.get.cpus == "32" && c.get.commit.contains("abc"))
       // heap is part of comparability: an 8g-vs-32g JVM delta reads as
