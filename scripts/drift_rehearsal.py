@@ -53,6 +53,12 @@ data skew):
            COPY is a realistic whole-WRITER flip (different
            encodings, page layout, metadata) rather than a
            single-knob drift; transparent in principle
+  extracol every table gains an unknown trailing column
+           (_r12_extra_col int64) — additive schema evolution, the
+           driver flip where a future TESTDATA round ships MORE
+           columns than the contract: every consumer and every oracle
+           must project by NAME and survive the superset (no base
+           table is read with SELECT * on either side)
   brotli   every page recompressed brotli — the UNDECODABLE codec
            class: pyarrow/DuckDB ship brotli but no hadoop codec class
            is on this Spark classpath, so NEITHER Spark reader can
@@ -118,7 +124,7 @@ HIVE_PARTITION_COL = {
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[2] not in (
             "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4",
-            "gzip", "duckdb", "brotli"):
+            "gzip", "duckdb", "extracol", "brotli"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -144,6 +150,14 @@ def main() -> None:
         if variant in ("lz4", "gzip", "brotli"):
             pq.write_table(t, out, compression=variant)
             print(f"{name}: recompressed {variant}")
+            continue
+        if variant == "extracol":
+            # trailing so positional consumers would ALSO survive, but
+            # the point is name-projection: nothing on either side may
+            # read the table wholesale
+            extra = pa.array(range(t.num_rows), pa.int64())
+            pq.write_table(t.append_column("_r12_extra_col", extra), out)
+            print(f"{name}: appended _r12_extra_col int64")
             continue
         if variant == "duckdb":
             import duckdb
