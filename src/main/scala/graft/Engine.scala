@@ -180,7 +180,7 @@ object Engine {
     * column chunk carries BYTE_STREAM_SPLIT pages, and the set of
     * compression codecs in use. Extracted in ONE probe pass over the
     * leaf footers (all three facts unioned across ALL leaves — see
-    * [[probeLeafFacts]]) and MEMOIZED per path for the JVM lifetime —
+    * [[probeLeafFacts]]) and MEMOIZED per path until invalidated —
     * the unmemoized version did the pass per table read per
     * iteration; a back-to-back full-suite A/B read 91.1 s vs 91.7 s
     * (adjacent windows at the same HEAD spanned 83.5-96.9 s), i.e.
