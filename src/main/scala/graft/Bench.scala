@@ -153,6 +153,78 @@ object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
+  /** Cumulative STEAL time from /proc/stat's aggregate cpu line, in
+    * microseconds (USER_HZ=100 ticks → ×10,000). On this box /proc is
+    * VM-scoped — user+system+softirq matches the container cgroup's
+    * usage_usec to four significant digits — so the documented load
+    * storms are the hypervisor STARVING this VM, and they surface as
+    * steal. Steal accrues only while our own tasks are
+    * runnable-but-denied, which makes stealΔ/wall the one external-
+    * contention measure the bench's own 32-thread load cannot
+    * contaminate: the 1-minute load average at rerun time reads 5-12
+    * even on the cleanest committed control (BENCH_CONTROL_r12's
+    * rerun_load spans 5.8-11.5 at 0.09 co-tenant cores), so a loadavg
+    * threshold would brand EVERY rerun storm-grade. Calibration on a
+    * quiet window: ~0.35 stolen cores idle, 0.67 under a full 32-core
+    * spin — hence the default storm bar at 2.0 (SPARK_GRAFT_STORM_STEAL
+    * overrides). Absent /proc/stat (non-Linux) → None and the confirm
+    * leg degrades to always-quiet, i.e. pre-round-13 behavior. */
+  private[graft] def procStatStealUsec: Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().collectFirst {
+        // cpu user nice system idle iowait irq softirq STEAL ...
+        case l if l.startsWith("cpu ") =>
+          l.trim.split("\\s+").drop(1).lift(7).map(_.toLong * 10000L)
+      }.flatten finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Storm-grade external starvation over a measured window: at least
+    * `bar` hypervisor-stolen cores on average. */
+  private[graft] def stormGrade(stealCores: Option[Double], bar: Double): Boolean =
+    stealCores.exists(_ >= bar)
+
+  /** What a tripwire candidate's rerun evidence actually proves.
+    * Round 12's driver run showed the exposure this closes: q50's
+    * confirm rerun read 21.4 s under a load storm vs its 4.5 s
+    * control — had q50 been a true candidate, the storm would have
+    * CONFIRMED a false regression into the driver artifact. */
+  private[graft] sealed trait Confirm
+  private[graft] object Confirm {
+    /** Warm rerun back under the bar. Valid on ANY window: external
+      * load only ever slows a run, so a fast rerun exonerates even
+      * mid-storm. */
+    case object Exonerated extends Confirm
+    /** Warm rerun still past the bar on a quiet window: regressed. */
+    case object Confirmed extends Confirm
+    /** Warm rerun past the bar but the window was storm-grade — the
+      * slowness indicts the hypervisor, not the code. The caller
+      * retries once; a still-stormy confirm is DISCARDED (per-query
+      * `rerun_stormy` in the detail file carries the evidence), never
+      * `regressed`. */
+    case object Stormy extends Confirm
+    /** The rerun itself crashed — confirms nothing (round-7 ADVICE:
+      * the old -1 encoding read as an exonerating fast rerun). */
+    case object Unresolved extends Confirm
+  }
+
+  private[graft] def confirmOutcome(rerunWarm: Option[Double], control: Double,
+      stealCores: Option[Double], stormBar: Double): Confirm =
+    rerunWarm match {
+      case None                                  => Confirm.Unresolved
+      case Some(t) if !regressedVs(t, control)   => Confirm.Exonerated
+      case _ if stormGrade(stealCores, stormBar) => Confirm.Stormy
+      case _                                     => Confirm.Confirmed
+    }
+
+  /** One candidate/flag rerun: the warm second execution (None when
+    * either execution crashed), the 1-minute load at window start, the
+    * stolen-cores rate over the whole pair window, and how many pair
+    * attempts were made (2 = the first attempt was a storm-hit
+    * confirm and earned a retry). */
+  private[graft] case class Rerun(warm: Option[Double], load: Double,
+      stealCores: Option[Double], attempts: Int)
+
   /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
     * format as the detail file) plus the context that decides whether
     * comparing against it means anything. */
@@ -180,6 +252,41 @@ object Bench {
         .sortBy(-_._1).toSeq.flatMap { case (_, f) => parseControl(f) }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
+  /** The per-query baseline a control contributes to the tripwire. A
+    * control run can itself be storm-hit on individual queries — the
+    * committed r12 control carries four spread-flagged queries whose
+    * MEDIANS are 1.5-2.6x their own exonerating reruns (q34 1.04 s vs
+    * rerun 0.67 s, q100 1.20 s vs 0.46 s), and a median-only read
+    * dulls the tripwire on exactly those queries (round-12 ADVICE).
+    * Preference: the rerun value where the control recorded one
+    * (reruns exist only for queries the control run itself flagged;
+    * min() guards a rerun that landed in a SECOND storm — control
+    * evidence may only ever tighten), else the fastest iteration when
+    * the control's own spread evidence says the median is suspect,
+    * else the median. */
+  private[graft] def controlBaseline(median: Double, rerun: Option[Double],
+      minIter: Option[Double], spread: Option[Double]): Double =
+    rerun match {
+      case Some(r)                        => math.min(median, r)
+      case None if spread.exists(_ > 1.5) => minIter.fold(median)(math.min(median, _))
+      case None                           => median
+    }
+
+  /** Canonical JSON rendering of a scalar literal. Both sides of the
+    * control comparability check must route through ONE renderer:
+    * parseControl renders the control's sf/cpus via jackson, while the
+    * current run's FALLBACK forms (an sfDir without "sfN" in its name,
+    * a non-numeric SPARK_GRAFT_CPUS) came from the hand-rolled
+    * jstr/jnum — and the two escape control characters differently
+    * (backslash-u000a vs backslash-n), so a pathological sfDir silently disabled the
+    * tripwire on an otherwise-comparable control (round-12 ADVICE).
+    * Unparseable input returns itself; already-canonical bare numbers
+    * and plain quoted strings pass through unchanged. */
+  private[graft] def canonJson(s: String): String =
+    try org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(
+      org.json4s.jackson.JsonMethods.parse(s)))
+    catch { case scala.util.control.NonFatal(_) => s }
+
   private[graft] def parseControl(f: java.io.File): Option[Control] =
     try {
       import org.json4s._
@@ -197,7 +304,9 @@ object Bench {
         org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
       val medians = (j \ "queries") match {
         case JObject(fields) => fields.flatMap { case (k, v) =>
-          num(v \ "median").filter(_ > 0).map(k -> _)
+          num(v \ "median").filter(_ > 0).map(m => k -> controlBaseline(m,
+            num(v \ "rerun").filter(_ > 0), num(v \ "min").filter(_ > 0),
+            num(v \ "spread")))
         }.toMap
         case _ => Map.empty[String, Double]
       }
@@ -258,24 +367,59 @@ object Bench {
     *   - a dirty working tree stamps `<hash>-dirty`: pre-commit A/B
     *     probes are the NORM here (commit-per-milestone), and a clean
     *     hash on uncommitted code sends the next reader to reproduce
-    *     the wrong source;
+    *     the wrong source — EXCEPT edits confined to driver-rewritten
+    *     measurement artifacts (see [[dirtyPaths]]): those are never
+    *     build inputs, and counting them forced every control run to
+    *     be preceded by a manual `git checkout BENCH_DETAIL.json` or
+    *     read `-dirty` from the PREVIOUS run's artifact (round-12
+    *     verdict item 2 — the footgun is deleted, not documented);
     *   - bounded: a hung git (stale index.lock) must not stall the
     *     artifact write that happens right after — 2 s then give up.
     * Best-effort: no repo / no git / timeout → None, field omitted. */
   private[graft] def gitHead: Option[String] =
     try {
-      val p = new ProcessBuilder("git", "describe", "--always", "--dirty",
-          "--abbrev=12", "--exclude=*")
-        .directory(new java.io.File(System.getProperty("user.dir")))
-        .redirectErrorStream(true).start()
-      if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); None
-      } else {
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-        if (p.exitValue == 0 && out.matches("[0-9a-f]{6,40}(-dirty)?")) Some(out)
-        else None
+      def git(args: String*): Option[String] = {
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .directory(new java.io.File(System.getProperty("user.dir")))
+          .redirectErrorStream(true).start()
+        if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); None
+        } else {
+          val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+          if (p.exitValue == 0) Some(out) else None
+        }
       }
+      for {
+        head <- git("rev-parse", "--short=12", "HEAD").map(_.trim)
+          if head.matches("[0-9a-f]{6,40}")
+        // -uno: untracked files never counted dirty, matching the old
+        // `describe --dirty` semantics this replaces
+        status <- git("status", "--porcelain", "-uno")
+      } yield
+        if (dirtyPaths(status.split("\n").toSeq).nonEmpty) s"$head-dirty" else head
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Repo-root files the DRIVER rewrites every round (bench/verify
+    * artifacts, judge output) — or that a control/bench run itself
+    * writes. None is ever a build input, so edits confined to them
+    * must not flip the stamp to `-dirty`. Deliberately a closed list
+    * of exact names: a pattern like "*.json" would swallow a real
+    * source/config file, and wrongly-clean is the dangerous direction. */
+  private[graft] val driverArtifactRx =
+    ("BENCH_DETAIL\\.json|BENCH_r[0-9]+\\.json|BENCH_CONTROL_r[0-9]+\\.json|" +
+     "CORRECTNESS_r[0-9]+\\.json|LEAKCHECK\\.json|COPYCHECK\\.json|" +
+     "VERDICT\\.md|ADVICE\\.md|PROGRESS\\.jsonl").r
+
+  /** `git status --porcelain -uno` lines that make the tree dirty for
+    * attribution purposes: everything except the driver artifacts
+    * above. A rename line (`XY old -> new`) counts clean only when
+    * BOTH sides are artifacts; a git-quoted path (specials in the
+    * name) never matches an artifact name and so counts dirty —
+    * conservative in the safe direction. */
+  private[graft] def dirtyPaths(statusLines: Seq[String]): Seq[String] =
+    statusLines.filter(_.length > 3).map(_.drop(3)).filterNot { body =>
+      body.split(" -> ", 2).forall(p => driverArtifactRx.pattern.matcher(p).matches())
+    }
 
   /** The one-line stdout artifact. Field order is load-bearing both
     * ways because the consumer keeps only the LAST ~2000 chars of
@@ -396,16 +540,22 @@ object Bench {
     val suiteWallT0 = System.nanoTime()
     val cgStart = cgroupCpuUsec
     val ownStart = processCpuUsec
+    val stealStart = procStatStealUsec
     // per-query CPU attribution: (cgroup delta, own-JVM delta) seconds
     // across the query's measured iterations — in the detail file a
     // slow wall time with a flat cgroup delta reads as starvation
     // (host contention / IO), a slow wall with a fat cgroup-minus-own
     // delta reads as in-container co-tenancy
     val qCpu = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    // per-query hypervisor-steal rate (cores) over the measured window:
+    // the storm evidence loadavg cannot give (see procStatStealUsec)
+    val qSteal = scala.collection.mutable.Map.empty[String, Double]
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
       val qCg = cgroupCpuUsec
       val qOwn = processCpuUsec
+      val qSt = procStatStealUsec
+      val qW0 = System.nanoTime()
       var failed = false
       val times = (1 to iters).flatMap { i =>
         val t0 = System.nanoTime()
@@ -431,6 +581,8 @@ object Bench {
       // hygiene, not this query's cost
       for (a <- qCg; b <- cgroupCpuUsec; c <- qOwn; d <- processCpuUsec)
         qCpu(name) = ((b - a) / 1e6, (d - c) / 1e6)
+      for (a <- qSt; b <- procStatStealUsec)
+        qSteal(name) = math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - qW0) / 1e9)
       resetSession(spark)
       syncDisk()
       name -> Measured(times, loadAtStart, failed)
@@ -472,8 +624,11 @@ object Bench {
     // `regressed`.
     val maxMemMb = Runtime.getRuntime.maxMemory / (1 << 20)
     val allControls = controls(System.getProperty("user.dir"))
+    // rendered-to-rendered: the control side came through jackson, so
+    // this run's (possibly jstr-fallback) forms are canonicalized
+    // through the same renderer before comparing (round-12 ADVICE)
     val control = allControls.find { c =>
-      c.sf == sf && c.cpus == jnum(cpus) &&
+      canonJson(c.sf) == canonJson(sf) && canonJson(c.cpus) == canonJson(jnum(cpus)) &&
         c.maxMemMb.forall(_ == maxMemMb) &&
         c.commit.forall(cm => !isAncestorOfHead(cm).contains(false))
     }
@@ -496,38 +651,72 @@ object Bench {
     // reports None (rerun_failed in the detail file), never a number:
     // the old -1.0 encoding sat below every min, so a crashed rerun
     // read as an exonerating fast rerun (ADVICE round-7).
-    val reruns: Map[String, (Option[Double], Double)] =
+    val stormBar = sys.env.get("SPARK_GRAFT_STORM_STEAL").map(_.toDouble).getOrElse(2.0)
+    val reruns: Map[String, Rerun] =
       (rerunTargets(ordered, contended) ++ candidates.keys.toSeq.sorted).distinct.map { k =>
-        val loadAtRerun = loadAvg
-        var rerunFailed = false
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
-            rerunFailed = true
-            -1.0
+        def pair(attempts: Int): Rerun = {
+          val loadAtRerun = loadAvg
+          val st0 = procStatStealUsec
+          val w0 = System.nanoTime()
+          var rerunFailed = false
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
+              rerunFailed = true
+              -1.0
+            }
+            graft.operators.Scratch.releaseAll()
+            syncDisk()
+            t
           }
-          graft.operators.Scratch.releaseAll()
-          syncDisk()
-          t
+          once() // re-warm: the suite evicted this query's page-cache/JIT state
+          val warm = once()
+          // stolen-cores rate over the WHOLE pair window (steal accrues
+          // only under demand, so the idle gaps between executions
+          // dilute it toward zero, never toward a false storm)
+          val steal = for (a <- st0; b <- procStatStealUsec)
+            yield math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - w0) / 1e9)
+          resetSession(spark)
+          Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts)
         }
-        once() // re-warm: the suite evicted this query's page-cache/JIT state
-        val warm = once()
-        resetSession(spark)
-        k -> ((if (rerunFailed) None else Some(warm)), loadAtRerun)
+        var att = pair(1)
+        // a storm-hit CONFIRMING rerun of a tripwire candidate earns one
+        // retry; the documented storms run ~10-15 min so the retry mostly
+        // documents persistence — a still-stormy confirm is discarded by
+        // the outcome fold below
+        if (candidates.get(k).exists(ctl =>
+            confirmOutcome(att.warm, ctl, att.stealCores, stormBar) == Confirm.Stormy))
+          att = pair(2)
+        k -> att
       }.toMap
-    // rerun-confirmed regressions only: a candidate whose rerun is
-    // back under the bar was contention (logged, visible in the detail
-    // file's rerun fields); a candidate whose rerun FAILED confirms
-    // nothing and is likewise left to the detail evidence
-    val regressed: Seq[String] = candidates.collect {
-      case (k, ctl) if reruns.get(k).flatMap(_._1).exists(t => regressedVs(t, ctl)) => k
-    }.toSeq.sorted
+    // rerun-adjudicated regressions only: a candidate whose rerun is
+    // back under the bar was contention (Exonerated — logged, visible
+    // in the detail file's rerun fields); a FAILED rerun confirms
+    // nothing (Unresolved); a confirming rerun under storm-grade
+    // hypervisor steal indicts the storm, not the code (Stormy —
+    // discarded with the evidence in rerun_steal/rerun_stormy, round-12
+    // verdict item 1: a storm-hit rerun of a true candidate must not
+    // land a FALSE `regressed` in the driver artifact)
+    val outcomes: Map[String, Confirm] = candidates.map { case (k, ctl) =>
+      k -> confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
+        reruns.get(k).flatMap(_.stealCores), stormBar)
+    }
+    val regressed: Seq[String] =
+      outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
+    val stormDiscarded: Seq[String] =
+      outcomes.collect { case (k, Confirm.Stormy) => k }.toSeq.sorted
     if (regressed.nonEmpty) System.err.println(
       s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
         regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
           s"${r3(candidates(k))}s)").mkString(", "))
+    if (stormDiscarded.nonEmpty) System.err.println(
+      s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
+        s"(steal >= $stormBar cores): " + stormDiscarded.map(k =>
+          s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
+            s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
+            s"control ${r3(candidates(k))}s)").mkString(", "))
 
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
     // container-scoped contention attribution over the whole suite
@@ -539,6 +728,10 @@ object Bench {
       cg0 <- cgStart; cg1 <- cgroupCpuUsec
       own0 <- ownStart; own1 <- processCpuUsec
     } yield math.max(0.0, ((cg1 - cg0) - (own1 - own0)) / 1e6) / suiteWall
+    // average hypervisor-stolen cores over the whole suite (reruns
+    // included): the external-contention witness loadavg cannot give
+    val suiteStealCores = for (s0 <- stealStart; s1 <- procStatStealUsec)
+      yield math.max(0.0, (s1 - s0) / 1e6) / suiteWall
     val source = contentionSource(
       loadHigh = loadHigh,
       spreadFlag = spreadFlag,
@@ -575,23 +768,33 @@ object Bench {
     detail ++= s""""load_avg_min":$loadAvgMin,"""
     detail ++= s""""contended":$contended,"contention_source":"$source","""
     detail ++= otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
+    detail ++= suiteStealCores.map(s => s""""steal_cores":${r2(s)},""").getOrElse("")
     control.foreach(c => detail ++= s""""control":${jstr(c.path)},""")
     if (regressed.nonEmpty)
       detail ++= regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
+    if (stormDiscarded.nonEmpty)
+      detail ++= stormDiscarded.map(jstr)
+        .mkString(""""regressed_discarded_storm":[""", ",", "],")
     detail ++= s""""queries":{"""
     detail ++= ordered.map { case (k, m) =>
       val ts = m.times.map(r3).mkString("[", ",", "]")
-      val rerun = reruns.get(k).map {
-        case (Some(t), l) => s""","rerun":${r3(t)},"rerun_load":${r2(l)}"""
-        case (None, l) => s""","rerun_failed":true,"rerun_load":${r2(l)}"""
+      val rerun = reruns.get(k).map { r =>
+        val extra = r.stealCores.map(v => s""","rerun_steal":${r2(v)}""").getOrElse("") +
+          (if (r.attempts > 1) s""","rerun_attempts":${r.attempts}""" else "") +
+          (if (stormDiscarded.contains(k)) s""","rerun_stormy":true""" else "")
+        r.warm match {
+          case Some(t) => s""","rerun":${r3(t)},"rerun_load":${r2(r.load)}$extra"""
+          case None    => s""","rerun_failed":true,"rerun_load":${r2(r.load)}$extra"""
+        }
       }.getOrElse("")
       val cpu = qCpu.get(k).map { case (cg, own) =>
         s""","cg_cpu":${r2(cg)},"own_cpu":${r2(own)}"""
       }.getOrElse("")
+      val st = qSteal.get(k).map(v => s""","steal":${r2(v)}""").getOrElse("")
       val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
-        s""""failed":${m.failed}$cpu$ctl$rerun}"""
+        s""""failed":${m.failed}$cpu$st$ctl$rerun}"""
     }.mkString(",")
     detail ++= "}}\n"
     try {
@@ -625,8 +828,8 @@ object Bench {
     // consumer's 2000-char tail window always keeps one complete,
     // brace-balanced summary object.
     val rerunJson = ordered.collect {
-      case (k, _) if reruns.get(k).exists(_._1.isDefined) =>
-        "\"" + k + "\":" + r3(reruns(k)._1.get)
+      case (k, _) if reruns.get(k).exists(_.warm.isDefined) =>
+        "\"" + k + "\":" + r3(reruns(k).warm.get)
     }.mkString("{", ",", "}")
     println(renderLine(total, minTotal, contended, source, otherBusyCores,
       commit, qs, sf, iters, spreads, rerunJson, loadAvgStart, loadAvgEnd,

@@ -211,6 +211,13 @@ object Engine {
   def invalidateFooterFacts(): Unit = {
     leafFactsCache.clear()
     bssStageCache.clear()
+    // classpath-derived, not path-derived, but the codec guard's
+    // "dynamic by design" promise (drop a brotli jar in and the read
+    // works) held only across JVM restarts while this memo lived for
+    // the JVM lifetime — clear it with the rest; re-probing costs one
+    // Class.forName per DISTINCT codec name per harness query
+    // (round-12 ADVICE)
+    codecClassCache.clear()
   }
 
   private def leafFacts(spark: SparkSession, path: String): LeafFacts = {
@@ -247,7 +254,9 @@ object Engine {
     * class). Dynamic by design: dropping a brotli-codec jar onto the
     * deployment classpath makes the guard pass and the read just work.
     * Memoized per codec name (Class.forName on a miss costs a
-    * classloader scan per call otherwise). */
+    * classloader scan per call otherwise); the memo is dropped by
+    * [[invalidateFooterFacts]] alongside the footer facts, so the
+    * dynamic promise holds per harness query, not just per JVM. */
   private val codecClassCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[String]]
 

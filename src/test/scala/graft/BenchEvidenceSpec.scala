@@ -297,14 +297,125 @@ class BenchEvidenceSpec extends AnyFunSuite {
       s"gitHead returned $h in a git repo — artifacts would lose attribution")
     // this test runs from a session with uncommitted edits often
     // enough that asserting either clean or dirty would flake; the
-    // -dirty MECHANISM is what matters — porcelain status and the
-    // suffix must agree
-    val status = new ProcessBuilder("git", "status", "--porcelain")
+    // -dirty MECHANISM is what matters — porcelain status (tracked
+    // files, minus the driver-artifact exclusions gitHead applies)
+    // and the suffix must agree
+    val status = new ProcessBuilder("git", "status", "--porcelain", "-uno")
       .directory(new java.io.File(System.getProperty("user.dir"))).start()
-    val dirty = new String(status.getInputStream.readAllBytes, "UTF-8").trim.nonEmpty
+    val lines = new String(status.getInputStream.readAllBytes, "UTF-8")
+      .split("\n").toSeq
     status.waitFor()
+    val dirty = Bench.dirtyPaths(lines).nonEmpty
     assert(h.get.endsWith("-dirty") == dirty,
       s"gitHead says ${h.get} but porcelain dirty=$dirty — pre-commit probe " +
         "artifacts would be attributed to the wrong source")
+  }
+
+  test("driver-rewritten artifacts never dirty the commit stamp") {
+    // the round-12 control-run footgun: a bench run rewrites
+    // BENCH_DETAIL.json, so the NEXT control run stamped `-dirty` from
+    // the PREVIOUS run's artifact unless the operator remembered a
+    // manual `git checkout` first. Artifact-only edits are clean;
+    // any source edit still dirties.
+    def d(lines: String*) = Bench.dirtyPaths(lines)
+    assert(d(" M BENCH_DETAIL.json").isEmpty)
+    assert(d(" M BENCH_r12.json", " M CORRECTNESS_r12.json",
+      " M BENCH_CONTROL_r12.json", " M LEAKCHECK.json", " M COPYCHECK.json",
+      " M VERDICT.md", " M ADVICE.md", " M PROGRESS.jsonl").isEmpty)
+    // a real file edit dirties, alone or alongside artifacts
+    assert(d(" M src/main/scala/graft/Bench.scala") ==
+      Seq("src/main/scala/graft/Bench.scala"))
+    assert(d(" M BENCH_DETAIL.json", " M build.sbt") == Seq("build.sbt"))
+    // near-miss names are NOT artifacts (closed list, wrongly-clean is
+    // the dangerous direction): a nested copy, a prefix, a tweak
+    assert(d(" M docs/BENCH_DETAIL.json").nonEmpty)
+    assert(d(" M BENCH_DETAIL.json.bak").nonEmpty)
+    assert(d(" M BENCH_rXX.json").nonEmpty)
+    // renames: clean only when BOTH sides are artifacts
+    assert(d("R  BENCH_r11.json -> BENCH_r12.json").isEmpty)
+    assert(d("R  BENCH_r11.json -> src/kept.json").nonEmpty)
+    assert(d("R  build.sbt -> BENCH_DETAIL.json").nonEmpty)
+    // blank separator lines are ignored
+    assert(d("", " M ADVICE.md").isEmpty)
+  }
+
+  test("storm-grade rerun windows cannot confirm a regression") {
+    // round-12 verdict item 1: q50's confirm rerun read 21.4s under a
+    // load storm vs its 4.5s control — a storm-hit rerun of a true
+    // candidate would land a FALSE `regressed` in the driver artifact.
+    // The storm witness is hypervisor steal over the rerun window
+    // (loadavg is self-contaminated: the clean r12 control's
+    // rerun_load spans 5.8-11.5), bar 2.0 stolen cores vs the
+    // quiet-window calibration of 0.35 idle / 0.67 under full demand.
+    import Bench.Confirm._
+    def o(warm: Option[Double], ctl: Double, steal: Option[Double]) =
+      Bench.confirmOutcome(warm, ctl, steal, stormBar = 2.0)
+    // quiet window, still past the bar: a real regression
+    assert(o(Some(21.4), 4.5, Some(0.4)) == Confirmed)
+    // same rerun under storm-grade steal: indicts the storm, discarded
+    assert(o(Some(21.4), 4.5, Some(6.0)) == Stormy)
+    // a fast rerun exonerates on ANY window — external load only ever
+    // slows a run, so mid-storm exoneration is valid evidence
+    assert(o(Some(4.6), 4.5, Some(9.0)) == Exonerated)
+    assert(o(Some(4.6), 4.5, Some(0.1)) == Exonerated)
+    // a crashed rerun confirms nothing (round-7 ADVICE shape)
+    assert(o(None, 4.5, Some(0.0)) == Unresolved)
+    // steal unavailable (non-Linux): degrade to pre-round-13 confirm
+    assert(o(Some(21.4), 4.5, None) == Confirmed)
+    assert(Bench.stormGrade(Some(2.0), 2.0) && !Bench.stormGrade(Some(1.9), 2.0))
+    assert(!Bench.stormGrade(None, 2.0))
+    // the witness itself is readable on this box (degrades by name off-Linux)
+    assume(new java.io.File("/proc/stat").exists, "no /proc/stat — documented degradation")
+    val s = Bench.procStatStealUsec
+    assert(s.nonEmpty && s.get >= 0L)
+    assert(Bench.procStatStealUsec.get >= s.get) // monotone
+  }
+
+  test("a storm-hit control's inflated medians yield tightened baselines") {
+    // round-12 ADVICE: the committed r12 control carries four
+    // spread-flagged queries whose medians are 1.5-2.6x their own
+    // exonerating reruns; a median-only read dulls the tripwire on
+    // exactly those queries
+    import Bench.controlBaseline
+    // unflagged: the median stands
+    assert(controlBaseline(4.0, None, Some(3.8), Some(1.05)) == 4.0)
+    // flagged with a rerun: the rerun is the clean evidence (q34 shape)
+    assert(controlBaseline(1.039, Some(0.667), Some(0.892), Some(2.4)) == 0.667)
+    // a rerun that landed in a SECOND storm may only tighten, never loosen
+    assert(controlBaseline(1.0, Some(5.0), Some(0.9), Some(2.0)) == 1.0)
+    // spread-flagged but rerun-less (crashed rerun): fastest iteration
+    assert(controlBaseline(4.73, None, Some(4.713), Some(2.35)) == 4.713)
+    // pre-round-13 control format (median only) parses as before
+    assert(controlBaseline(4.0, None, None, None) == 4.0)
+    // end-to-end through parseControl: the r12-control shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctlb").toFile
+    try {
+      val f = new java.io.File(dir, "BENCH_CONTROL_r12.json")
+      java.nio.file.Files.write(f.toPath,
+        """{"sf":0.1,"cpus":32,"queries":{
+          |"q_flagged":{"iters":[4.7,1.04,2.4],"min":0.892,"median":1.039,
+          |"spread":2.4,"failed":false,"rerun":0.667,"rerun_load":5.79},
+          |"q_clean":{"iters":[2.0,2.0,2.0],"min":2.0,"median":2.0,
+          |"spread":1.0,"failed":false}}}""".stripMargin.getBytes("UTF-8"))
+      val c = Bench.parseControl(f)
+      assert(c.exists(_.medians == Map("q_flagged" -> 0.667, "q_clean" -> 2.0)))
+    } finally { dir.listFiles.foreach(_.delete()); dir.delete() }
+  }
+
+  test("control comparability canonicalizes both sides through one renderer") {
+    // round-12 ADVICE: jstr escapes a control char as backslash-u000a
+    // while jackson renders backslash-n — exact-form equality between a jstr fallback
+    // (sfDir without "sfN", non-numeric cpus) and the control file's
+    // jackson-rendered field silently disabled the tripwire
+    val weird = "dir\nwith\tctrl"
+    val jackson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(weird)))
+    assert(Bench.jstr(weird) != jackson, "escaping divergence gone — keep the pin anyway")
+    assert(Bench.canonJson(Bench.jstr(weird)) == Bench.canonJson(jackson))
+    // bare numbers and plain strings are fixed points
+    assert(Bench.canonJson("0.1") == "0.1" && Bench.canonJson("32") == "32")
+    assert(Bench.canonJson("\"sf0.1x\"") == "\"sf0.1x\"")
+    // unparseable input returns itself (comparability degrades, never throws)
+    assert(Bench.canonJson("not json at all") == "not json at all")
   }
 }
