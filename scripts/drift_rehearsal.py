@@ -9,7 +9,7 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4|brotli> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4|gzip|duckdb|extracol|delta|brotli> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
     # EXCEPT brotli: the expected outcome is every table-reading query
@@ -47,6 +47,16 @@ data skew):
            spec-pinned, and lz4 rehearsed, this completes the
            decodable-codec matrix (hadoop's GzipCodec ships in the
            Spark distribution; transparent in principle)
+  delta    every leaf re-encoded with the page-v2 DELTA family:
+           DELTA_BINARY_PACKED on INT32/INT64 leaves (ids, dates,
+           timestamps), DELTA_BYTE_ARRAY on BYTE_ARRAY leaves
+           (strings, binary), PLAIN elsewhere (floats/bools have no
+           DELTA form), dictionary off so the target encodings
+           actually land on the pages, data pages v2 — the remaining
+           DECODABLE encoding family beyond the BSS/dictionary/layout
+           pins, which Spark's vectorized reader implements on a
+           separate code path from PLAIN/dictionary; transparent in
+           principle
   duckdb   every table rewritten by DuckDB's OWN parquet writer
            (COPY ... TO (FORMAT PARQUET)) — the driver toolchain
            ships duckdb, so a generator swap from pyarrow to DuckDB
@@ -124,7 +134,7 @@ HIVE_PARTITION_COL = {
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[2] not in (
             "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4",
-            "gzip", "duckdb", "extracol", "brotli"):
+            "gzip", "duckdb", "extracol", "delta", "brotli"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
@@ -173,6 +183,32 @@ def main() -> None:
             finally:
                 con.close()
             print(f"{name}: rewritten by DuckDB's parquet writer")
+            continue
+        if variant == "delta":
+            # per-leaf DELTA encodings (top-level primitives and
+            # list<primitive> leaves — the same dotted-path addressing
+            # the bss mode uses). pyarrow requires dictionary OFF where
+            # an explicit encoding is set; v2 data pages are where
+            # writers that pick DELTA by default put them.
+            def delta_enc(typ):
+                if (pa.types.is_integer(typ) or pa.types.is_timestamp(typ)
+                        or pa.types.is_date(typ)):
+                    return "DELTA_BINARY_PACKED"
+                if (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+                        or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+                    return "DELTA_BYTE_ARRAY"
+                return "PLAIN"  # floats/bools: no DELTA form
+            enc = {}
+            for f in t.schema:
+                if pa.types.is_list(f.type):
+                    enc[f"{f.name}.list.element"] = delta_enc(f.type.value_type)
+                else:
+                    enc[f.name] = delta_enc(f.type)
+            pq.write_table(t, out, use_dictionary=False, column_encoding=enc,
+                           version="2.6", data_page_version="2.0")
+            deltas = sorted(k for k, v in enc.items() if v != "PLAIN")
+            print(f"{name}: DELTA-encoded {len(deltas)} leaf/leaves: "
+                  f"{', '.join(deltas) or '-'}")
             continue
         if variant == "bss":
             # top-level float columns AND nested list<float> leaves

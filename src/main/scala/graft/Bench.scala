@@ -43,7 +43,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     as a confirmed regression) and in a compact stdout map: a
   *     rerun near the query's min resolves the flag as contention
   *     in-artifact; a rerun near the max on a quiet rerun window says
-  *     the slowdown is real;
+  *     the slowdown is real — where "quiet" is judged by hypervisor
+  *     STEAL over the rerun window, not loadavg (see
+  *     [[procStatStealUsec]] / [[confirmOutcome]]): a tripwire
+  *     candidate whose confirming rerun ran storm-grade is retried
+  *     once and then discarded, never `regressed`;
   *   - the consumer keeps only the LAST ~2000 chars of stdout, so the
   *     queries map is ordered by ascending median — the expensive
   *     (interesting) queries and the contention evidence land in the
