@@ -173,13 +173,28 @@ object Bench {
     * spin — hence the default storm bar at 2.0 (SPARK_GRAFT_STORM_STEAL
     * overrides). Absent /proc/stat (non-Linux) → None and the confirm
     * leg degrades to always-quiet, i.e. pre-round-13 behavior. */
-  private[graft] def procStatStealUsec: Option[Long] =
+  private[graft] def procStatStealUsec: Option[Long] = procStatField(7)
+
+  /** Cumulative IOWAIT, same units/source — recorded as EVIDENCE
+    * alongside steal (per-query `iowait`, per-rerun `rerun_iowait`)
+    * but NEVER an input to storm grading: iowait is OUR tasks waiting
+    * on IO, so a genuine regression that adds spill IO would read as
+    * an "iowait storm" and wrongly discard its own confirmation. The
+    * field exists to let a reviewer tell a shared-storage disruption
+    * (iowait-shaped) from a hypervisor storm (steal-shaped) from a
+    * heap episode (own_cpu-shaped, like the r13 control-hunt's q18 at
+    * [17.3, 52.6, 8.9] with 705 s own CPU and 0.48 steal). */
+  private[graft] def procStatIowaitUsec: Option[Long] = procStatField(4)
+
+  /** /proc/stat aggregate-cpu field at `idx` (0=user … 4=iowait,
+    * 7=steal), USER_HZ(=100) ticks → microseconds. */
+  private def procStatField(idx: Int): Option[Long] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().collectFirst {
-        // cpu user nice system idle iowait irq softirq STEAL ...
+        // cpu user nice system idle IOWAIT irq softirq STEAL ...
         case l if l.startsWith("cpu ") =>
-          l.trim.split("\\s+").drop(1).lift(7).map(_.toLong * 10000L)
+          l.trim.split("\\s+").drop(1).lift(idx).map(_.toLong * 10000L)
       }.flatten finally src.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -227,7 +242,8 @@ object Bench {
     * attempts were made (2 = the first attempt was a storm-hit
     * confirm and earned a retry). */
   private[graft] case class Rerun(warm: Option[Double], load: Double,
-      stealCores: Option[Double], attempts: Int)
+      stealCores: Option[Double], attempts: Int,
+      iowaitCores: Option[Double] = None)
 
   /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
     * format as the detail file) plus the context that decides whether
@@ -554,11 +570,13 @@ object Bench {
     // per-query hypervisor-steal rate (cores) over the measured window:
     // the storm evidence loadavg cannot give (see procStatStealUsec)
     val qSteal = scala.collection.mutable.Map.empty[String, Double]
+    val qIowait = scala.collection.mutable.Map.empty[String, Double]
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
       val qCg = cgroupCpuUsec
       val qOwn = processCpuUsec
       val qSt = procStatStealUsec
+      val qIo = procStatIowaitUsec
       val qW0 = System.nanoTime()
       var failed = false
       val times = (1 to iters).flatMap { i =>
@@ -587,6 +605,8 @@ object Bench {
         qCpu(name) = ((b - a) / 1e6, (d - c) / 1e6)
       for (a <- qSt; b <- procStatStealUsec)
         qSteal(name) = math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - qW0) / 1e9)
+      for (a <- qIo; b <- procStatIowaitUsec)
+        qIowait(name) = math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - qW0) / 1e9)
       resetSession(spark)
       syncDisk()
       name -> Measured(times, loadAtStart, failed)
@@ -661,6 +681,7 @@ object Bench {
         def pair(attempts: Int): Rerun = {
           val loadAtRerun = loadAvg
           val st0 = procStatStealUsec
+          val io0 = procStatIowaitUsec
           val w0 = System.nanoTime()
           var rerunFailed = false
           def once(): Double = {
@@ -682,8 +703,11 @@ object Bench {
           // dilute it toward zero, never toward a false storm)
           val steal = for (a <- st0; b <- procStatStealUsec)
             yield math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - w0) / 1e9)
+          val iowait = for (a <- io0; b <- procStatIowaitUsec)
+            yield math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - w0) / 1e9)
           resetSession(spark)
-          Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts)
+          Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts,
+            iowait)
         }
         var att = pair(1)
         // a storm-hit CONFIRMING rerun of a tripwire candidate earns one
@@ -784,6 +808,7 @@ object Bench {
       val ts = m.times.map(r3).mkString("[", ",", "]")
       val rerun = reruns.get(k).map { r =>
         val extra = r.stealCores.map(v => s""","rerun_steal":${r2(v)}""").getOrElse("") +
+          r.iowaitCores.map(v => s""","rerun_iowait":${r2(v)}""").getOrElse("") +
           (if (r.attempts > 1) s""","rerun_attempts":${r.attempts}""" else "") +
           (if (stormDiscarded.contains(k)) s""","rerun_stormy":true""" else "")
         r.warm match {
@@ -794,7 +819,8 @@ object Bench {
       val cpu = qCpu.get(k).map { case (cg, own) =>
         s""","cg_cpu":${r2(cg)},"own_cpu":${r2(own)}"""
       }.getOrElse("")
-      val st = qSteal.get(k).map(v => s""","steal":${r2(v)}""").getOrElse("")
+      val st = qSteal.get(k).map(v => s""","steal":${r2(v)}""").getOrElse("") +
+        qIowait.get(k).map(v => s""","iowait":${r2(v)}""").getOrElse("")
       val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +

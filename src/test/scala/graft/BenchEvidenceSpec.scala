@@ -369,6 +369,10 @@ class BenchEvidenceSpec extends AnyFunSuite {
     val s = Bench.procStatStealUsec
     assert(s.nonEmpty && s.get >= 0L)
     assert(Bench.procStatStealUsec.get >= s.get) // monotone
+    // iowait rides the same reader as evidence-only (NEVER storm
+    // grading — own spill IO would wrongly discard a true confirm)
+    val io = Bench.procStatIowaitUsec
+    assert(io.nonEmpty && io.get >= 0L)
   }
 
   test("a storm-hit control's inflated medians yield tightened baselines") {
