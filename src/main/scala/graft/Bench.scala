@@ -763,7 +763,9 @@ object Bench {
     val source = contentionSource(
       loadHigh = loadHigh,
       spreadFlag = spreadFlag,
-      otherBusyCores = otherBusyCores)
+      otherBusyCores = otherBusyCores,
+      maxQuerySteal = qSteal.values.maxOption,
+      stormBar = stormBar)
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -915,20 +917,31 @@ object Bench {
     * in-container CPU rate over the suite — (cgroupΔ − own JVMΔ) /
     * suite wall seconds, i.e. how many cores something ELSE inside
     * this container burned on average while we measured.
+    * `maxQuerySteal` is the largest per-query stolen-cores rate (the
+    * suite AVERAGE dilutes a 10-minute storm over a 20-minute run to
+    * sub-bar values — both r13 control-hunt attempts averaged ≤ 0.34
+    * while one query ran under 3.24 stolen cores).
     *   - ≥ 0.5 cores of non-bench container work → "container" (the
     *     run contended with in-container activity; both the r8 and r9
     *     driver runs could only say "load was high");
+    *   - storm-grade steal on some query → "hypervisor" (directly
+    *     measured external starvation — sharper than the loadavg
+    *     inference below, and the only witness when the 1-minute
+    *     average hasn't risen yet);
     *   - otherwise, a high host load average with a quiet container →
-    *     "host" (co-tenant containers on the shared kernel);
-    *   - spread-flag only, container quiet, no load indictment →
-    *     "unknown" (transient spike or IO stall — the evidence
-    *     doesn't name a culprit);
+    *     "host" (external to the VM, shape unmeasured);
+    *   - spread-flag only, container quiet, no steal, no load
+    *     indictment → "unknown" (own-JVM heap episode or IO stall —
+    *     the evidence doesn't name an external culprit);
     *   - nothing indicts → "none".
     * Pinned in BenchEvidenceSpec. */
   private[graft] def contentionSource(loadHigh: Boolean, spreadFlag: Boolean,
-      otherBusyCores: Option[Double]): String =
+      otherBusyCores: Option[Double], maxQuerySteal: Option[Double] = None,
+      stormBar: Double = 2.0): String =
     otherBusyCores match {
       case Some(b) if b >= 0.5 && (loadHigh || spreadFlag) => "container"
+      case _ if (loadHigh || spreadFlag) && stormGrade(maxQuerySteal, stormBar) =>
+        "hypervisor"
       case _ if loadHigh => "host"
       case _ if spreadFlag => "unknown"
       case _ => "none"

@@ -110,6 +110,25 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(Bench.contentionSource(loadHigh = false, spreadFlag = false,
       Some(2.0)) == "none")
     assert(Bench.contentionSource(loadHigh = false, spreadFlag = false, None) == "none")
+    // storm-grade steal on SOME query names the hypervisor directly —
+    // sharper than the loadavg "host" inference, and the only witness
+    // when the 1-minute average hasn't risen (both r13 control-hunt
+    // attempts: suite steal ≤0.34, one query at 3.24, old verdict
+    // "unknown")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.1), maxQuerySteal = Some(3.24)) == "hypervisor")
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = false,
+      Some(0.1), maxQuerySteal = Some(2.5)) == "hypervisor")
+    // container evidence still wins (most specific witness)
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = true,
+      Some(2.3), maxQuerySteal = Some(9.0)) == "container")
+    // sub-bar steal changes nothing: the q18 heap episode (0.48 steal)
+    // must stay "unknown", not get blamed on the hypervisor
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxQuerySteal = Some(0.48)) == "unknown")
+    // steal on a run nothing flagged is context, not an indictment
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = false,
+      Some(0.0), maxQuerySteal = Some(5.0)) == "none")
   }
 
   test("container CPU counters are readable where a cgroup hierarchy exists") {
