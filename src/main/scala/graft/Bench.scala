@@ -203,6 +203,18 @@ object Bench {
   private[graft] def stormGrade(stealCores: Option[Double], bar: Double): Boolean =
     stealCores.exists(_ >= bar)
 
+  /** The storm bar from SPARK_GRAFT_STORM_STEAL, validated EAGERLY —
+    * main() calls this at start, alongside the controlRound check: the
+    * value is consumed only after the full suite has run, and a bare
+    * .toDouble on a malformed value ('2,0') would throw post-suite and
+    * lose the entire run's artifacts (round-13 ADVICE). */
+  private[graft] def parseStormBar(env: Option[String]): Double =
+    env.map { s =>
+      require(s.matches("[0-9]+(\\.[0-9]+)?"),
+        s"SPARK_GRAFT_STORM_STEAL must be a plain non-negative number, got '$s'")
+      s.toDouble
+    }.getOrElse(2.0)
+
   /** What a tripwire candidate's rerun evidence actually proves.
     * Round 12's driver run showed the exposure this closes: q50's
     * confirm rerun read 21.4 s under a load storm vs its 4.5 s
@@ -238,8 +250,9 @@ object Bench {
 
   /** One candidate/flag rerun: the warm second execution (None when
     * either execution crashed), the 1-minute load at window start, the
-    * stolen-cores rate over the whole pair window, and how many pair
-    * attempts were made (2 = the first attempt was a storm-hit
+    * stolen-cores rate over the WARM leg's execution window (the one
+    * that produced the reported time — round-13 ADVICE), and how many
+    * pair attempts were made (2 = the first attempt was a storm-hit
     * confirm and earned a retry). */
   private[graft] case class Rerun(warm: Option[Double], load: Double,
       stealCores: Option[Double], attempts: Int,
@@ -399,15 +412,24 @@ object Bench {
   private[graft] def gitHead: Option[String] =
     try {
       def git(args: String*): Option[String] = {
-        val p = new ProcessBuilder(("git" +: args): _*)
-          .directory(new java.io.File(System.getProperty("user.dir")))
-          .redirectErrorStream(true).start()
-        if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly(); None
-        } else {
-          val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-          if (p.exitValue == 0) Some(out) else None
-        }
+        // output drained through a temp file, never the pipe: `status
+        // --porcelain` on a 1000+-modified-file tree exceeds the ~64 KB
+        // pipe buffer, blocking the child until EOF that never comes —
+        // the 2 s timeout then fires and the stamp is silently omitted
+        // (the old `describe --dirty` had bounded output; round-13
+        // ADVICE). A file sink never back-pressures the child.
+        val sink = java.nio.file.Files.createTempFile("graft-git", ".out")
+        try {
+          val p = new ProcessBuilder(("git" +: args): _*)
+            .directory(new java.io.File(System.getProperty("user.dir")))
+            .redirectErrorStream(true)
+            .redirectOutput(sink.toFile).start()
+          if (!p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)) {
+            p.destroyForcibly(); None
+          } else if (p.exitValue == 0)
+            Some(new String(java.nio.file.Files.readAllBytes(sink), "UTF-8"))
+          else None
+        } finally java.nio.file.Files.deleteIfExists(sink)
       }
       for {
         head <- git("rev-parse", "--short=12", "HEAD").map(_.trim)
@@ -437,9 +459,17 @@ object Bench {
     * name) never matches an artifact name and so counts dirty —
     * conservative in the safe direction. */
   private[graft] def dirtyPaths(statusLines: Seq[String]): Seq[String] =
-    statusLines.filter(_.length > 3).map(_.drop(3)).filterNot { body =>
-      body.split(" -> ", 2).forall(p => driverArtifactRx.pattern.matcher(p).matches())
-    }
+    statusLines.filter(_.length > 3).filterNot { line =>
+      // ' -> ' is a path separator only on rename/copy lines (status
+      // code R or C); splitting unconditionally would count CLEAN a
+      // modified tracked file literally named `A -> B` with artifact
+      // names on both sides — v1 porcelain doesn't quote spaces, and
+      // wrongly-clean is the dangerous direction (round-13 ADVICE)
+      val isRenameOrCopy = line.take(2).exists(c => c == 'R' || c == 'C')
+      val body = line.drop(3)
+      val parts = if (isRenameOrCopy) body.split(" -> ", 2).toSeq else Seq(body)
+      parts.forall(p => driverArtifactRx.pattern.matcher(p).matches())
+    }.map(_.drop(3))
 
   /** The one-line stdout artifact. Field order is load-bearing both
     * ways because the consumer keeps only the LAST ~2000 chars of
@@ -512,6 +542,8 @@ object Bench {
     val controlRound = sys.env.get("SPARK_GRAFT_CONTROL_ROUND")
     controlRound.foreach(r => require(r.matches("[0-9]+"),
       s"SPARK_GRAFT_CONTROL_ROUND must be a round number, got '$r'"))
+    // same fail-fast contract as controlRound (round-13 ADVICE)
+    val stormBar = parseStormBar(sys.env.get("SPARK_GRAFT_STORM_STEAL"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -675,16 +707,24 @@ object Bench {
     // reports None (rerun_failed in the detail file), never a number:
     // the old -1.0 encoding sat below every min, so a crashed rerun
     // read as an exonerating fast rerun (ADVICE round-7).
-    val stormBar = sys.env.get("SPARK_GRAFT_STORM_STEAL").map(_.toDouble).getOrElse(2.0)
     val reruns: Map[String, Rerun] =
       (rerunTargets(ordered, contended) ++ candidates.keys.toSeq.sorted).distinct.map { k =>
         def pair(attempts: Int): Rerun = {
           val loadAtRerun = loadAvg
-          val st0 = procStatStealUsec
-          val io0 = procStatIowaitUsec
-          val w0 = System.nanoTime()
           var rerunFailed = false
-          def once(): Double = {
+          // steal/iowait sampled PER LEG, around the execution only:
+          // storm grading must reflect the window that produced the
+          // CONFIRMING (warm) time. Averaged over the whole pair, a
+          // ~3-stolen-core storm confined to the warm leg dilutes to
+          // ~1.5 — under the 2.0 bar — and a storm-inflated rerun
+          // lands a false Confirmed (round-13 ADVICE; the old comment
+          // only covered dilution toward false storms). The warm-up
+          // leg's rates are deliberately NOT an input to grading:
+          // steal slows only the window it hits, so a storm there
+          // cannot have inflated the warm time.
+          def leg(): (Double, Option[Double], Option[Double]) = {
+            val s0 = procStatStealUsec
+            val i0 = procStatIowaitUsec
             val t0 = System.nanoTime()
             val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
             catch { case scala.util.control.NonFatal(e) =>
@@ -692,19 +732,17 @@ object Bench {
               rerunFailed = true
               -1.0
             }
+            val wall = (System.nanoTime() - t0) / 1e9
+            val st = for (a <- s0; b <- procStatStealUsec)
+              yield math.max(0.0, (b - a) / 1e6) / wall
+            val io = for (a <- i0; b <- procStatIowaitUsec)
+              yield math.max(0.0, (b - a) / 1e6) / wall
             graft.operators.Scratch.releaseAll()
             syncDisk()
-            t
+            (t, st, io)
           }
-          once() // re-warm: the suite evicted this query's page-cache/JIT state
-          val warm = once()
-          // stolen-cores rate over the WHOLE pair window (steal accrues
-          // only under demand, so the idle gaps between executions
-          // dilute it toward zero, never toward a false storm)
-          val steal = for (a <- st0; b <- procStatStealUsec)
-            yield math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - w0) / 1e9)
-          val iowait = for (a <- io0; b <- procStatIowaitUsec)
-            yield math.max(0.0, (b - a) / 1e6) / ((System.nanoTime() - w0) / 1e9)
+          leg() // re-warm: the suite evicted this query's page-cache/JIT state
+          val (warm, steal, iowait) = leg()
           resetSession(spark)
           Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts,
             iowait)

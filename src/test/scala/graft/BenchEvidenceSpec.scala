@@ -354,8 +354,26 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(d("R  BENCH_r11.json -> BENCH_r12.json").isEmpty)
     assert(d("R  BENCH_r11.json -> src/kept.json").nonEmpty)
     assert(d("R  build.sbt -> BENCH_DETAIL.json").nonEmpty)
+    // the ' -> ' split applies ONLY to rename/copy status codes: a
+    // MODIFIED file literally named with ' -> ' and artifact names on
+    // both sides must count dirty (round-13 ADVICE — v1 porcelain
+    // doesn't quote spaces, wrongly-clean is the dangerous direction)
+    assert(d(" M BENCH_r11.json -> BENCH_r12.json").nonEmpty)
+    assert(d("C  BENCH_r11.json -> BENCH_r12.json").isEmpty)
     // blank separator lines are ignored
     assert(d("", " M ADVICE.md").isEmpty)
+  }
+
+  test("storm bar env parse fails fast on malformed values") {
+    // round-13 ADVICE: the bar is consumed only post-suite; a bare
+    // .toDouble on '2,0' would throw AFTER the suite spent an hour and
+    // lose the run's artifacts. parseStormBar runs at main() start.
+    assert(Bench.parseStormBar(None) == 2.0)
+    assert(Bench.parseStormBar(Some("0.01")) == 0.01)
+    assert(Bench.parseStormBar(Some("3")) == 3.0)
+    intercept[IllegalArgumentException](Bench.parseStormBar(Some("2,0")))
+    intercept[IllegalArgumentException](Bench.parseStormBar(Some("")))
+    intercept[IllegalArgumentException](Bench.parseStormBar(Some("-1")))
   }
 
   test("storm-grade rerun windows cannot confirm a regression") {
