@@ -31,25 +31,11 @@ object SparkEntry {
     * rows>0. A composite over the documents corpus: quality-score the
     * docs, language-ID them, keep the decent ones, and rank the top
     * terms per predicted language — scan, codegen text kernels,
-    * generator, hash aggregate, window top-k in one plan. */
-  def entry(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    import graft.operators.TextAnalysis
-    val dir = "/root/testdata/sf0.001"
-    val docs = graft.Engine.table(spark, dir, "documents")
-    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang"), col("text")), "doc_id")
-      .where(col("quality") > 0.1)
-    val words = scored
-      .select(col("lang"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
-      .where(length(col("word")) > 3)
-      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("word"))
-    words.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-      .orderBy("lang", "rank")
-  }
+    * generator, hash aggregate, window top-k in one plan. Delegates to
+    * the oracle-gated q102 (TextOps) so the smoke plan and the
+    * correctness-gated plan are one definition. */
+  def entry(spark: SparkSession): DataFrame =
+    TextOps.q102(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

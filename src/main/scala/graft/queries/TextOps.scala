@@ -226,6 +226,56 @@ object TextOps {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** The flagship `SparkEntry.entry` composite, oracle-gated (round-13
+    * verdict item 5 — entry was the one declared query still
+    * smoke-checked rows>0 only): quality-score the corpus, language-ID
+    * it, keep docs with quality > 0.1, and rank the top-5 terms per
+    * predicted language — scan, codegen text kernels, generator, hash
+    * aggregate, window top-k in one plan. `SparkEntry.entry` delegates
+    * HERE so the gated plan and the driver's smoke plan cannot drift. */
+  private[graft] def q102(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"), col("text")), "doc_id")
+      .where(col("quality") > 0.1)
+    val words = scored
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 3)
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("n"), col("word"))
+    words.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .orderBy("lang", "rank")
+  }
+
+  /** Replays q102 from the same catalogs the Catalyst side uses: q22's
+    * quality formula (rounded IDENTICALLY — the > 0.1 filter must see
+    * the same 4-dp value both sides), q21's marker-argmax langId, q15's
+    * all-tokens split. */
+  private val q102Sql = {
+    s"""WITH t AS (SELECT doc_id, text, ${sqlTokenSetAll("text")} AS toks FROM documents),
+        u AS (SELECT doc_id, text, toks, list_distinct(toks) AS tset,
+                     len(toks) AS n FROM t),
+        q AS (SELECT doc_id, text, toks,
+                round((least(n::DOUBLE / 100.0, 1.0) *
+                      (len(tset)::DOUBLE / greatest(n, 1))) + 1e-9, 4) AS quality
+              FROM u),
+        sc AS (SELECT doc_id, toks, quality, ${TextAnalysis.sqlLangScoreExprs}
+               FROM q),
+        l AS (SELECT doc_id, toks, quality, ${TextAnalysis.sqlLangIdCase("lang")}
+              FROM sc),
+        w AS (SELECT lang, unnest(toks) AS word FROM l WHERE quality > 0.1),
+        g AS (SELECT lang, word, count(*) AS n FROM w WHERE length(word) > 3
+              GROUP BY lang, word),
+        r AS (SELECT lang, word, n,
+                row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+              FROM g)
+        SELECT lang, word, n, rnk::BIGINT AS rank FROM r WHERE rnk <= 5
+        ORDER BY lang, rank"""
+  }
+
   /** Near-dup CLUSTERS: connected components over the LSH pair graph —
     * pairwise matches become dedup groups, survivor = min doc id. The
     * oracle replays the same graph with a pruned recursive CTE (labels
@@ -355,5 +405,6 @@ object TextOps {
     Q("q49_dedup_clusters", q49 _, Some(q49Sql)),
     Q("q53_neardedup_survivors", q53 _, Some(q53Sql)),
     Q("q56_incremental_dedup", q56 _, Some(q56Sql)),
-    Q("q62_incremental_clusters", q62 _, Some(q62Sql)))
+    Q("q62_incremental_clusters", q62 _, Some(q62Sql)),
+    Q("q102_entry_composite", q102 _, Some(q102Sql)))
 }
