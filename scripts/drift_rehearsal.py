@@ -9,12 +9,16 @@ types (exact DECIMAL sums, UBIGINT ids) can silently diverge from the
 double/long semantics `Engine.canonicalNumerics` normalizes to.
 
 Usage:
-    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4|gzip|duckdb|extracol|delta|brotli> <replica_dir>
+    python3 scripts/drift_rehearsal.py <sf_dir> <decimal|uint|binary|hive|nanos|bss|lz4|gzip|duckdb|extracol|delta|brotli|torn> <replica_dir>
     SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify <replica_dir> /tmp/verify_drift"
     python3 scripts/check.py /tmp/verify_drift <replica_dir>   # expect N ok, 0 bad
     # EXCEPT brotli: the expected outcome is every table-reading query
     # failing BY NAME ("cannot decode ... BrotliCodec"), not N ok —
     # grep Verify's stderr; an OPAQUE FAILED_READ_FILE is the bug
+    # EXCEPT torn: same designed-failure convention — every query must
+    # fail BY NAME ("parquet leaf file ... cannot be read — <defect>",
+    # Engine's TornFileException), naming the damaged leaf and the
+    # defect; an OPAQUE FAILED_READ_FILE mid-execution is the bug
 
 Variants (all value-preserving, so any diff is a SEMANTICS gap, not
 data skew):
@@ -77,6 +81,18 @@ data skew):
            footer probe: table + BROTLI + the missing class —
            CodecEncodingSpec pins it), never as opaque
            FAILED_READ_FILE scan deaths
+  torn     every table structurally DAMAGED, three shapes rotated by
+           table index: (0) truncated to 60% (footer magic gone),
+           (1) tail overwritten with XXXX (corrupt footer magic),
+           (2) 4 KB cut out of the data region with the tail kept
+           (footer intact, column chunks overrun the data — the
+           partial-copy shape). Like brotli, the DESIGNED outcome is
+           named failures: every table-reading query dies pre-scan
+           with Engine's TornFileException naming the leaf file + the
+           defect + the remediation (TornFileSpec pins the probe,
+           batch and streaming legs); an opaque FAILED_READ_FILE is
+           the bug. The DuckDB side of check.py would fail on the
+           same bytes, so only the Verify leg is meaningful here.
 
 Round-10 findings this loop caught (all fixed, all no-ops on
 canonical data): DECIMAL multiplication overflow in every money
@@ -134,12 +150,33 @@ HIVE_PARTITION_COL = {
 def main() -> None:
     if len(sys.argv) != 4 or sys.argv[2] not in (
             "decimal", "uint", "binary", "hive", "nanos", "bss", "lz4",
-            "gzip", "duckdb", "extracol", "delta", "brotli"):
+            "gzip", "duckdb", "extracol", "delta", "brotli", "torn"):
         sys.exit(__doc__)
     src, variant, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     os.makedirs(dst, exist_ok=True)
-    for name in sorted(os.listdir(src)):
+    for i, name in enumerate(sorted(os.listdir(src))):
         if not name.endswith(".parquet"):
+            continue
+        if variant == "torn":
+            # byte-level damage — never goes through a parquet reader
+            out = os.path.join(dst, name)
+            if os.path.isdir(out):
+                import shutil
+                shutil.rmtree(out)
+            with open(os.path.join(src, name), "rb") as fh:
+                raw = fh.read()
+            shape = i % 3
+            if shape == 0:
+                torn, desc = raw[: max(12, (len(raw) * 6) // 10)], "truncated to 60%"
+            elif shape == 1:
+                torn, desc = raw[:-4] + b"XXXX", "footer magic overwritten"
+            else:
+                at, cut = len(raw) // 3, min(4096, len(raw) // 4)
+                torn = raw[:at] + raw[at + cut:]
+                desc = f"{cut}B cut from the data region (footer kept)"
+            with open(out, "wb") as fh:
+                fh.write(torn)
+            print(f"{name}: {desc}")
             continue
         t = pq.read_table(os.path.join(src, name))
         out = os.path.join(dst, name)

@@ -4,6 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types.{BinaryType, DecimalType, DoubleType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
+/** A parquet leaf file that is structurally damaged — truncated, tail
+  * overwritten, or missing pages its own footer claims. Thrown BY NAME
+  * from the shared read gate (see [[Engine.byteStreamSplitSafePath]]'s
+  * leaf probe) so a torn file fails pre-scan with the leaf path, the
+  * defect, and the remediation — instead of one opaque
+  * FAILED_READ_FILE per query mid-execution across the whole gate
+  * (the brotli-codec failure convention; TornFileSpec pins batch and
+  * streaming legs). A dedicated type so the probe's best-effort
+  * NonFatal degradation can rethrow it deliberately. */
+final class TornFileException(msg: String) extends IllegalStateException(msg)
+
 /** Session + table plumbing shared by every query entry point.
   *
   * Scale notes (100 TB design intent): all table loads go through
@@ -133,9 +144,13 @@ object Engine {
     * instant/wall-clock export is ambiguous beyond any frame-level
     * recovery) so an appended part file that introduces the annotation
     * is still recovered. A single-leaf sample would miss any of these
-    * and the scan would die (or mis-type) at execution. Best-effort:
-    * any failure yields None and the caller's latitude degrades for
-    * THIS read. */
+    * and the scan would die (or mis-type) at execution. Best-effort for
+    * TRANSIENT failures (an FS hiccup on the listing yields None and
+    * the latitude degrades for this read only) — but a leaf file that
+    * is demonstrably DAMAGED throws [[TornFileException]] through: a
+    * torn file can never be scanned, so degrading would just defer the
+    * death to an opaque mid-execution FAILED_READ_FILE (the same
+    * whole-gate failure shape the codec gate closes; TornFileSpec). */
   private def probeLeafFacts(spark: SparkSession, path: String): Option[LeafFacts] =
     try {
       import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -150,8 +165,18 @@ object Engine {
       while (it.hasNext) {
         val f = it.next()
         if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          val footerLen = validateLeafFraming(fs, f)
+          val reader =
+            try org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            catch { case scala.util.control.NonFatal(e) =>
+              // framing (magic/length) is intact, so the thrift footer
+              // metadata itself is corrupt — still a named pre-scan
+              // death, never an execution-time one
+              throw new TornFileException(tornMsg(f.getPath.toString,
+                s"its footer metadata is unreadable " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage})"))
+            }
           try {
             val footer = reader.getFooter
             val leafNanos = footer.getFileMetaData.getSchema.getFields.asScala.collect {
@@ -166,6 +191,17 @@ object Engine {
               if (nanos == null) leafNanos
               else nanos ++ (leafNanos -- nanos.keySet) // first-seen flag wins
             val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+            // torn MID-FILE: the footer survived (it sits at the tail)
+            // but column chunks claim bytes past where the data region
+            // actually ends — the shape a partial copy / interrupted
+            // upload leaves when the tail happens to land intact
+            val dataEnd = f.getLen - 8 - footerLen
+            chunks.map(c => c.getStartingPos + c.getTotalSize).maxOption
+              .filter(_ > dataEnd)
+              .foreach(end => throw new TornFileException(tornMsg(
+                f.getPath.toString,
+                s"its footer claims column-chunk bytes up to offset $end but the " +
+                  s"data region ends at $dataEnd — torn mid-file (missing pages)")))
             bss = bss || chunks.exists(_.getEncodings.asScala.exists(
               _ == org.apache.parquet.column.Encoding.BYTE_STREAM_SPLIT))
             codecs = codecs ++ chunks.map(_.getCodec.name).toSet
@@ -173,7 +209,51 @@ object Engine {
         }
       }
       if (nanos == null) None else Some(LeafFacts(nanos, bss, codecs))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case torn: TornFileException => throw torn
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  private def tornMsg(leaf: String, defect: String): String =
+    s"Engine: parquet leaf file $leaf cannot be read — $defect. Re-export or " +
+      "quarantine the file: a torn parquet file cannot be partially scanned, " +
+      "and without this gate every query over it dies mid-execution as an " +
+      "opaque FAILED_READ_FILE"
+
+  /** Cheap structural validation of one leaf's parquet framing (head
+    * magic, tail magic, footer length) BEFORE handing it to the footer
+    * parser — a truncated or tail-overwritten file fails here with a
+    * deterministic defect name. Returns the footer length so the
+    * caller can bound-check the data region. ~3 short reads per leaf,
+    * and the probe is memoized per path ([[leafFacts]]). */
+  private def validateLeafFraming(fs: org.apache.hadoop.fs.FileSystem,
+      f: org.apache.hadoop.fs.LocatedFileStatus): Long = {
+    val len = f.getLen
+    val leaf = f.getPath.toString
+    def torn(defect: String): Nothing = throw new TornFileException(tornMsg(leaf, defect))
+    if (len < 12)
+      torn(s"it is $len bytes, below the 12-byte parquet minimum (truncated)")
+    val in = fs.open(f.getPath)
+    try {
+      val magic = "PAR1".getBytes("US-ASCII")
+      val head = new Array[Byte](4)
+      in.readFully(0L, head)
+      if (!java.util.Arrays.equals(head, magic))
+        torn("its header magic is not PAR1 (not a parquet file, or the head " +
+          "was overwritten)")
+      val tail = new Array[Byte](8)
+      in.readFully(len - 8, tail)
+      if (!java.util.Arrays.equals(java.util.Arrays.copyOfRange(tail, 4, 8), magic))
+        torn("its footer magic is not PAR1 — the file was truncated or its " +
+          "tail overwritten")
+      val footerLen = java.nio.ByteBuffer.wrap(tail, 0, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (footerLen <= 0 || footerLen.toLong + 16 > len)
+        torn(s"its footer length field claims $footerLen bytes, which overruns " +
+          s"the $len-byte file — torn or corrupt footer")
+      footerLen.toLong
+    } finally in.close()
+  }
 
   /** Everything the read latitude needs from a table's parquet footer:
     * TIMESTAMP(NANOS) columns (name → isAdjustedToUTC), whether any
