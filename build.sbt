@@ -65,3 +65,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // SCALE.md's round-6 residual-noise paragraph.
   "-XX:ReservedCodeCacheSize=512m",
 )
+// Opt-in forensic JVM flags (e.g. SPARK_GRAFT_JAVA_OPTS="-Xlog:gc*" for
+// the round-14 own-JVM heap-episode hunt) — appended last so a probe
+// can also override a default above; empty and cost-free by default.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)
