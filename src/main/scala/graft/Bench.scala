@@ -203,6 +203,72 @@ object Bench {
   private[graft] def stormGrade(stealCores: Option[Double], bar: Double): Boolean =
     stealCores.exists(_ >= bar)
 
+  /** Fixed-work CPU probe ("CPI probe"): burns [[SpinIters]] xorshift64
+    * steps on the calling thread and reports the thread-CPU
+    * MILLISECONDS that fixed work cost. Thread-CPU for constant work
+    * is the one witness of a DEGRADED-CPU window: hypervisor SMT/cache
+    * co-tenancy inflates cycles-per-instruction, so the same
+    * instructions burn more on-CPU seconds — while steal stays ~0 (the
+    * vCPU IS running), loadavg stays clean, the cgroup delta blames
+    * nobody, and GC logs show nothing. The round-14 control hunt
+    * measured exactly that shape: q19_simhash at [5.9, 4.3, 8.2] s and
+    * 120 s own CPU isolated at HEAD, then [1.43, 1.01, 1.00] s and
+    * 27.7 s own CPU eleven minutes later at the SAME commit — steal
+    * 0.00-0.03, /proc/cpuinfo MHz pinned at 2700, 445 ms total GC
+    * pause — a 4.3x CPU-seconds inflation nothing in the r13 evidence
+    * set could name (it landed two FALSE `regressed` entries, q19/q24,
+    * whose confirm reruns ran inside the episode; SCALE.md round 14).
+    * Wall time of the spin would conflate descheduling (steal's job)
+    * with slow cycles; thread-CPU isolates the latter. No allocation
+    * inside the loop, so GC cannot perturb it. ~40 ms per call on this
+    * box clean — sized so a PER-ITERATION sample (the q18 x10 probe
+    * run's 11.7 s blip iteration sat between 2.1 s neighbors and a
+    * single end-of-query sample read ratio 1.0 — the episode was gone
+    * by then) stays ~2% of suite wall, all of it in the untimed
+    * hygiene window. None when the JVM cannot meter thread CPU. */
+  private[graft] val SpinIters = 20000000L
+  private[graft] def cpuProbeMs(): Option[Double] =
+    try {
+      val tm = java.lang.management.ManagementFactory.getThreadMXBean
+      if (!tm.isCurrentThreadCpuTimeSupported) None
+      else {
+        var x = 0x9E3779B97F4A7C15L
+        val c0 = tm.getCurrentThreadCpuTime
+        var i = 0L
+        while (i < SpinIters) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          i += 1
+        }
+        val c1 = tm.getCurrentThreadCpuTime
+        // data dependency on x so the loop cannot be dead-code-eliminated
+        if (x == 0L) System.err.print("")
+        Some((c1 - c0) / 1e6)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** CPI-degradation grade of one probe reading against the run's
+    * fastest reading (`floorMs`): ratio >= bar means the window's CPU
+    * was materially degraded. Bar default 2.0 — clean same-run spin
+    * variance is percent-level post-JIT and the measured episodes run
+    * 4-9x, so 2.0 sits far from both (SPARK_GRAFT_CPI_BAR overrides).
+    * The floor is self-calibrating within the run; a run degraded END
+    * TO END cannot tell (documented limit — the cross-run committed
+    * control catches that case instead). Absent readings → false:
+    * evidence, not a gate. */
+  private[graft] def cpuSlowGrade(probeMs: Option[Double],
+      floorMs: Option[Double], bar: Double): Boolean =
+    (for (p <- probeMs; f <- floorMs if f > 0) yield p / f >= bar)
+      .getOrElse(false)
+
+  /** The CPI bar from SPARK_GRAFT_CPI_BAR, validated EAGERLY at main()
+    * start (same fail-fast contract as the storm bar). */
+  private[graft] def parseCpiBar(env: Option[String]): Double =
+    env.map { s =>
+      require(s.matches("[0-9]+(\\.[0-9]+)?"),
+        s"SPARK_GRAFT_CPI_BAR must be a plain non-negative number, got '$s'")
+      s.toDouble
+    }.getOrElse(2.0)
+
   /** The storm bar from SPARK_GRAFT_STORM_STEAL, validated EAGERLY —
     * main() calls this at start, alongside the controlRound check: the
     * value is consumed only after the full suite has run, and a bare
@@ -228,9 +294,13 @@ object Bench {
     case object Exonerated extends Confirm
     /** Warm rerun still past the bar on a quiet window: regressed. */
     case object Confirmed extends Confirm
-    /** Warm rerun past the bar but the window was storm-grade — the
-      * slowness indicts the hypervisor, not the code. The caller
-      * retries once; a still-stormy confirm is DISCARDED (per-query
+    /** Warm rerun past the bar but the window was storm-grade — either
+      * steal-shaped (hypervisor starving the vCPU) or CPI-shaped (the
+      * warm leg's fixed-work probe read >= cpiBar x the run's floor —
+      * degraded cycles with zero steal, the round-14 episode that
+      * landed false q19/q24 `regressed` entries). Slowness on such a
+      * window indicts the machine, not the code. The caller retries
+      * once; a still-stormy confirm is DISCARDED (per-query
       * `rerun_stormy` in the detail file carries the evidence), never
       * `regressed`. */
     case object Stormy extends Confirm
@@ -240,11 +310,14 @@ object Bench {
   }
 
   private[graft] def confirmOutcome(rerunWarm: Option[Double], control: Double,
-      stealCores: Option[Double], stormBar: Double): Confirm =
+      stealCores: Option[Double], stormBar: Double,
+      probeMs: Option[Double] = None, probeFloorMs: Option[Double] = None,
+      cpiBar: Double = 2.0): Confirm =
     rerunWarm match {
       case None                                  => Confirm.Unresolved
       case Some(t) if !regressedVs(t, control)   => Confirm.Exonerated
-      case _ if stormGrade(stealCores, stormBar) => Confirm.Stormy
+      case _ if stormGrade(stealCores, stormBar) ||
+                cpuSlowGrade(probeMs, probeFloorMs, cpiBar) => Confirm.Stormy
       case _                                     => Confirm.Confirmed
     }
 
@@ -256,7 +329,8 @@ object Bench {
     * confirm and earned a retry). */
   private[graft] case class Rerun(warm: Option[Double], load: Double,
       stealCores: Option[Double], attempts: Int,
-      iowaitCores: Option[Double] = None)
+      iowaitCores: Option[Double] = None,
+      probeMs: Option[Double] = None)
 
   /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
     * format as the detail file) plus the context that decides whether
@@ -544,6 +618,7 @@ object Bench {
       s"SPARK_GRAFT_CONTROL_ROUND must be a round number, got '$r'"))
     // same fail-fast contract as controlRound (round-13 ADVICE)
     val stormBar = parseStormBar(sys.env.get("SPARK_GRAFT_STORM_STEAL"))
+    val cpiBar = parseCpiBar(sys.env.get("SPARK_GRAFT_CPI_BAR"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -589,6 +664,13 @@ object Bench {
     // Fatal errors (OOM etc.) propagate: "measuring" the remaining
     // queries in a heap-thrashing JVM produces garbage that looks real.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    // CPI reference: a handful of fixed-work spins before the measured
+    // loop; the FIRST pays JIT tiers, so it is dropped when a later
+    // sample exists. The run's working floor below also folds in every
+    // per-query reading — the reference only seeds it.
+    val probeSamples = (1 to 4).flatMap(_ => cpuProbeMs())
+    val probeRef = (if (probeSamples.size > 1) probeSamples.tail
+                    else probeSamples).minOption
     val suiteWallT0 = System.nanoTime()
     val cgStart = cgroupCpuUsec
     val ownStart = processCpuUsec
@@ -603,6 +685,14 @@ object Bench {
     // the storm evidence loadavg cannot give (see procStatStealUsec)
     val qSteal = scala.collection.mutable.Map.empty[String, Double]
     val qIowait = scala.collection.mutable.Map.empty[String, Double]
+    // per-query CPI probe: fixed-work thread-CPU ms sampled after EACH
+    // iteration (inside the query's window, before that iteration's
+    // hygiene — the q18 x10 run proved one end-of-query sample misses a
+    // mid-sequence episode). The per-query value kept is the WORST
+    // (max) sample — the evidence reading; the run floor tracks the
+    // best sample seen anywhere.
+    val qProbe = scala.collection.mutable.Map.empty[String, Double]
+    var probeMinSeen = Double.MaxValue
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
       val qCg = cgroupCpuUsec
@@ -618,6 +708,11 @@ object Bench {
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           None
+        }
+        // CPI sample for THIS iteration's window (untimed, pre-hygiene)
+        cpuProbeMs().foreach { p =>
+          qProbe(name) = math.max(qProbe.getOrElse(name, 0.0), p)
+          probeMinSeen = math.min(probeMinSeen, p)
         }
         // UNTIMED between-iteration hygiene: each iteration builds its
         // plan fresh, so the previous iteration's scratch staging is
@@ -707,6 +802,12 @@ object Bench {
     // reports None (rerun_failed in the detail file), never a number:
     // the old -1.0 encoding sat below every min, so a crashed rerun
     // read as an exonerating fast rerun (ADVICE round-7).
+    // the run's CPI floor: fastest fixed-work reading observed anywhere
+    // in it — reference spins plus every per-iteration sample. Computed
+    // BEFORE the reruns so their storm grading can use it.
+    val probeFloorMs =
+      (probeRef.toSeq ++ (if (probeMinSeen < Double.MaxValue) Seq(probeMinSeen)
+                          else Seq.empty)).minOption
     val reruns: Map[String, Rerun] =
       (rerunTargets(ordered, contended) ++ candidates.keys.toSeq.sorted).distinct.map { k =>
         def pair(attempts: Int): Rerun = {
@@ -722,7 +823,7 @@ object Bench {
           // leg's rates are deliberately NOT an input to grading:
           // steal slows only the window it hits, so a storm there
           // cannot have inflated the warm time.
-          def leg(): (Double, Option[Double], Option[Double]) = {
+          def leg(): (Double, Option[Double], Option[Double], Option[Double]) = {
             val s0 = procStatStealUsec
             val i0 = procStatIowaitUsec
             val t0 = System.nanoTime()
@@ -732,6 +833,10 @@ object Bench {
               rerunFailed = true
               -1.0
             }
+            // CPI probe INSIDE the leg's window (before the hygiene):
+            // an inflated reading marks the window that produced the
+            // confirming time as CPU-degraded
+            val probe = cpuProbeMs()
             val wall = (System.nanoTime() - t0) / 1e9
             val st = for (a <- s0; b <- procStatStealUsec)
               yield math.max(0.0, (b - a) / 1e6) / wall
@@ -739,13 +844,13 @@ object Bench {
               yield math.max(0.0, (b - a) / 1e6) / wall
             graft.operators.Scratch.releaseAll()
             syncDisk()
-            (t, st, io)
+            (t, st, io, probe)
           }
           leg() // re-warm: the suite evicted this query's page-cache/JIT state
-          val (warm, steal, iowait) = leg()
+          val (warm, steal, iowait, probe) = leg()
           resetSession(spark)
           Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts,
-            iowait)
+            iowait, probe)
         }
         var att = pair(1)
         // a storm-hit CONFIRMING rerun of a tripwire candidate earns one
@@ -753,7 +858,8 @@ object Bench {
         // documents persistence — a still-stormy confirm is discarded by
         // the outcome fold below
         if (candidates.get(k).exists(ctl =>
-            confirmOutcome(att.warm, ctl, att.stealCores, stormBar) == Confirm.Stormy))
+            confirmOutcome(att.warm, ctl, att.stealCores, stormBar,
+              att.probeMs, probeFloorMs, cpiBar) == Confirm.Stormy))
           att = pair(2)
         k -> att
       }.toMap
@@ -767,7 +873,8 @@ object Bench {
     // land a FALSE `regressed` in the driver artifact)
     val outcomes: Map[String, Confirm] = candidates.map { case (k, ctl) =>
       k -> confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
-        reruns.get(k).flatMap(_.stealCores), stormBar)
+        reruns.get(k).flatMap(_.stealCores), stormBar,
+        reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar)
     }
     val regressed: Seq[String] =
       outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
@@ -779,9 +886,12 @@ object Bench {
           s"${r3(candidates(k))}s)").mkString(", "))
     if (stormDiscarded.nonEmpty) System.err.println(
       s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
-        s"(steal >= $stormBar cores): " + stormDiscarded.map(k =>
+        s"(steal >= $stormBar cores, or CPI probe >= ${cpiBar}x floor): " +
+        stormDiscarded.map(k =>
           s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
             s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
+            s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms vs floor " +
+            s"${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
             s"control ${r3(candidates(k))}s)").mkString(", "))
 
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
@@ -798,12 +908,18 @@ object Bench {
     // included): the external-contention witness loadavg cannot give
     val suiteStealCores = for (s0 <- stealStart; s1 <- procStatStealUsec)
       yield math.max(0.0, (s1 - s0) / 1e6) / suiteWall
+    val maxProbeRatio = for {
+      f <- probeFloorMs if f > 0
+      m <- qProbe.values.maxOption
+    } yield m / f
     val source = contentionSource(
       loadHigh = loadHigh,
       spreadFlag = spreadFlag,
       otherBusyCores = otherBusyCores,
       maxQuerySteal = qSteal.values.maxOption,
-      stormBar = stormBar)
+      stormBar = stormBar,
+      maxProbeRatio = maxProbeRatio,
+      cpiBar = cpiBar)
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -837,6 +953,9 @@ object Bench {
     detail ++= s""""contended":$contended,"contention_source":"$source","""
     detail ++= otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
     detail ++= suiteStealCores.map(s => s""""steal_cores":${r2(s)},""").getOrElse("")
+    detail ++= probeRef.map(p => s""""probe_ref_ms":${r2(p)},""").getOrElse("")
+    detail ++= probeFloorMs.map(p => s""""probe_floor_ms":${r2(p)},""").getOrElse("")
+    detail ++= maxProbeRatio.map(p => s""""max_probe_ratio":${r2(p)},""").getOrElse("")
     control.foreach(c => detail ++= s""""control":${jstr(c.path)},""")
     if (regressed.nonEmpty)
       detail ++= regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
@@ -849,6 +968,7 @@ object Bench {
       val rerun = reruns.get(k).map { r =>
         val extra = r.stealCores.map(v => s""","rerun_steal":${r2(v)}""").getOrElse("") +
           r.iowaitCores.map(v => s""","rerun_iowait":${r2(v)}""").getOrElse("") +
+          r.probeMs.map(v => s""","rerun_probe_ms":${r2(v)}""").getOrElse("") +
           (if (r.attempts > 1) s""","rerun_attempts":${r.attempts}""" else "") +
           (if (stormDiscarded.contains(k)) s""","rerun_stormy":true""" else "")
         r.warm match {
@@ -860,7 +980,8 @@ object Bench {
         s""","cg_cpu":${r2(cg)},"own_cpu":${r2(own)}"""
       }.getOrElse("")
       val st = qSteal.get(k).map(v => s""","steal":${r2(v)}""").getOrElse("") +
-        qIowait.get(k).map(v => s""","iowait":${r2(v)}""").getOrElse("")
+        qIowait.get(k).map(v => s""","iowait":${r2(v)}""").getOrElse("") +
+        qProbe.get(k).map(v => s""","probe_ms":${r2(v)}""").getOrElse("")
       val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
@@ -966,20 +1087,28 @@ object Bench {
     *     measured external starvation — sharper than the loadavg
     *     inference below, and the only witness when the 1-minute
     *     average hasn't risen yet);
+    *   - some query's fixed-work CPI probe read >= cpiBar x the run's
+    *     floor → "cpu_slow" (degraded cycles-per-instruction with zero
+    *     steal — SMT/cache co-tenancy at the hypervisor level; the
+    *     round-14 episode. Sharper than the load inference below, so
+    *     it outranks "host");
     *   - otherwise, a high host load average with a quiet container →
     *     "host" (external to the VM, shape unmeasured);
-    *   - spread-flag only, container quiet, no steal, no load
-    *     indictment → "unknown" (own-JVM heap episode or IO stall —
-    *     the evidence doesn't name an external culprit);
+    *   - spread-flag only, container quiet, no steal, no CPI
+    *     inflation, no load indictment → "unknown" (own-JVM heap
+    *     episode or IO stall — the evidence doesn't name a culprit);
     *   - nothing indicts → "none".
     * Pinned in BenchEvidenceSpec. */
   private[graft] def contentionSource(loadHigh: Boolean, spreadFlag: Boolean,
       otherBusyCores: Option[Double], maxQuerySteal: Option[Double] = None,
-      stormBar: Double = 2.0): String =
+      stormBar: Double = 2.0, maxProbeRatio: Option[Double] = None,
+      cpiBar: Double = 2.0): String =
     otherBusyCores match {
       case Some(b) if b >= 0.5 && (loadHigh || spreadFlag) => "container"
       case _ if (loadHigh || spreadFlag) && stormGrade(maxQuerySteal, stormBar) =>
         "hypervisor"
+      case _ if (loadHigh || spreadFlag) && maxProbeRatio.exists(_ >= cpiBar) =>
+        "cpu_slow"
       case _ if loadHigh => "host"
       case _ if spreadFlag => "unknown"
       case _ => "none"

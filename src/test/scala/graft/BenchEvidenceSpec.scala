@@ -131,6 +131,76 @@ class BenchEvidenceSpec extends AnyFunSuite {
       Some(0.0), maxQuerySteal = Some(5.0)) == "none")
   }
 
+  test("CPI-degraded windows name cpu_slow, outranked by steal and container evidence") {
+    // round 14: the control hunt's episode inflated own-JVM thread-CPU
+    // 4-9x at fixed work (q19 at 120s own CPU, then 27.7s at the SAME
+    // commit) with steal 0.00-0.03 and a quiet container — every
+    // pre-r14 witness read "unknown". A fixed-work probe ratio >= the
+    // CPI bar names it.
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxQuerySteal = Some(0.1),
+      maxProbeRatio = Some(4.3)) == "cpu_slow")
+    // sharper than the loadavg "host" inference, so it outranks it
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = false,
+      Some(0.1), maxProbeRatio = Some(2.6)) == "cpu_slow")
+    // but the DIRECT witnesses still win: steal names the hypervisor,
+    // >= 0.5 co-tenant cores names the container
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxQuerySteal = Some(3.0),
+      maxProbeRatio = Some(4.0)) == "hypervisor")
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = true,
+      Some(2.3), maxProbeRatio = Some(4.0)) == "container")
+    // sub-bar probe ratio changes nothing (percent-level clean variance
+    // must not rebrand "unknown")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxProbeRatio = Some(1.3)) == "unknown")
+    // a probe reading on a run nothing flagged is context, not a verdict
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = false,
+      Some(0.0), maxProbeRatio = Some(9.0)) == "none")
+    // absent probe (non-meterable JVM): pre-r14 behavior exactly
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxProbeRatio = None) == "unknown")
+  }
+
+  test("the fixed-work CPI probe meters thread CPU and grades degradation") {
+    // the probe must return a positive, plausible thread-CPU cost for
+    // the fixed spin on any JVM that can meter thread time (Linux can)
+    val p = Bench.cpuProbeMs()
+    assume(p.nonEmpty, "thread CPU time unmeterable on this JVM — documented degradation")
+    assert(p.get > 0.0 && p.get < 60000.0, s"implausible probe reading: $p")
+    // grading: ratio >= bar flags, below stays quiet, absent evidence never flags
+    assert(Bench.cpuSlowGrade(Some(120.0), Some(30.0), 2.0))
+    assert(!Bench.cpuSlowGrade(Some(44.0), Some(30.0), 2.0))
+    assert(!Bench.cpuSlowGrade(None, Some(30.0), 2.0))
+    assert(!Bench.cpuSlowGrade(Some(120.0), None, 2.0))
+    assert(!Bench.cpuSlowGrade(Some(120.0), Some(0.0), 2.0)) // degenerate floor
+    // bar env parse fails fast like the storm bar
+    assert(Bench.parseCpiBar(None) == 2.0)
+    assert(Bench.parseCpiBar(Some("1.5")) == 1.5)
+    intercept[IllegalArgumentException](Bench.parseCpiBar(Some("2,0")))
+    intercept[IllegalArgumentException](Bench.parseCpiBar(Some("-1")))
+  }
+
+  test("a CPI-degraded rerun window cannot confirm a regression") {
+    // the r14 false-regressed shape: q19/q24's confirm reruns ran with
+    // steal ~0.0 inside a CPI episode and landed `regressed` — with the
+    // probe evidence the same rerun grades Stormy (retried, then
+    // discarded), exactly like steal-shaped storms
+    import Bench.Confirm._
+    def o(warm: Option[Double], ctl: Double, probe: Option[Double],
+        floor: Option[Double]) =
+      Bench.confirmOutcome(warm, ctl, Some(0.01), stormBar = 2.0,
+        probeMs = probe, probeFloorMs = floor, cpiBar = 2.0)
+    assert(o(Some(3.7), 0.577, Some(130.0), Some(28.0)) == Stormy)
+    // quiet probe, quiet steal, still past the bar: a real regression
+    assert(o(Some(3.7), 0.577, Some(29.0), Some(28.0)) == Confirmed)
+    // fast rerun exonerates regardless of the probe
+    assert(o(Some(0.6), 0.577, Some(300.0), Some(28.0)) == Exonerated)
+    // no probe evidence: pre-r14 semantics exactly
+    assert(o(Some(3.7), 0.577, None, Some(28.0)) == Confirmed)
+    assert(o(Some(3.7), 0.577, Some(130.0), None) == Confirmed)
+  }
+
   test("container CPU counters are readable where a cgroup hierarchy exists") {
     // the attribution degrades gracefully when absent, and so does
     // this test (round-10 ADVICE: a hard assert coupled suite
