@@ -9,21 +9,21 @@ simplified tables (TESTDATA.md), profiled from sf0.1:
   table       rows(sf)        notes
   region      5               fixed
   nation      25              fixed
-  supplier    100_000*sf      s_nationkey uniform
-  customer    1_500_000*sf    c_mktsegment 5 values uniform
-  part        2_000_000*sf    p_name = "<adj> <noun>" word pairs,
+  supplier    10_000*sf      s_nationkey uniform
+  customer    150_000*sf    c_mktsegment 5 values uniform
+  part        200_000*sf    p_name = "<adj> <noun>" word pairs,
                               p_retailprice = 900 + 0.1*key (profiled)
-  orders      15_000_000*sf   o_custkey uniform over customers,
+  orders      1_500_000*sf   o_custkey uniform over customers,
                               o_orderdate uniform 2024-01..2024-06
-  lineitem    60_000_000*sf   l_orderkey = key/4 (4-per-order fanout),
+  lineitem    6_000_000*sf   l_orderkey = key/4 (4-per-order fanout),
                               l_partkey/l_suppkey uniform
-  events      10_000_000*sf   ts uniform over 2024-01 (30 days),
+  events      1_000_000*sf   ts uniform over 2024-01 (30 days),
                               user_id uniform over customers/10,
                               props = '{"k": <0..99>}'
-  documents   500_000*sf      10..100 tokens from the 30-word vocab,
+  documents   50_000*sf      10..100 tokens from the 30-word vocab,
                               5%% get a trailing "dup" token, ~0.3%%
                               exact-dup pairs (copy of an earlier doc)
-  embeddings  200_000*sf      64-dim float unit-normalized gaussian
+  embeddings  20_000*sf      64-dim float unit-normalized gaussian
 
 Determinism: hash-based pseudo-randomness keyed on row id (seed 42) —
 same sf → same bytes, no RNG state. Writes <out>/<table>.parquet.
@@ -87,14 +87,14 @@ def main():
         n = con.execute(f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows", flush=True)
 
-    n_cust = int(1_500_000 * sf)
-    n_part = int(2_000_000 * sf)
-    n_supp = int(100_000 * sf)
-    n_ord = int(15_000_000 * sf)
-    n_li = int(60_000_000 * sf)
-    n_ev = int(10_000_000 * sf)
-    n_doc = int(500_000 * sf)
-    n_emb = int(200_000 * sf)
+    n_cust = int(150_000 * sf)
+    n_part = int(200_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_li = int(6_000_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
 
     write("region", """
         SELECT i::INT AS r_regionkey,
@@ -129,7 +129,7 @@ def main():
                'Brand#' || (floor({u(33)} * 25))::INT AS p_brand,
                {sql_list(TYPES)}[(floor({u(34)} * {len(TYPES)}))::INT + 1] AS p_type,
                (floor({u(35)} * 50))::INT + 1 AS p_size,
-               round(900.0 + 0.1 * i, 2) AS p_retailprice
+               (900.0 + 0.1 * i)::DOUBLE AS p_retailprice
         FROM (SELECT unnest(range({n_part})) AS i)""")
 
     write("orders", f"""
