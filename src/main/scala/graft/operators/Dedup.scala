@@ -138,6 +138,15 @@ object Dedup {
     * the first-band-wins condition, which compares signature slices,
     * not emitted pairs). Default None = exact.
     *
+    * `capMostBlocksOver` passes [[Skew.capBlocks]]'s engagement-profile
+    * dial through: the default pay-per-use anti/semi split is right
+    * when hot buckets are the exception; a boilerplate corpus where
+    * MOST buckets exceed the cap (the driver corpus: 30-word
+    * vocabulary, q103) should pay one unconditional rank window
+    * instead of three scans of the banded lineage plus a union —
+    * row-identical output either way (SkewSpec). Measured at sf0.1:
+    * 4.6 s split vs ~3 s one-window on q103's all-buckets-hot shape.
+    *
     * EAGERNESS: with a cap (or `stageCascade`) this call runs Spark
     * jobs at CONSTRUCTION time, not first action — the tokenize/
     * minhash cascade is staged to scratch parquet immediately (the
@@ -153,7 +162,8 @@ object Dedup {
       k: Int, bandsOf: Int, threshold: Double,
       encoding: LshEncoding = LshEncoding.MergeWalk,
       maxBucketSize: Option[Int] = None,
-      stageCascade: Boolean = false): DataFrame = {
+      stageCascade: Boolean = false,
+      capMostBlocksOver: Boolean = false): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // the degenerate-doc prune in lshToks is output-neutral only for a
     // positive threshold (empty-vs-empty token sets score 0.0, which a
@@ -206,7 +216,7 @@ object Dedup {
         case Some(m) =>
           Skew.capBlocks(banded,
               concat_ws("|", col("band_idx"), col("band_key")),
-              col("id"), m)
+              col("id"), m, mostBlocksOver = capMostBlocksOver)
             .withColumn("band_key", col("__capped_block"))
             .drop("__capped_block")
         case None => banded

@@ -276,6 +276,78 @@ object TextOps {
         ORDER BY lang, rank"""
   }
 
+  /** How many rows one LSH band bucket may hold in q103 before
+    * `Skew.capBlocks` splits it — small enough that the driver corpus
+    * (30-word vocabulary, heavily colliding buckets) fires the cap at
+    * sf0.01, so the gate exercises the SPLIT path, not the no-over-cap
+    * fast path. */
+  private val LshCapBucket = 8
+
+  /** q18's banded LSH under the hot-bucket cap (`maxBucketSize` →
+    * `Skew.capBlocks`) — the production dial for boilerplate-heavy
+    * corpora, until now spec-tested (SkewSpec, round-7 BucketCapProbe
+    * curve) but never oracle-gated. The cap is a RECALL trade with two
+    * loss modes the oracle must replay exactly: (a) a pair capped into
+    * different rank sub-buckets of every shared band is never
+    * generated; (b) first-band-wins dedup tests raw SIGNATURE
+    * equality, so a pair split apart in its first shared band but
+    * co-bucketed in a later one is suppressed THERE too — the sub-wait
+    * emission belongs to the first shared band only. Sub-bucket =
+    * (row_number over id within (band, key) − 1) / cap, the exact
+    * capBlocks rank formula (ids are non-null here, so NULLS FIRST
+    * lockstep is moot). MergeWalk, not Auto: q18 already exercises the
+    * adaptive-probe path. `capMostBlocksOver`: on this corpus nearly
+    * every band bucket exceeds the cap, so the one-window profile
+    * beats the pay-per-use anti/semi split (measured, Dedup scaladoc). */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+      MinhashK, BandRows, 0.4, graft.operators.LshEncoding.MergeWalk,
+      maxBucketSize = Some(LshCapBucket), capMostBlocksOver = true)
+
+  private val q103Sql = {
+    val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")
+    val nBands = MinhashK / BandRows
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (1 to BandRows).map(r => s"sig[${b * BandRows + r}]").mkString(", ")
+      s"SELECT id, $b AS band_idx, concat_ws('_', $key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    // shares-an-earlier-band over the raw signatures (Dedup.
+    // sharedEarlierBand's slice equality, replayed 1-based)
+    val earlier = (1 until nBands).map { j =>
+      val eq = (0 until j).map { i =>
+        (1 to BandRows).map(r =>
+          s"sa.sig[${i * BandRows + r}] = sb.sig[${i * BandRows + r}]")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"WHEN ab.band_idx = $j THEN ($eq)"
+    }.mkString("\n            ")
+    s"""WITH t AS (SELECT doc_id AS id,
+          list_distinct(list_transform(${sqlTokenSet("text")}, x -> ${sqlTokenHashMod("x")})) AS toks
+          FROM documents),
+        sig AS (SELECT id, [$ms] AS sig FROM t),
+        bands AS ($bandSelects),
+        capped AS (SELECT id, band_idx,
+                     band_key || '#' ||
+                       ((row_number() OVER (PARTITION BY band_idx, band_key
+                                            ORDER BY id) - 1) // $LshCapBucket)
+                       AS band_key
+                   FROM bands),
+        ab AS (SELECT a.id AS id_a, b.id AS id_b, a.band_idx
+               FROM capped a JOIN capped b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.id < b.id),
+        cand AS (SELECT DISTINCT id_a, id_b FROM ab
+                 JOIN sig sa ON sa.id = ab.id_a
+                 JOIN sig sb ON sb.id = ab.id_b
+                 WHERE NOT (CASE $earlier ELSE FALSE END))
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+            round((len(list_intersect(ta.toks, tb.toks))::DOUBLE /
+                  len(list_distinct(ta.toks || tb.toks))) + 1e-9, 6) AS jaccard
+          FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
+        WHERE jaccard >= 0.4"""
+  }
+
   /** Near-dup CLUSTERS: connected components over the LSH pair graph —
     * pairwise matches become dedup groups, survivor = min doc id. The
     * oracle replays the same graph with a pruned recursive CTE (labels
@@ -406,5 +478,6 @@ object TextOps {
     Q("q53_neardedup_survivors", q53 _, Some(q53Sql)),
     Q("q56_incremental_dedup", q56 _, Some(q56Sql)),
     Q("q62_incremental_clusters", q62 _, Some(q62Sql)),
-    Q("q102_entry_composite", q102 _, Some(q102Sql)))
+    Q("q102_entry_composite", q102 _, Some(q102Sql)),
+    Q("q103_lsh_capped_pairs", q103 _, Some(q103Sql)))
 }
