@@ -174,11 +174,19 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(!Bench.cpuSlowGrade(None, Some(30.0), 2.0))
     assert(!Bench.cpuSlowGrade(Some(120.0), None, 2.0))
     assert(!Bench.cpuSlowGrade(Some(120.0), Some(0.0), 2.0)) // degenerate floor
-    // bar env parse fails fast like the storm bar
-    assert(Bench.parseCpiBar(None) == 2.0)
-    assert(Bench.parseCpiBar(Some("1.5")) == 1.5)
+    // bar env parse fails fast like the storm bar. Default 1.5,
+    // calibrated from the round-14 episode night: clean windows read
+    // ≤1.09x floor, degraded ones ≥1.55x — and the 2.0 draft bar let a
+    // 1.84x background-hum window land a false q77 `regressed`.
+    assert(Bench.parseCpiBar(None) == 1.5)
+    assert(Bench.parseCpiBar(Some("2.5")) == 2.5)
     intercept[IllegalArgumentException](Bench.parseCpiBar(Some("2,0")))
     intercept[IllegalArgumentException](Bench.parseCpiBar(Some("-1")))
+    // the q77 shape under the calibrated default: 75.59 ms rerun probe
+    // on a 41.13 ms floor (1.84x) is storm-graded
+    assert(Bench.cpuSlowGrade(Some(75.59), Some(41.13), 1.5))
+    // clean-tail readings stay quiet (max observed clean ratio 1.09)
+    assert(!Bench.cpuSlowGrade(Some(44.9), Some(41.13), 1.5))
   }
 
   test("a CPI-degraded rerun window cannot confirm a regression") {
