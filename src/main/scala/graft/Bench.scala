@@ -264,6 +264,33 @@ object Bench {
     (for (p <- probeMs; f <- floorMs if f > 0) yield p / f >= bar)
       .getOrElse(false)
 
+  /** Runs `body` with a low-duty in-band CPI sampler: a daemon thread
+    * takes a fixed-work probe reading every ~500 ms while the body
+    * executes (~8% of one core — noise-level against the 2x confirm
+    * bar on a 32-thread query), and the result is the WORST reading
+    * observed, folded with one final post-body sample. Exists because
+    * a single post-window sample misses an episode that ENDS inside a
+    * multi-second window: the round-14 attempt-6 control's q62 confirm
+    * rerun ran 7.2 s (vs its 3.4 s baseline) and landed a false
+    * `regressed` with a clean 44 ms probe sampled AFTER the leg — the
+    * degradation had passed by then. Returns (body result, worst probe
+    * ms); None when the JVM cannot meter thread CPU. */
+  private[graft] def probeDuring[A](body: => A): (A, Option[Double]) = {
+    @volatile var stop = false
+    @volatile var inBandMax = -1.0
+    val sampler = new Thread(() => {
+      while (!stop) {
+        cpuProbeMs().foreach(p => if (p > inBandMax) inBandMax = p)
+        try Thread.sleep(500) catch { case _: InterruptedException => () }
+      }
+    }, "graft-cpi-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+    val r = try body finally { stop = true; sampler.interrupt() }
+    val post = cpuProbeMs()
+    (r, (post.toSeq ++ (if (inBandMax > 0) Seq(inBandMax) else Nil)).maxOption)
+  }
+
   /** The CPI bar from SPARK_GRAFT_CPI_BAR, validated EAGERLY at main()
     * start (same fail-fast contract as the storm bar). */
   private[graft] def parseCpiBar(env: Option[String]): Double =
@@ -831,16 +858,19 @@ object Bench {
             val s0 = procStatStealUsec
             val i0 = procStatIowaitUsec
             val t0 = System.nanoTime()
-            val t = try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-            catch { case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
-              rerunFailed = true
-              -1.0
+            // the leg's CPI evidence is sampled IN-BAND (probeDuring):
+            // a post-leg-only sample misses an episode that ends inside
+            // the leg, and exactly that landed the attempt-6 false q62
+            // confirm — the worst in-band reading grades the window
+            // that actually produced the confirming time
+            val (t, probe) = probeDuring {
+              try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
+                rerunFailed = true
+                -1.0
+              }
             }
-            // CPI probe INSIDE the leg's window (before the hygiene):
-            // an inflated reading marks the window that produced the
-            // confirming time as CPU-degraded
-            val probe = cpuProbeMs()
             val wall = (System.nanoTime() - t0) / 1e9
             val st = for (a <- s0; b <- procStatStealUsec)
               yield math.max(0.0, (b - a) / 1e6) / wall

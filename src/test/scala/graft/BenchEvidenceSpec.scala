@@ -187,6 +187,15 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(Bench.cpuSlowGrade(Some(75.59), Some(41.13), 1.5))
     // clean-tail readings stay quiet (max observed clean ratio 1.09)
     assert(!Bench.cpuSlowGrade(Some(44.9), Some(41.13), 1.5))
+    // rerun legs sample IN-BAND (probeDuring): a post-leg-only sample
+    // missed an episode that ended inside the 7.2 s attempt-6 q62 leg.
+    // The sampler must return a reading for a window long enough to
+    // contain at least the initial sample, and the body's result rides
+    // through untouched.
+    val (out, during) = Bench.probeDuring { Thread.sleep(1200); 42 }
+    assert(out == 42)
+    assume(Bench.cpuProbeMs().nonEmpty, "thread CPU unmeterable — probeDuring degrades to None")
+    assert(during.exists(_ > 0.0), s"no in-band reading: $during")
   }
 
   test("a CPI-degraded rerun window cannot confirm a regression") {
