@@ -59,13 +59,22 @@ def sql_list(vals):
     return "[" + ", ".join("'" + v + "'" for v in vals) + "]"
 
 
-# Deterministic per-(id, salt) uniform in [0, 1): splitmix64-ish fold of
-# the row id — pure SQL so DuckDB vectorizes it.
+# Deterministic per-(id, salt) uniform in [0, 1): a lowbias32-style
+# integer hash (multiply-fold then two xorshift-multiply rounds, the
+# published 0x45d9f3b finalizer constants) — pure SQL so DuckDB
+# vectorizes it. The salt enters BEFORE the nonlinear rounds so columns
+# decorrelate: the previous form ((i + salt) * M mod 2^32) was a Weyl
+# sequence, making every column pair an exact affine function of the
+# other (o_custkey vs o_totalprice, ...) and sequential rows advance by
+# a constant stride — marginals were uniform but join/group skew and
+# selectivity interactions were unreal (round-15 ADVICE). All
+# intermediates stay under 2^63: col*M <= 18e6*2.7e9 ~ 5e16 at sf3,
+# and each round multiplies a (< 2^32) value by 0x45d9f3b (~7.3e7).
 def u(salt, col="i"):
-    return (
-        f"(((({col} + {salt}) * 2654435761) % 4294967296 + 4294967296) "
-        f"% 4294967296) / 4294967296.0"
-    )
+    x0 = f"(({col} * 2654435761 + {salt} * 40503) % 4294967296)"
+    x1 = f"((xor({x0}, {x0} // 65536) * 73244475) % 4294967296)"
+    x2 = f"((xor({x1}, {x1} // 65536) * 73244475) % 4294967296)"
+    return f"(xor({x2}, {x2} // 65536)) / 4294967296.0"
 
 
 def main():

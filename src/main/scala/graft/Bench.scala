@@ -267,15 +267,24 @@ object Bench {
   /** Runs `body` with a low-duty in-band CPI sampler: a daemon thread
     * takes a fixed-work probe reading every ~500 ms while the body
     * executes (~8% of one core — noise-level against the 2x confirm
-    * bar on a 32-thread query), and the result is the WORST reading
-    * observed, folded with one final post-body sample. Exists because
-    * a single post-window sample misses an episode that ENDS inside a
-    * multi-second window: the round-14 attempt-6 control's q62 confirm
-    * rerun ran 7.2 s (vs its 3.4 s baseline) and landed a false
-    * `regressed` with a clean 44 ms probe sampled AFTER the leg — the
-    * degradation had passed by then. Returns (body result, worst probe
-    * ms); None when the JVM cannot meter thread CPU. */
-  private[graft] def probeDuring[A](body: => A): (A, Option[Double]) = {
+    * bar on a 32-thread query). Exists because a single post-window
+    * sample misses an episode that ENDS inside a multi-second window:
+    * the round-14 attempt-6 control's q62 confirm rerun ran 7.2 s (vs
+    * its 3.4 s baseline) and landed a false `regressed` with a clean
+    * 44 ms probe sampled AFTER the leg — the degradation had passed by
+    * then. Returns (body result, post-body sample, worst IN-BAND
+    * sample) — kept SEPARATE because they calibrate differently: the
+    * post sample runs on a quiet window (clean tail ≤1.09x floor),
+    * while an in-band sample contends with the query's own 32 threads
+    * and reads 1.24-1.26x floor on heavy legs from self-load alone
+    * (round-15 ADVICE: folding them under the one 1.5 bar would grade
+    * a genuinely-regressed heavy query Stormy and silently discard it).
+    * The sampler is JOINED (bounded by ~one spin) before the reading
+    * is taken: an in-flight probe — ~40 ms of uninterruptible spin
+    * that may hold the episode's worst reading — must finish and
+    * publish before the fold, not race it. None / -1-absent when the
+    * JVM cannot meter thread CPU. */
+  private[graft] def probeDuring[A](body: => A): (A, Option[Double], Option[Double]) = {
     @volatile var stop = false
     @volatile var inBandMax = -1.0
     val sampler = new Thread(() => {
@@ -286,9 +295,14 @@ object Bench {
     }, "graft-cpi-sampler")
     sampler.setDaemon(true)
     sampler.start()
-    val r = try body finally { stop = true; sampler.interrupt() }
+    val r = try body finally {
+      stop = true; sampler.interrupt()
+      // bounded: one spin (~40 ms clean, a few hundred degraded) plus
+      // margin; a stuck sampler only costs the wait, never a hang
+      try sampler.join(2000) catch { case _: InterruptedException => () }
+    }
     val post = cpuProbeMs()
-    (r, (post.toSeq ++ (if (inBandMax > 0) Seq(inBandMax) else Nil)).maxOption)
+    (r, post, if (inBandMax > 0) Some(inBandMax) else None)
   }
 
   /** The CPI bar from SPARK_GRAFT_CPI_BAR, validated EAGERLY at main()
@@ -299,6 +313,25 @@ object Bench {
         s"SPARK_GRAFT_CPI_BAR must be a plain non-negative number, got '$s'")
       s.toDouble
     }.getOrElse(1.5)
+
+  /** The IN-BAND CPI bar (SPARK_GRAFT_CPI_BAR_INBAND): the storm grade
+    * for the worst probe reading sampled WHILE a rerun leg executes.
+    * Default 1.9, calibrated separately from the quiet-window 1.5 bar
+    * because self-load inflates in-band readings: on probe-clean
+    * windows the heavy 32-thread legs read 1.24-1.26x floor (q53/q95,
+    * r14 detail; one mildly-degraded control leg read 1.43), while
+    * quiet-window degraded readings start at 1.55x and in-band
+    * episode readings stack on top of self-load. 1.9 clears the
+    * measured clean in-band tail by ~50% and still catches the
+    * episode band — under the shared 1.5 bar a clean heavy leg
+    * drifting past 1.5x from self-load would grade Stormy twice and
+    * DISCARD a true regression (round-15 ADVICE, medium). */
+  private[graft] def parseCpiBarInband(env: Option[String]): Double =
+    env.map { s =>
+      require(s.matches("[0-9]+(\\.[0-9]+)?"),
+        s"SPARK_GRAFT_CPI_BAR_INBAND must be a plain non-negative number, got '$s'")
+      s.toDouble
+    }.getOrElse(1.9)
 
   /** The storm bar from SPARK_GRAFT_STORM_STEAL, validated EAGERLY —
     * main() calls this at start, alongside the controlRound check: the
@@ -343,12 +376,14 @@ object Bench {
   private[graft] def confirmOutcome(rerunWarm: Option[Double], control: Double,
       stealCores: Option[Double], stormBar: Double,
       probeMs: Option[Double] = None, probeFloorMs: Option[Double] = None,
-      cpiBar: Double = 1.5): Confirm =
+      cpiBar: Double = 1.5, probeInbandMs: Option[Double] = None,
+      cpiBarInband: Double = 1.9): Confirm =
     rerunWarm match {
       case None                                  => Confirm.Unresolved
       case Some(t) if !regressedVs(t, control)   => Confirm.Exonerated
       case _ if stormGrade(stealCores, stormBar) ||
-                cpuSlowGrade(probeMs, probeFloorMs, cpiBar) => Confirm.Stormy
+                cpuSlowGrade(probeMs, probeFloorMs, cpiBar) ||
+                cpuSlowGrade(probeInbandMs, probeFloorMs, cpiBarInband) => Confirm.Stormy
       case _                                     => Confirm.Confirmed
     }
 
@@ -357,11 +392,15 @@ object Bench {
     * stolen-cores rate over the WARM leg's execution window (the one
     * that produced the reported time — round-13 ADVICE), and how many
     * pair attempts were made (2 = the first attempt was a storm-hit
-    * confirm and earned a retry). */
+    * confirm and earned a retry). `probeMs` is the post-leg
+    * quiet-window sample (graded against the 1.5 bar); `probeInbandMs`
+    * the worst in-band sample (graded against the separate 1.9 bar —
+    * self-load inflates it, see [[parseCpiBarInband]]). */
   private[graft] case class Rerun(warm: Option[Double], load: Double,
       stealCores: Option[Double], attempts: Int,
       iowaitCores: Option[Double] = None,
-      probeMs: Option[Double] = None)
+      probeMs: Option[Double] = None,
+      probeInbandMs: Option[Double] = None)
 
   /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
     * format as the detail file) plus the context that decides whether
@@ -650,6 +689,7 @@ object Bench {
     // same fail-fast contract as controlRound (round-13 ADVICE)
     val stormBar = parseStormBar(sys.env.get("SPARK_GRAFT_STORM_STEAL"))
     val cpiBar = parseCpiBar(sys.env.get("SPARK_GRAFT_CPI_BAR"))
+    val cpiBarInband = parseCpiBarInband(sys.env.get("SPARK_GRAFT_CPI_BAR_INBAND"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -854,16 +894,18 @@ object Bench {
           // leg's rates are deliberately NOT an input to grading:
           // steal slows only the window it hits, so a storm there
           // cannot have inflated the warm time.
-          def leg(): (Double, Option[Double], Option[Double], Option[Double]) = {
+          def leg(): (Double, Option[Double], Option[Double], Option[Double],
+              Option[Double]) = {
             val s0 = procStatStealUsec
             val i0 = procStatIowaitUsec
             val t0 = System.nanoTime()
             // the leg's CPI evidence is sampled IN-BAND (probeDuring):
             // a post-leg-only sample misses an episode that ends inside
             // the leg, and exactly that landed the attempt-6 false q62
-            // confirm — the worst in-band reading grades the window
-            // that actually produced the confirming time
-            val (t, probe) = probeDuring {
+            // confirm — the post and in-band readings stay SEPARATE
+            // because they grade against different bars (self-load
+            // inflates in-band samples; see parseCpiBarInband)
+            val (t, probePost, probeInband) = probeDuring {
               try { exec(queries(k)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
               catch { case scala.util.control.NonFatal(e) =>
                 System.err.println(s"[bench] rerun of $k failed: ${e.getMessage}")
@@ -878,13 +920,13 @@ object Bench {
               yield math.max(0.0, (b - a) / 1e6) / wall
             graft.operators.Scratch.releaseAll()
             syncDisk()
-            (t, st, io, probe)
+            (t, st, io, probePost, probeInband)
           }
           leg() // re-warm: the suite evicted this query's page-cache/JIT state
-          val (warm, steal, iowait, probe) = leg()
+          val (warm, steal, iowait, probePost, probeInband) = leg()
           resetSession(spark)
           Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts,
-            iowait, probe)
+            iowait, probePost, probeInband)
         }
         var att = pair(1)
         // a storm-hit CONFIRMING rerun of a tripwire candidate earns one
@@ -893,7 +935,8 @@ object Bench {
         // the outcome fold below
         if (candidates.get(k).exists(ctl =>
             confirmOutcome(att.warm, ctl, att.stealCores, stormBar,
-              att.probeMs, probeFloorMs, cpiBar) == Confirm.Stormy))
+              att.probeMs, probeFloorMs, cpiBar, att.probeInbandMs,
+              cpiBarInband) == Confirm.Stormy))
           att = pair(2)
         k -> att
       }.toMap
@@ -908,7 +951,8 @@ object Bench {
     val outcomes: Map[String, Confirm] = candidates.map { case (k, ctl) =>
       k -> confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
         reruns.get(k).flatMap(_.stealCores), stormBar,
-        reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar)
+        reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar,
+        reruns.get(k).flatMap(_.probeInbandMs), cpiBarInband)
     }
     val regressed: Seq[String] =
       outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
@@ -920,12 +964,14 @@ object Bench {
           s"${r3(candidates(k))}s)").mkString(", "))
     if (stormDiscarded.nonEmpty) System.err.println(
       s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
-        s"(steal >= $stormBar cores, or CPI probe >= ${cpiBar}x floor): " +
+        s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, or " +
+        s"in-band probe >= ${cpiBarInband}x floor): " +
         stormDiscarded.map(k =>
           s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
             s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
-            s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms vs floor " +
-            s"${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
+            s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms/" +
+            s"inband ${reruns(k).probeInbandMs.fold("?")(v => r2(v).toString)}ms " +
+            s"vs floor ${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
             s"control ${r3(candidates(k))}s)").mkString(", "))
 
     val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
@@ -1003,6 +1049,7 @@ object Bench {
         val extra = r.stealCores.map(v => s""","rerun_steal":${r2(v)}""").getOrElse("") +
           r.iowaitCores.map(v => s""","rerun_iowait":${r2(v)}""").getOrElse("") +
           r.probeMs.map(v => s""","rerun_probe_ms":${r2(v)}""").getOrElse("") +
+          r.probeInbandMs.map(v => s""","rerun_probe_inband_ms":${r2(v)}""").getOrElse("") +
           (if (r.attempts > 1) s""","rerun_attempts":${r.attempts}""" else "") +
           (if (stormDiscarded.contains(k)) s""","rerun_stormy":true""" else "")
         r.warm match {

@@ -345,7 +345,7 @@ object TextOps {
             round((len(list_intersect(ta.toks, tb.toks))::DOUBLE /
                   len(list_distinct(ta.toks || tb.toks))) + 1e-9, 6) AS jaccard
           FROM cand JOIN t ta ON ta.id = id_a JOIN t tb ON tb.id = id_b) x
-        WHERE jaccard >= 0.4"""
+        WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
   }
 
   /** Near-dup CLUSTERS: connected components over the LSH pair graph —

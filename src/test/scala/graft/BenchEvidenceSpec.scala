@@ -190,12 +190,20 @@ class BenchEvidenceSpec extends AnyFunSuite {
     // rerun legs sample IN-BAND (probeDuring): a post-leg-only sample
     // missed an episode that ended inside the 7.2 s attempt-6 q62 leg.
     // The sampler must return a reading for a window long enough to
-    // contain at least the initial sample, and the body's result rides
-    // through untouched.
-    val (out, during) = Bench.probeDuring { Thread.sleep(1200); 42 }
+    // contain at least the initial sample, the body's result rides
+    // through untouched, and the post and in-band readings arrive
+    // SEPARATELY (they grade against different bars — self-load
+    // inflates in-band samples to 1.24-1.26x floor on clean heavy
+    // legs, round-15 ADVICE).
+    val (out, post, during) = Bench.probeDuring { Thread.sleep(1200); 42 }
     assert(out == 42)
     assume(Bench.cpuProbeMs().nonEmpty, "thread CPU unmeterable — probeDuring degrades to None")
+    assert(post.exists(_ > 0.0), s"no post-leg reading: $post")
     assert(during.exists(_ > 0.0), s"no in-band reading: $during")
+    // the in-band bar defaults above the quiet bar and validates eagerly
+    assert(Bench.parseCpiBarInband(None) == 1.9)
+    assert(Bench.parseCpiBarInband(Some("2.5")) == 2.5)
+    intercept[IllegalArgumentException](Bench.parseCpiBarInband(Some("2,0")))
   }
 
   test("a CPI-degraded rerun window cannot confirm a regression") {
@@ -205,9 +213,10 @@ class BenchEvidenceSpec extends AnyFunSuite {
     // discarded), exactly like steal-shaped storms
     import Bench.Confirm._
     def o(warm: Option[Double], ctl: Double, probe: Option[Double],
-        floor: Option[Double]) =
+        floor: Option[Double], inband: Option[Double] = None) =
       Bench.confirmOutcome(warm, ctl, Some(0.01), stormBar = 2.0,
-        probeMs = probe, probeFloorMs = floor, cpiBar = 2.0)
+        probeMs = probe, probeFloorMs = floor, cpiBar = 2.0,
+        probeInbandMs = inband, cpiBarInband = 1.9)
     assert(o(Some(3.7), 0.577, Some(130.0), Some(28.0)) == Stormy)
     // quiet probe, quiet steal, still past the bar: a real regression
     assert(o(Some(3.7), 0.577, Some(29.0), Some(28.0)) == Confirmed)
@@ -216,6 +225,17 @@ class BenchEvidenceSpec extends AnyFunSuite {
     // no probe evidence: pre-r14 semantics exactly
     assert(o(Some(3.7), 0.577, None, Some(28.0)) == Confirmed)
     assert(o(Some(3.7), 0.577, Some(130.0), None) == Confirmed)
+    // in-band evidence grades against ITS bar (1.9x), not the quiet
+    // 1.5/2.0 one: the measured clean in-band tail (1.24-1.26x floor,
+    // self-load on a 32-thread leg) must NOT discard a true regression
+    // (round-15 ADVICE medium — the silent false negative), while an
+    // episode-grade in-band reading still indicts the window
+    assert(o(Some(3.7), 0.577, Some(29.0), Some(28.0), Some(35.3)) == Confirmed,
+      "clean in-band tail (1.26x) wrongly graded Stormy")
+    assert(o(Some(3.7), 0.577, Some(29.0), Some(28.0), Some(46.0)) == Confirmed,
+      "1.64x in-band (self-load + hum, under the 1.9 bar) must confirm")
+    assert(o(Some(3.7), 0.577, Some(29.0), Some(28.0), Some(70.0)) == Stormy,
+      "2.5x in-band episode reading must discard")
   }
 
   test("container CPU counters are readable where a cgroup hierarchy exists") {
