@@ -102,11 +102,33 @@ object Matching {
     * largest block's sort fits a task; the hash mode is the 100 TB
     * escape hatch when it doesn't. Both pair same-index sub-blocks and
     * both are oracle-replayed (q95 / q101).
+    *
+    * `pairBudget` is the SCALE GUARD on the uncapped path (round-15
+    * verdict item 1 — the sf1 sweep proved `maxBlockSize = None` is
+    * the one operator a user can point at a big corpus and melt:
+    * sector/location keys have FIXED cardinality, so in-block pairs
+    * grow quadratically — 245.6 s at sf1, exponent 2.08 on the last
+    * leg, vs ≤18.1 s capped). When no cap is passed, the staged sides'
+    * per-block counts (one tiny extra job over the already-staged
+    * narrow parquet) estimate the blocked candidate volume
+    * Σ n_offers(key)·n_cvs(key) over both blockings; past the budget
+    * the call fails BY NAME ([[graft.operators.ScaleGuardException]])
+    * quoting the measured volume and the dial, instead of silently
+    * starting hours of quadratic work. The default (1e8 pairs ≈ two
+    * minutes of blocked-join work on a 32-core node; sf0.1's exact
+    * gate volume is ~3.2e6, sf1's melt ~3.2e8) passes every
+    * correctness-gate scale with ~30x margin. `Some(larger)` raises
+    * it; `None` disables for callers who genuinely want the exact
+    * quadratic run (the r14 sweep's uncapped sf1 leg). A capped call
+    * never measures — the cap already bounds the volume.
     */
+  val DefaultPairBudget: Long = 100000000L
+
   def score(offers: DataFrame, cvs: DataFrame,
       clock: Option[java.sql.Timestamp] = None,
       maxBlockSize: Option[Int] = None,
-      hashedSubBlocks: Boolean = false): DataFrame = {
+      hashedSubBlocks: Boolean = false,
+      pairBudget: Option[Long] = Some(DefaultPairBudget)): DataFrame = {
     require(maxBlockSize.isDefined || !hashedSubBlocks,
       "hashedSubBlocks picks the sub-block assignment UNDER maxBlockSize — " +
         "asking for it without a cap would silently run the exact uncapped path")
@@ -124,16 +146,43 @@ object Matching {
     // on the read-back: blocked joins emit O(block^2) candidates and
     // the staged files are small enough that Spark's openCost packing
     // would otherwise hand the whole join to one or two splits.
-    val o = graft.Engine.spread(graft.operators.Scratch.stage(offers.select(
+    val oStaged = graft.operators.Scratch.stage(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
       col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")),
-      "graft-match-o"))
-    val c = graft.Engine.spread(graft.operators.Scratch.stage(cvs.select(
+      "graft-match-o")
+    val cStaged = graft.operators.Scratch.stage(cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years")),
-      "graft-match-c"))
+      "graft-match-c")
+    val o = graft.Engine.spread(oStaged)
+    val c = graft.Engine.spread(cStaged)
+
+    // SCALE GUARD (uncapped path only — the cap bounds the volume by
+    // construction): per-block counts of both staged sides, joined per
+    // blocking, estimate the candidate volume in ONE tiny action; past
+    // the budget, fail by name before the quadratic join starts. Reads
+    // the UN-spread staged frames: a count needs no spread exchange.
+    if (maxBlockSize.isEmpty) pairBudget.foreach { budget =>
+      def est(side: DataFrame, key: String, idAlias: String) = side
+        .where(col(key).isNotNull)
+        .groupBy(col(key).as("__k")).agg(count(lit(1)).as(idAlias))
+      def blocked(oKey: String, cKey: String) =
+        est(oStaged, oKey, "__no").join(est(cStaged, cKey, "__nc"), "__k")
+          .select((col("__no") * col("__nc")).as("__p"))
+      val measured = blocked("o_sect", "c_sect").unionByName(blocked("o_loc", "c_loc"))
+        .agg(coalesce(sum(col("__p")), lit(0L))).first().getLong(0)
+      if (measured > budget) throw new graft.operators.ScaleGuardException(
+        s"Matching.score: the uncapped blocked join would generate ~$measured " +
+          s"candidate pairs (pairBudget $budget). Sector/location blocking keys " +
+          "have fixed cardinality, so this volume grows QUADRATICALLY with the " +
+          "corpus (sf1 measured 245.6 s uncapped vs <=18.1 s capped, exponent " +
+          "2.08 vs <=0.57 — SCALE.md round 14). Pass maxBlockSize (the " +
+          "oracle-gated recall/cost dial, q95/q101; add hashedSubBlocks=true " +
+          "for giant blocks), raise pairBudget, or pass pairBudget=None for a " +
+          "deliberate exact quadratic run.")
+    }
 
     // one blocked equi-join, projected to bare id pairs IMMEDIATELY:
     // the union/dedup below shuffles O(pairs) rows, so those rows must
@@ -159,11 +208,11 @@ object Matching {
           if (hashedSubBlocks)
             graft.operators.Skew.capBlocksHashed(
               side.where(col(key).isNotNull), col(key), col(id), m,
-              mostBlocksOver = true)
+              mostBlocksOver = Some(true))
           else
             graft.operators.Skew.capBlocks(
               side.where(col(key).isNotNull), col(key), col(id), m,
-              mostBlocksOver = true)
+              mostBlocksOver = Some(true))
         capped(o, oKey, "job_id")
           .join(
             capped(c, cKey, "candidate_id")

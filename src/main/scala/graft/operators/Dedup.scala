@@ -139,36 +139,73 @@ object Dedup {
     * not emitted pairs). Default None = exact.
     *
     * `capMostBlocksOver` passes [[Skew.capBlocks]]'s engagement-profile
-    * dial through: the default pay-per-use anti/semi split is right
-    * when hot buckets are the exception; a boilerplate corpus where
-    * MOST buckets exceed the cap (the driver corpus: 30-word
-    * vocabulary, q103) should pay one unconditional rank window
-    * instead of three scans of the banded lineage plus a union —
-    * row-identical output either way (SkewSpec). Measured at sf0.1:
-    * 4.6 s split vs ~3 s one-window on q103's all-buckets-hot shape.
+    * dial through — `None` (the default since round 15) AUTO-SELECTS
+    * from the cap's own phase-1 count ([[Skew.oneWindowWins]]): the
+    * pay-per-use anti/semi split when hot buckets are the exception, a
+    * single unconditional rank window when most rows sit in over-cap
+    * buckets (the driver corpus: 30-word vocabulary, q103 — measured
+    * at sf0.1: 4.6 s split vs ~3 s one-window). Row-identical output
+    * either way (SkewSpec); `Some(_)` pins a profile explicitly.
+    *
+    * `candidateBudget` is the SCALE GUARD on the UNCAPPED path
+    * (round-15 verdict item 1): on boilerplate vocabularies band
+    * buckets grow linearly with the corpus and in-bucket candidate
+    * pairs super-linearly (q18 measured exponent 1.23, sf1 = 40 s /
+    * ~1.1e9 candidates; the capped q103 form runs 6.7 s at exponent
+    * 0.52). When no `maxBucketSize` is passed, one extra count job
+    * over the band histogram ([[bandBucketSizes]]) measures
+    * sum(C(bucket, 2)); past the budget the call fails BY NAME
+    * ([[ScaleGuardException]]) quoting the volume and the dial. The
+    * default (5e9 ≈ 3 minutes of verification work on a 32-core node)
+    * passes sf1 with 4.5x margin and trips around sf2+ on this
+    * vocabulary; `None` disables, a capped call never measures. The
+    * guard job re-derives the cascade from `df` rather than forcing
+    * the staged plan onto un-capped callers (staging is measured
+    * neutral on short-text corpora — see [[nearDedup]]).
     *
     * EAGERNESS: with a cap (or `stageCascade`) this call runs Spark
     * jobs at CONSTRUCTION time, not first action — the tokenize/
     * minhash cascade is staged to scratch parquet immediately (the
     * plan consumes it up to six ways and ReuseExchange can't dedupe
     * the differently-pruned branches — see the inline note), and the
-    * capBlocks split adds its eager phase-1 bucket count. Callers
-    * timing or caching this operator must treat construction as part
-    * of its cost (Bench does: the timed window opens before the
-    * query function is invoked). Default (no cap, no staging) stays
-    * fully lazy.
+    * capBlocks split adds its eager phase-1 bucket count. Since round
+    * 15 the DEFAULT path is eager too: the scale guard's bucket-count
+    * job runs at construction whenever `candidateBudget` is set and no
+    * cap is passed. Callers timing or caching this operator must treat
+    * construction as part of its cost (Bench does: the timed window
+    * opens before the query function is invoked). Plan-only laziness
+    * requires `candidateBudget = None` (with no cap, no staging, and a
+    * non-Auto encoding).
     */
+  val DefaultCandidateBudget: Long = 5000000000L
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double,
       encoding: LshEncoding = LshEncoding.MergeWalk,
       maxBucketSize: Option[Int] = None,
       stageCascade: Boolean = false,
-      capMostBlocksOver: Boolean = false): DataFrame = {
+      capMostBlocksOver: Option[Boolean] = None,
+      candidateBudget: Option[Long] = Some(DefaultCandidateBudget)): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // the degenerate-doc prune in lshToks is output-neutral only for a
     // positive threshold (empty-vs-empty token sets score 0.0, which a
     // t = 0.0 caller would have kept) — enforce the precondition
     require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
+    // SCALE GUARD (uncapped path only): measure the band-bucket
+    // candidate volume before building the quadratic pair join
+    if (maxBucketSize.isEmpty) candidateBudget.foreach { budget =>
+      val measured = bandBucketSizes(df, idCol, textCol, k, bandsOf)
+        .agg(coalesce(sum(expr("size * (size - 1) div 2")), lit(0L)))
+        .first().getLong(0)
+      if (measured > budget) throw new ScaleGuardException(
+        s"Dedup.minhashLshPairs: uncapped banding would generate ~$measured " +
+          s"candidate pairs (candidateBudget $budget). Hot band buckets grow " +
+          "with the corpus on boilerplate vocabularies and in-bucket pairs " +
+          "quadratically (sf1 measured exponent 1.23 uncapped vs 0.52 capped " +
+          "— SCALE.md round 14). Pass maxBucketSize (the oracle-gated " +
+          "recall/cost dial, q103), raise candidateBudget, or pass " +
+          "candidateBudget=None for a deliberate exact run.")
+    }
     val toksRaw = lshToks(df, idCol, textCol)
     val sigsRaw = toksRaw.select(col("id"), col("toks"),
       minhashFromHashes(col("toks"), k).as("sig"))
@@ -698,7 +735,8 @@ object Dedup {
     * common — fewer rows reach the LSH shuffle. */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandsOf: Int = 4, threshold: Double = 0.8,
-      encoding: LshEncoding = LshEncoding.Auto): DataFrame = {
+      encoding: LshEncoding = LshEncoding.Auto,
+      candidateBudget: Option[Long] = Some(DefaultCandidateBudget)): DataFrame = {
     // encoding defaults to Auto here (unlike minhashLshPairs): the CC
     // step below runs eager jobs at call time anyway, so plan-only
     // callers don't exist and the adaptive probe costs nothing extra.
@@ -706,8 +744,11 @@ object Dedup {
     // (short texts — the cascade is cheap there; q53 4.47 vs 4.52 s
     // control, SCALE.md round-8), so the default avoids writing the
     // token arrays to scratch; heavy-text corpora opt in.
+    // candidateBudget passes through: the scale guard protects the
+    // composed pipeline exactly like the bare pair operator.
     val clusters = connectedComponents(
-      minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold, encoding))
+      minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold, encoding,
+        candidateBudget = candidateBudget))
     val losers = clusters.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -61,8 +61,10 @@ object Skew {
     * is bounded by distinct-blocks-over-cap (≤ rows/cap), vanishingly
     * small for a production cap set above the p99 legitimate block.
     *
-    * `mostBlocksOver` is the ENGAGEMENT-PROFILE dial, set per call
-    * site, both shapes measured (SCALE.md round-8): when the cap is a
+    * `mostBlocksOver` is the ENGAGEMENT-PROFILE dial — `None` (the
+    * default since round 15) AUTO-SELECTS from the phase-1 measurement
+    * (see [[oneWindowWins]]); `Some(_)` pins a profile explicitly.
+    * Both shapes measured (SCALE.md round-8): when the cap is a
     * safety valve that rarely fires (LSH hot-bucket guard, title-block
     * guard — the default), pay-per-use wins because under-cap rows
     * skip the rank shuffle entirely. When the caller KNOWS most rows
@@ -106,8 +108,39 @@ object Skew {
     */
   val DefaultBroadcastKeyLimit: Long = 1000000L
 
+  /** AUTO profile selection (round-15 verdict item 6): with
+    * `mostBlocksOver = None` the eager phase-1 pass — which both
+    * non-one-window modes already pay — also measures what FRACTION of
+    * rows sits in over-cap blocks, and the one-window profile engages
+    * when at least half do. Rationale: the pay-per-use split's win is
+    * the under-cap rows that skip the rank shuffle entirely; once most
+    * rows go through the window anyway, the split's three scans + union
+    * are pure overhead (q95 measured it at +39% on Matching's all-over
+    * blocks; q103 measured one-window 2x faster on the all-buckets-hot
+    * LSH corpus — SCALE.md rounds 8/14). 0.5 splits those regimes with
+    * margin on both sides: the safety-valve corpora that want the
+    * split sit near 0, the intentionally-split ones near 1. Explicit
+    * `Some(true)`/`Some(false)` keeps the old behavior exactly (and
+    * `Some(true)` stays count-free — the caller asserting the profile
+    * shouldn't pay a measurement). SkewSpec pins the rule and that all
+    * three selections are row-identical. */
+  private[graft] val AutoOneWindowFraction = 0.5
+  private[graft] def oneWindowWins(totalRows: Long, overRows: Long): Boolean =
+    totalRows > 0 && overRows.toDouble / totalRows >= AutoOneWindowFraction
+
+  /** Phase-1 stats in one action: (total rows, rows in over-cap blocks,
+    * over-cap block count) from the map-side-combined per-block counts. */
+  private def capStats(keyed: DataFrame, maxPerBlock: Int): (Long, Long, Long) = {
+    val r = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+      .agg(sum(col("__cb_n")).as("t"),
+        sum(when(col("__cb_n") > maxPerBlock, col("__cb_n")).otherwise(0L)).as("o"),
+        count(when(col("__cb_n") > maxPerBlock, lit(1))).as("k"))
+      .first()
+    if (r.isNullAt(0)) (0L, 0L, 0L) else (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   def capBlocks(df: DataFrame, blockCol: Column, orderCol: Column,
-      maxPerBlock: Int, mostBlocksOver: Boolean = false,
+      maxPerBlock: Int, mostBlocksOver: Option[Boolean] = None,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
@@ -121,24 +154,29 @@ object Skew {
     // block. DuckDB's window default is NULLS LAST, so the q95 oracle
     // pins ORDER BY ... NULLS FIRST explicitly — keep them in lockstep
     val w = Window.partitionBy(col("__cb_key")).orderBy(orderCol)
-    if (mostBlocksOver) {
+    def oneWindow: DataFrame =
       // one window pass over every block — cheapest when the split
       // would route nearly all rows through the rank window anyway
       keyed.withColumn("__rn", row_number().over(w))
         .withColumn("__capped_block", subBlock(col("__rn")))
         .drop("__rn", "__cb_key")
-    } else {
+    if (mostBlocksOver.contains(true)) oneWindow
+    else {
       // phase 1: which blocks exceed the cap (partial-aggregated count —
-      // a hot block reaches its reducer as one row per upstream task)
-      val overKeys = keyed
-        .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
-        .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
-      val nOver = overKeys.count()
+      // a hot block reaches its reducer as one row per upstream task);
+      // in auto mode the same single action also measures the over-cap
+      // ROW fraction that picks the engagement profile
+      val (totalRows, overRows, nOver) = capStats(keyed, maxPerBlock)
       if (nOver == 0L) {
         // cap never fires: every row is rank-1-equivalent — sub-bucket
         // 0 with no joins, no shuffle, no sort
         keyed.withColumn("__capped_block", subBlock(lit(1))).drop("__cb_key")
+      } else if (mostBlocksOver.isEmpty && oneWindowWins(totalRows, overRows)) {
+        oneWindow
       } else {
+        val overKeys = keyed
+          .groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+          .where(col("__cb_n") > maxPerBlock).select(col("__cb_key"))
         val build =
           if (nOver <= broadcastKeyLimit) broadcast(overKeys) else overKeys
         // phase 2: under-cap rows pass through (rank 1 ⇒ sub-bucket 0 —
@@ -217,7 +255,7 @@ object Skew {
     * operator's own error message recommends is negative for half of
     * all inputs. */
   def capBlocksHashed(df: DataFrame, blockCol: Column, orderCol: Column,
-      maxPerBlock: Int, mostBlocksOver: Boolean = false,
+      maxPerBlock: Int, mostBlocksOver: Option[Boolean] = None,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(maxPerBlock > 0, s"maxPerBlock must be positive, got $maxPerBlock")
@@ -250,19 +288,27 @@ object Skew {
             (__cb_h * (((__cb_n - 1) div $maxPerBlock) + 1)) div 4294967296)""")
           .cast("string")))
       .drop("__cb_h", "__cb_n")
-    if (mostBlocksOver) {
+    def allBlocksJoin: DataFrame = {
       // all-blocks counts joined onto every row; an under-cap block
       // scales to "#0" by arithmetic (nSub = 1), so no split is needed
       val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
       hashedSub(keyed.join(counts, Seq("__cb_key"))).drop("__cb_key")
-    } else {
-      val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
-        .where(col("__cb_n") > maxPerBlock)
-      val nOver = counts.count()
+    }
+    if (mostBlocksOver.contains(true)) allBlocksJoin
+    else {
+      // auto (None) pays the same eager phase-1 action the split mode
+      // already runs, and picks the all-blocks join past the 0.5
+      // over-cap row fraction — same rule as capBlocks (Some(true)
+      // stays count-free/lazy: the caller asserted the profile)
+      val (totalRows, overRows, nOver) = capStats(keyed, maxPerBlock)
       if (nOver == 0L) {
         keyed.withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))
           .drop("__cb_key")
+      } else if (mostBlocksOver.isEmpty && oneWindowWins(totalRows, overRows)) {
+        allBlocksJoin
       } else {
+        val counts = keyed.groupBy(col("__cb_key")).agg(count(lit(1)).as("__cb_n"))
+          .where(col("__cb_n") > maxPerBlock)
         val build = if (nOver <= broadcastKeyLimit) broadcast(counts) else counts
         val under = keyed.join(build.select(col("__cb_key")), Seq("__cb_key"), "left_anti")
           .withColumn("__capped_block", concat(col("__cb_key"), lit("#0")))

@@ -18,7 +18,7 @@ object DomainOps {
 
   /** SQL: normalized token array of expr `e` (F9 pipeline). Test-table
     * text is ASCII so RE2's ASCII \w matches Java's (?U)\w here. */
-  private def sqlNormToks(e: String): String =
+  private[queries] def sqlNormToks(e: String): String =
     s"""list_filter(
         string_split_regex(regexp_replace(lower($e), '[^\\w\\s]', ' ', 'g'), '\\s+'),
         w -> len(w) > 2 AND NOT list_contains($stopSql, w))"""

@@ -172,7 +172,7 @@ object KernelOps {
       .orderBy($"doc_id")
   }
 
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[queries] def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** The F21 replay, generated from [[Sectors.catalog]] itself so the
     * two sides cannot drift: per-sector raw score
@@ -180,7 +180,17 @@ object KernelOps {
     * reference's sequential best-tracking fold (14 chained CTEs — one
     * per catalog sector — each comparing the raw double against the
     * float-capped running best). */
-  private val q52Sql = {
+  /** The F21 sector-classifier replay, SHARED between q52 and the q104
+    * pipeline composite (round-15): generated from [[Sectors.catalog]]
+    * so the SQL and the Catalyst kernel cannot drift. `fromCte` must
+    * provide columns `idCols` (comma-joined pass-through keys), `ftxt`
+    * (lowered title+company+text+location concat) and `titlelo`.
+    * Emits the score CTE plus the reference's sequential
+    * best-tracking fold (one CTE per catalog sector, each comparing
+    * the raw double score against the FLOAT-capped running best);
+    * [[sectorLastCte]] names the final CTE, [[sectorPickSql]] the
+    * winner-decode expressions. */
+  private[queries] def sectorFoldCtes(fromCte: String, idCols: String): String = {
     val scores = Sectors.catalog.zipWithIndex.map { case (sd, i) =>
       val kws = sd.motsCles.map(sqlLit).mkString("[", ", ", "]")
       val comps = sd.entreprises.map(e => sqlLit(e.toLowerCase)).mkString("[", ", ", "]")
@@ -198,15 +208,25 @@ object KernelOps {
       val carrySel = if (carry.isEmpty) "" else s", $carry"
       val prevW = if (i == 0) "-1" else "w"
       val prevBc = if (i == 0) "0.0::REAL" else "bc"
-      s"""st$i AS (SELECT doc_id,
+      s"""st$i AS (SELECT $idCols,
             CASE WHEN s$i > $prevBc THEN $i ELSE $prevW END AS w,
             CASE WHEN s$i > $prevBc THEN least(s$i, 1.0::DOUBLE)::REAL ELSE $prevBc END AS bc
             $carrySel FROM $src)"""
     }.mkString(",\n        ")
+    s"""sc AS (SELECT $idCols, ${scores.mkString(",\n          ")} FROM $fromCte),
+        $foldCtes"""
+  }
+
+  private[queries] def sectorLastCte: String = s"st${Sectors.catalog.length - 1}"
+
+  private[queries] def sectorPickSql(f: Sectors.SectorDef => String, unknown: String): String =
+    "CASE w " + Sectors.catalog.zipWithIndex.map { case (sd, i) =>
+      s"WHEN $i THEN ${sqlLit(f(sd))}"
+    }.mkString(" ") + s" ELSE ${sqlLit(unknown)} END"
+
+  private val q52Sql = {
     def pick(f: Sectors.SectorDef => String, unknown: String): String =
-      "CASE w " + Sectors.catalog.zipWithIndex.map { case (sd, i) =>
-        s"WHEN $i THEN ${sqlLit(f(sd))}"
-      }.mkString(" ") + s" ELSE ${sqlLit(unknown)} END"
+      sectorPickSql(f, unknown)
     s"""WITH inp AS (
           SELECT doc_id,
             CASE WHEN doc_id % 4 = 1 THEN 'chauffeur livreur'
@@ -221,20 +241,19 @@ object KernelOps {
             lower(title || ' ' || company || ' ' || text || ' ' || loc) AS ftxt,
             lower(title) AS titlelo
           FROM inp),
-        sc AS (SELECT doc_id, ${scores.mkString(",\n          ")} FROM f),
-        $foldCtes
+        ${sectorFoldCtes("f", "doc_id")}
         SELECT doc_id,
           ${pick(_.id, "SECT_INCONNU")} AS secteur_id,
           ${pick(_.nom, "Secteur inconnu")} AS secteur_nom,
           ${pick(_.parent, "INCONNU")} AS categorie_parent,
           round(bc::DOUBLE + 1e-9, 6) AS confidence
-        FROM st${n - 1} ORDER BY doc_id"""
+        FROM $sectorLastCte ORDER BY doc_id"""
   }
 
   // ---------------------------------------------------------------- q60
 
-  private val Companies = Seq("Acme SA", "Ivoire Telecom", "Globex Corp", "Initech SARL")
-  private val ContractMarkers = Seq("cdi", "cdd", "stage", "freelance", "alternance", "mission")
+  private[queries] val Companies = Seq("Acme SA", "Ivoire Telecom", "Globex Corp", "Initech SARL")
+  private[queries] val ContractMarkers = Seq("cdi", "cdd", "stage", "freelance", "alternance", "mission")
 
   /** HTML-extraction kernels (F1/F2/F5/F6/F7) over synthesized offer
     * pages: six page shapes (o_orderkey % 6) drive distinct cascade
@@ -303,9 +322,9 @@ object KernelOps {
     // (CLAUDE.md oracle conventions)
   }
 
-  private val DescText =
+  private[queries] val DescText =
     "description du poste avec beaucoup de details sur les taches quotidiennes et le profil attendu"
-  private val ReqText =
+  private[queries] val ReqText =
     "exigences techniques et qualites personnelles du candidat"
 
   private val q60Sql = {
@@ -345,7 +364,7 @@ object KernelOps {
   /** Deterministic skill-rich suffixes so several catalog categories
     * genuinely fire (the synthetic corpus vocabulary alone only
     * reaches two). Shared between the Spark side and the oracle. */
-  private val SkillSuffixes = Seq(
+  private[queries] val SkillSuffixes = Seq(
     " stack python docker kubernetes",
     " stack react html css webpack",
     " stack tensorflow machine learning",

@@ -296,13 +296,16 @@ object TextOps {
     * (row_number over id within (band, key) − 1) / cap, the exact
     * capBlocks rank formula (ids are non-null here, so NULLS FIRST
     * lockstep is moot). MergeWalk, not Auto: q18 already exercises the
-    * adaptive-probe path. `capMostBlocksOver`: on this corpus nearly
-    * every band bucket exceeds the cap, so the one-window profile
-    * beats the pay-per-use anti/semi split (measured, Dedup scaladoc). */
+    * adaptive-probe path. `capMostBlocksOver` is left at its AUTO
+    * default (round 15): nearly every band bucket on this corpus
+    * exceeds the cap, so the measured phase-1 fraction selects the
+    * one-window profile (the choice this query pinned explicitly in
+    * r14, 2x faster than the split here) — the gate now exercises the
+    * selection rule end-to-end, not just the profile. */
   private def q103(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
       MinhashK, BandRows, 0.4, graft.operators.LshEncoding.MergeWalk,
-      maxBucketSize = Some(LshCapBucket), capMostBlocksOver = true)
+      maxBucketSize = Some(LshCapBucket))
 
   private val q103Sql = {
     val ms = (0 until MinhashK).map(i => sqlMinhashFromHashes("toks", i)).mkString(",\n  ")

@@ -46,10 +46,10 @@ object SubBlockProbe {
       val plan = mode match {
         case "rank-payperuse" => Skew.capBlocks(rows, $"block", $"rid", cap)
         case "rank-onewindow" =>
-          Skew.capBlocks(rows, $"block", $"rid", cap, mostBlocksOver = true)
+          Skew.capBlocks(rows, $"block", $"rid", cap, mostBlocksOver = Some(true))
         case "hash" => Skew.capBlocksHashed(rows, $"block", $"rid", cap)
         case "hash-mostover" =>
-          Skew.capBlocksHashed(rows, $"block", $"rid", cap, mostBlocksOver = true)
+          Skew.capBlocksHashed(rows, $"block", $"rid", cap, mostBlocksOver = Some(true))
       }
       graft.Bench.exec(plan)
       val t = (System.nanoTime() - t0) / 1e9

@@ -299,16 +299,42 @@ class PlanContractSpec extends AnyFunSuite {
       "hashed capped matching must not rank-window the blocks:\n" + p)
   }
 
-  test("capped LSH keeps the pay-per-use split (under-cap rows skip the rank)") {
-    // The inverse pin: the LSH hot-bucket guard is a rarely-fired
-    // safety valve, where the two-phase plan saves ~30% (BucketCapProbe,
-    // SCALE.md round-8) — its left-anti pass-through branch must stay.
+  test("q104 composite stages the dedup boundary to scratch parquet") {
+    // The five-stage chain's one shuffling stage (Deduplicate) consumes
+    // its prepared frame ~6 ways (pair self-join both sides, flag
+    // join-back, keep-best rank) — SCALE.md mandates the scratch-parquet
+    // staging exactly there, so the upstream parse/skills/salary UDF
+    // cascade runs once, not six times. The staged read must appear in
+    // the final plan as a parquet scan of the graft-dedup-prep dir.
+    val p = plan("q104_pipeline_composite")
+    assert(p.contains("graft-dedup-prep"),
+      "q104's plan must read the dedup stage's scratch-staged parquet:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+    // and the blob synthesis/UDF cascade must NOT survive into the
+    // final plan (it ran once, into the staging write)
+    assert(!p.contains("json_tuple") && !p.contains("html_content"),
+      "the parse cascade must be cut off by the dedup staging boundary")
+  }
+
+  test("capped LSH auto-selects one-window on the all-hot driver corpus; split stays reachable") {
+    // Round 15: capMostBlocksOver defaults to AUTO, and on the driver
+    // corpus (30-word vocabulary — nearly every band bucket is over
+    // any production cap) the measured over-cap fraction selects the
+    // one-window profile, the plan q103 measured 2x faster than the
+    // split here (SCALE.md round-14). The pay-per-use split — the
+    // right plan for rarely-fired safety valves (~30% saved,
+    // BucketCapProbe round-8) — must stay reachable via the explicit
+    // override.
     val docs = graft.Engine.table(spark, dir, "documents")
-    val p = graft.operators.Dedup.minhashLshPairs(
+    def plan(profile: Option[Boolean]) = graft.operators.Dedup.minhashLshPairs(
         docs, "doc_id", "text", k = 16, bandsOf = 4, threshold = 0.7,
-        maxBucketSize = Some(8))
+        maxBucketSize = Some(8), capMostBlocksOver = profile)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("LeftAnti"),
-      "capped LSH must keep the pay-per-use anti/semi split:\n" + p)
+    val auto = plan(None)
+    assert(!auto.contains("LeftAnti") && auto.contains("Window"),
+      "auto must select the one-window profile on the all-hot corpus:\n" + auto)
+    val split = plan(Some(false))
+    assert(split.contains("LeftAnti"),
+      "the explicit pay-per-use override must keep the anti/semi split:\n" + split)
   }
 }

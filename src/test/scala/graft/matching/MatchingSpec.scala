@@ -74,6 +74,35 @@ class MatchingSpec extends AnyFunSuite {
     assert(cappedPairs.subsetOf(allPairs))
   }
 
+  test("pairBudget scale guard fails by name on an uncapped pair explosion") {
+    // the degenerate-block shape again: 40x40 SECT_INCONNU = 1600
+    // estimated pairs — a 1000-pair budget must fail BY NAME with the
+    // measured volume and the dial in the message, at construction,
+    // before any quadratic join runs
+    def offersN = (1 to 80).map(i => (s"J$i", s"LOC_O$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_$i",
+        Seq("COMP_x"), 100000L, "Débutant"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    def cvsN = (1 to 80).map(i => (s"C$i", s"LOC_C$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_CV$i",
+        Seq("COMP_x"), 100000.0, 2L))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    val err = intercept[graft.operators.ScaleGuardException](
+      Matching.score(offersN, cvsN, None, pairBudget = Some(1000L)))
+    assert(err.getMessage.contains("maxBlockSize") &&
+      err.getMessage.contains("pairBudget") &&
+      err.getMessage.contains("1600"), err.getMessage)
+    // a capped call never measures: the cap bounds the volume
+    assert(Matching.score(offersN, cvsN, None, maxBlockSize = Some(10),
+      pairBudget = Some(1L)).count() == 4L * 10L * 10L)
+    // explicit opt-out runs the exact plan; the default budget clears
+    // gate-scale corpora untouched
+    assert(Matching.score(offersN, cvsN, None, pairBudget = None).count() == 1600L)
+    assert(Matching.score(offersN, cvsN, None).count() == 1600L)
+  }
+
   test("cap never invents null-block pairs the exact path excludes") {
     // a NULL sector on both sides: the uncapped equi-join drops them,
     // so the capped path must too — capBlocks gives nulls their own

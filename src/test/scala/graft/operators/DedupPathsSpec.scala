@@ -175,7 +175,7 @@ class DedupPathsSpec extends AnyFunSuite {
       f"${capped.size.toDouble / exact.size}%.3f")
   }
 
-  test("default encoding builds the plan with zero Spark jobs; Auto probes") {
+  test("plan-only laziness requires candidateBudget=None; the default guards eagerly") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = corpus(nTemplates = 4, tokensPer = 12, perTemplate = 3,
       universeOffset = 0).toDF("doc_id", "text")
@@ -188,18 +188,56 @@ class DedupPathsSpec extends AnyFunSuite {
       try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
-    // force full analysis + physical planning, no action
+    // force full analysis + physical planning, no action. Since round
+    // 15 the DEFAULT path runs the scale guard's bucket-count job at
+    // construction; zero-job planning is the explicit opt-out.
     val cold = jobsDuring {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = None).queryExecution.executedPlan
+    }
+    assert(cold == 0, s"plan-only call (budget off) ran $cold jobs")
+    // positive controls: the same measurement sees the default guard's
+    // count job and Auto's probe jobs, so the zero above is a real
+    // zero, not a broken listener
+    val guarded = jobsDuring {
       Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold)
         .queryExecution.executedPlan
     }
-    assert(cold == 0, s"plan-only default call ran $cold jobs")
-    // positive control: the same measurement sees Auto's probe jobs,
-    // so the zero above is a real zero, not a broken listener
+    assert(guarded > 0, "the default candidateBudget should measure at plan time")
     val probed = jobsDuring {
       Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
-        LshEncoding.Auto).queryExecution.executedPlan
+        LshEncoding.Auto, candidateBudget = None).queryExecution.executedPlan
     }
     assert(probed > 0, "Auto should run its stats probe at plan time")
+  }
+
+  test("candidateBudget scale guard fails by name on hot uncapped banding") {
+    // forty byte-identical docs: every band bucket holds all 40 rows,
+    // so candidate volume = 4 bands x C(40,2) = 3120 — past a 100-pair
+    // budget the call must fail BY NAME with the dial in the message,
+    // before any pair join is built
+    val docs = (1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val err = intercept[ScaleGuardException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(100L)))
+    assert(err.getMessage.contains("maxBucketSize") &&
+      err.getMessage.contains("candidateBudget") &&
+      err.getMessage.contains("3120"), err.getMessage)
+    // a capped call never measures: the same tiny budget is ignored
+    // because the cap already bounds the volume
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+      maxBucketSize = Some(8), candidateBudget = Some(1L)).count() >= 0)
+    // explicit opt-out runs the exact uncapped plan
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+      candidateBudget = None).count() == 40L * 39 / 2)
+    // the default budget clears gate-scale corpora untouched
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold)
+      .count() == 40L * 39 / 2)
+    // nearDedup passes the budget through to its LSH stage
+    val err2 = intercept[ScaleGuardException](
+      Dedup.nearDedup(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(100L)))
+    assert(err2.getMessage.contains("maxBucketSize"))
   }
 }

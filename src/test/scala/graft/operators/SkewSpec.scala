@@ -48,12 +48,45 @@ class SkewSpec extends AnyFunSuite {
       (1 to 30).map(i => (Some("edge"), (100 + i).toLong)) ++
       Seq((Some("tiny"), 200L), (None: Option[String], 201L), (None, 202L))
     val df = rows.toDF("block", "id")
-    def dump(mode: Boolean) =
+    def dump(mode: Option[Boolean]) =
       Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, mostBlocksOver = mode)
         .select("block", "id", "__capped_block").collect()
         .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2)))
         .sortBy(t => (t._1.getOrElse(""), t._2)).toSeq
-    assert(dump(mode = false) == dump(mode = true))
+    // all THREE selections agree: both explicit profiles and the
+    // round-15 auto default (which measures and picks one of them)
+    assert(dump(Some(false)) == dump(Some(true)))
+    assert(dump(None) == dump(Some(true)))
+  }
+
+  test("auto profile selection follows the measured over-cap row fraction") {
+    // the pinned rule: one-window engages at >= 50% of rows in
+    // over-cap blocks (q95's all-over corpus measured the split at
+    // +39%; the LSH safety-valve corpora sit near 0%)
+    assert(!Skew.oneWindowWins(totalRows = 100, overRows = 0))
+    assert(!Skew.oneWindowWins(totalRows = 100, overRows = 49))
+    assert(Skew.oneWindowWins(totalRows = 100, overRows = 50))
+    assert(Skew.oneWindowWins(totalRows = 100, overRows = 100))
+    assert(!Skew.oneWindowWins(totalRows = 0, overRows = 0))
+    // plan-shape witnesses: an all-hot corpus auto-selects the
+    // one-window profile (no anti/semi Union), a mostly-cold corpus
+    // the pay-per-use split (Union present)
+    val hot = (1 to 100).map(i => ("giant", i.toLong)).toDF("block", "id")
+    val hotPlan = Skew.capBlocks(hot, $"block", $"id", maxPerBlock = 30)
+      .queryExecution.sparkPlan.toString
+    assert(!hotPlan.contains("Union"),
+      s"all-hot corpus must auto-select one-window (no split):\n$hotPlan")
+    val cold = (1 to 100).map(i => (s"b${i % 50}", i.toLong)) ++
+      (1 to 40).map(i => ("hot", (1000 + i).toLong))
+    val coldPlan = Skew.capBlocks(cold.toDF("block", "id"), $"block", $"id",
+        maxPerBlock = 30).queryExecution.sparkPlan.toString
+    assert(coldPlan.contains("Union"),
+      s"mostly-cold corpus must auto-select the pay-per-use split:\n$coldPlan")
+    // same rule, hashed plan: all-hot auto-selects the all-blocks join
+    val hotHashed = Skew.capBlocksHashed(hot, $"block", $"id", maxPerBlock = 30)
+      .queryExecution.sparkPlan.toString
+    assert(!hotHashed.contains("Union"),
+      s"all-hot corpus must auto-select the all-blocks hashed join:\n$hotHashed")
   }
 
   test("capBlocks rejects reserved columns and non-positive caps") {
@@ -75,7 +108,8 @@ class SkewSpec extends AnyFunSuite {
     val rows = (0 until 5).flatMap(b => (1 to 40).map(i => (s"blk$b", (b * 100 + i).toLong)))
     val df = rows.toDF("block", "id")
     def dump(limit: Long) =
-      Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = limit)
+      Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30,
+        mostBlocksOver = Some(false), broadcastKeyLimit = limit)
         .select("block", "id", "__capped_block").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(t => (t._1, t._2)).toSeq
     // disable stats-based auto-broadcast: these in-memory fixtures are
@@ -86,11 +120,15 @@ class SkewSpec extends AnyFunSuite {
     val prior = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      val guarded = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = 3)
+      // profile pinned to the split: this all-over-cap fixture would
+      // auto-select one-window (no joins at all), masking the guard
+      val guarded = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30,
+        mostBlocksOver = Some(false), broadcastKeyLimit = 3)
       val planned = guarded.queryExecution.sparkPlan.toString
       assert(!planned.contains("BroadcastHashJoin"),
         s"over-cap key set must not be broadcast above the limit:\n$planned")
-      val hinted = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30, broadcastKeyLimit = 5)
+      val hinted = Skew.capBlocks(df, $"block", $"id", maxPerBlock = 30,
+        mostBlocksOver = Some(false), broadcastKeyLimit = 5)
         .queryExecution.sparkPlan.toString
       assert(hinted.contains("BroadcastHashJoin"),
         s"within the limit the key set must still broadcast:\n$hinted")
@@ -174,12 +212,13 @@ class SkewSpec extends AnyFunSuite {
       (1 to 30).map(i => (Some("edge"), (1000 + i).toLong)) ++
       Seq((Some("tiny"), 2000L), (None: Option[String], 2001L), (None, 2002L))
     val df = rows.toDF("block", "id")
-    def dump(mode: Boolean) =
+    def dump(mode: Option[Boolean]) =
       Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30, mostBlocksOver = mode)
         .select("block", "id", "__capped_block").collect()
         .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(2)))
         .sortBy(t => (t._1.getOrElse(""), t._2)).toSeq
-    assert(dump(mode = false) == dump(mode = true))
+    assert(dump(Some(false)) == dump(Some(true)))
+    assert(dump(None) == dump(Some(true)))
   }
 
   test("capBlocksHashed mostBlocksOver plans one join and no union/sort/window") {
@@ -188,7 +227,7 @@ class SkewSpec extends AnyFunSuite {
     // joined on. Still sort-free like the split plan.
     val df = (1 to 100).map(i => ("giant", i.toLong)).toDF("block", "id")
     val planned = Skew.capBlocksHashed(df, $"block", $"id", maxPerBlock = 30,
-      mostBlocksOver = true).queryExecution.sparkPlan.toString
+      mostBlocksOver = Some(true)).queryExecution.sparkPlan.toString
     assert(!planned.contains("Union") && !planned.contains("Window") &&
       !planned.contains("Sort"),
       s"mostBlocksOver hashed plan must be split-free and sort-free:\n$planned")
