@@ -481,9 +481,17 @@ object Bench {
         org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
       val medians = (j \ "queries") match {
         case JObject(fields) => fields.flatMap { case (k, v) =>
-          num(v \ "median").filter(_ > 0).map(m => k -> controlBaseline(m,
-            num(v \ "rerun").filter(_ > 0), num(v \ "min").filter(_ > 0),
-            num(v \ "spread")))
+          num(v \ "median").filter(_ > 0).map { m =>
+            // a scrubbed clean-window reading (round-15 control
+            // capture) outranks every inferred baseline form — min()
+            // with the median for the same only-ever-tighten reason
+            // reruns get
+            k -> num(v \ "clean").filter(_ > 0)
+              .map(c => math.min(m, c))
+              .getOrElse(controlBaseline(m,
+                num(v \ "rerun").filter(_ > 0), num(v \ "min").filter(_ > 0),
+                num(v \ "spread")))
+          }
         }.toMap
         case _ => Map.empty[String, Double]
       }
@@ -974,7 +982,87 @@ object Bench {
             s"vs floor ${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
             s"control ${r3(candidates(k))}s)").mkString(", "))
 
-    val loadAvgEnd = loadAvg // sampled AFTER reruns: covers their window too
+    // CONTROL SCRUB (round-15 verdict item 2): a control baseline is
+    // only as good as the window that produced it — all four r14
+    // capture attempts lost windows to the CPI episode, and a
+    // 13-minute zero-flag window may simply not exist on this box. On
+    // control runs (SPARK_GRAFT_CONTROL_ROUND set), every query whose
+    // measured windows were NOT probe-clean (worst per-iteration probe
+    // > CleanBar x floor, or a suspect >1.5x warm spread, or a failed
+    // iteration) is re-executed — warm pair, hygiene between — until
+    // one execution lands on a verified-clean window: quiet probes
+    // sampled BEFORE and AFTER the leg both <= CleanBar x floor
+    // (episodes run ~10 min, legs run seconds, so the bracket covers
+    // them) and the in-band max <= InbandCleanBar x floor (the
+    // measured self-load ceiling on heavy 32-thread legs is ~1.26;
+    // 1.35 leaves margin without admitting the >=1.55 episode band).
+    // The clean reading lands per-query as "clean" (+ probe evidence),
+    // and parseControl PREFERS it over every other baseline form — so
+    // a control captured this way needs no exoneration arithmetic at
+    // compare time. Queries already clean in-suite are stamped
+    // probe_clean from their own evidence, no extra work.
+    val cleanBar = 1.1
+    val inbandCleanBar = 1.35
+    val scrubAttempts = sys.env.get("SPARK_GRAFT_SCRUB_ATTEMPTS")
+      .map(_.toInt).getOrElse(8)
+    def windowClean(p: Option[Double], bar: Double): Boolean =
+      (for (p0 <- p; f <- probeFloorMs if f > 0) yield p0 / f <= bar)
+        .getOrElse(false)
+    val suiteClean: Map[String, Boolean] =
+      if (controlRound.isEmpty) Map.empty
+      else results.map { case (k, m) =>
+        k -> (!m.failed && m.spreadRatio <= 1.5 && windowClean(qProbe.get(k), cleanBar))
+      }
+    val qCleanTime = scala.collection.mutable.Map.empty[String, Double]
+    val qCleanProbe = scala.collection.mutable.Map.empty[String, Double]
+    val qScrubAttempts = scala.collection.mutable.Map.empty[String, Int]
+    if (controlRound.isDefined) {
+      val need = results.collect {
+        case (k, m) if !m.failed && !suiteClean(k) => k
+      }.toSeq.sorted
+      if (need.nonEmpty) System.err.println(
+        s"[bench] control scrub: re-running ${need.size} not-probe-clean " +
+          s"queries (${need.mkString(", ")})")
+      need.foreach { k =>
+        var att = 0
+        var done = false
+        while (!done && att < scrubAttempts) {
+          att += 1
+          try {
+            exec(queries(k)(spark, sfDir)) // re-warm leg
+            graft.operators.Scratch.releaseAll(); syncDisk()
+            val pre = cpuProbeMs()
+            var t = -1.0
+            val (_, post, inband) = probeDuring {
+              val t0 = System.nanoTime()
+              exec(queries(k)(spark, sfDir))
+              t = (System.nanoTime() - t0) / 1e9
+            }
+            graft.operators.Scratch.releaseAll(); syncDisk()
+            if (windowClean(pre, cleanBar) && windowClean(post, cleanBar) &&
+                inband.forall(p => windowClean(Some(p), inbandCleanBar))) {
+              qCleanTime(k) = t
+              post.foreach(qCleanProbe(k) = _)
+              done = true
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] control scrub of $k failed: ${e.getMessage}")
+            att = scrubAttempts // a crashing scrub confirms nothing; stop
+          }
+        }
+        qScrubAttempts(k) = att
+        if (!done) System.err.println(
+          s"[bench] control scrub: $k never landed a clean window in $att attempts")
+        resetSession(spark)
+      }
+      val dirty = results.keys.filter(k =>
+        !suiteClean.getOrElse(k, false) && !qCleanTime.contains(k)).toSeq.sorted
+      System.err.println(
+        if (dirty.isEmpty) "[bench] control scrub: every query probe-clean"
+        else s"[bench] control scrub: STILL DIRTY after scrub: ${dirty.mkString(", ")}")
+    }
+
+    val loadAvgEnd = loadAvg // sampled AFTER reruns + scrub: covers their windows too
     // container-scoped contention attribution over the whole suite
     // (reruns included, like loadAvgEnd): how many cores did NON-bench
     // work inside this container burn per wall second, and who does
@@ -1064,9 +1152,18 @@ object Bench {
         qIowait.get(k).map(v => s""","iowait":${r2(v)}""").getOrElse("") +
         qProbe.get(k).map(v => s""","probe_ms":${r2(v)}""").getOrElse("")
       val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
+      // control-capture evidence: whether THIS query's value rests on a
+      // verified-clean window, plus the scrubbed clean reading when the
+      // in-suite windows weren't (parseControl prefers "clean")
+      val scrub = if (controlRound.isEmpty) "" else {
+        s""","probe_clean":${suiteClean.getOrElse(k, false) || qCleanTime.contains(k)}""" +
+          qCleanTime.get(k).map(v => s""","clean":${r3(v)}""").getOrElse("") +
+          qCleanProbe.get(k).map(v => s""","clean_probe_ms":${r2(v)}""").getOrElse("") +
+          qScrubAttempts.get(k).map(v => s""","scrub_attempts":$v""").getOrElse("")
+      }
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
         s""""spread":${r2(m.spreadRatio)},"load_at_start":${r2(m.loadAtStart)},""" +
-        s""""failed":${m.failed}$cpu$st$ctl$rerun}"""
+        s""""failed":${m.failed}$cpu$st$ctl$rerun$scrub}"""
     }.mkString(",")
     detail ++= "}}\n"
     try {

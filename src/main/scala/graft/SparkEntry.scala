@@ -18,7 +18,7 @@ object SparkEntry {
       Relational.all ++ TextOps.all ++ VectorOps.all ++ EventOps.all ++
         DomainOps.all ++ TrainingOps.all ++ MatchOps.all ++ KernelOps.all ++
         MediaOps.all ++ GraphOps.all ++ SearchOps.all ++ StatsOps.all ++
-        IndexOps.all ++ PipelineOps.all
+        IndexOps.all ++ PipelineOps.all ++ CvOps.all
     // toMap would silently DROP a name collision — the shadowed query
     // would vanish from Bench, Verify and the oracle gate with the only
     // symptom being a count nothing checks

@@ -43,7 +43,7 @@ object MatchOps {
 
   /** SQL fragment: F24 competence id of expr `e` (lower, ' '/'-' ->
     * '_', first 20 — load_to_bigquery.py:73-78). */
-  private def sqlCompId(e: String): String =
+  private[queries] def sqlCompId(e: String): String =
     s"'COMP_' || substring(replace(replace(lower($e), ' ', '_'), '-', '_'), 1, 20)"
 
   private def offersDf(s: SparkSession, dir: String): DataFrame = {

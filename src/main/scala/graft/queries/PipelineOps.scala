@@ -117,7 +117,7 @@ object PipelineOps {
     * `lo` — generated from [[Skills.parseCatalog]] (catalog order,
     * title-cased), exactly the hits-array-then-filter shape of
     * [[Skills.extractSkills]]. */
-  private def sqlF8Skills(lo: String): String = {
+  private[queries] def sqlF8Skills(lo: String): String = {
     val hits = Skills.parseCatalog.map { v =>
       s"CASE WHEN contains($lo, ${KernelOps.sqlLit(v)}) THEN ${KernelOps.sqlLit(Skills.pythonTitle(v))} END"
     }

@@ -550,6 +550,32 @@ class BenchEvidenceSpec extends AnyFunSuite {
     } finally { dir.listFiles.foreach(_.delete()); dir.delete() }
   }
 
+  test("a scrubbed clean-window reading outranks every inferred baseline form") {
+    // round-15 control capture: per-query "clean" (a warm execution on
+    // a verified probe-clean window) is the baseline — no exoneration
+    // arithmetic needed at compare time — min()'d with the median for
+    // the same only-ever-tighten reason reruns get
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctlc").toFile
+    try {
+      val f = new java.io.File(dir, "BENCH_CONTROL_r15.json")
+      java.nio.file.Files.write(f.toPath,
+        """{"sf":0.1,"cpus":32,"queries":{
+          |"q_scrubbed":{"iters":[9.7,8.04,8.4],"min":8.04,"median":8.4,
+          |"spread":1.05,"failed":false,"rerun":7.9,"probe_clean":true,
+          |"clean":3.2,"clean_probe_ms":42.1,"scrub_attempts":2},
+          |"q_clean_insuite":{"iters":[2.0,2.0,2.0],"min":2.0,"median":2.0,
+          |"spread":1.0,"failed":false,"probe_clean":true},
+          |"q_clean_loosens":{"iters":[1.0,1.0,1.0],"min":1.0,"median":1.0,
+          |"spread":1.0,"failed":false,"clean":5.0}}}""".stripMargin.getBytes("UTF-8"))
+      val c = Bench.parseControl(f)
+      // clean beats median AND rerun; a clean slower than the median
+      // (the scrub window was still degraded in a way the probe
+      // missed) may only tighten, never loosen
+      assert(c.exists(_.medians == Map(
+        "q_scrubbed" -> 3.2, "q_clean_insuite" -> 2.0, "q_clean_loosens" -> 1.0)))
+    } finally { dir.listFiles.foreach(_.delete()); dir.delete() }
+  }
+
   test("control comparability canonicalizes both sides through one renderer") {
     // round-12 ADVICE: jstr escapes a control char as backslash-u000a
     // while jackson renders backslash-n — exact-form equality between a jstr fallback
