@@ -387,6 +387,20 @@ object Bench {
       case _                                     => Confirm.Confirmed
     }
 
+  /** Clean-reading adjudication (control captures): a Confirmed
+    * tripwire verdict is overturned to Exonerated when the query's
+    * bracketed verified-clean execution (control scrub) runs back
+    * under the regression bar — the clean reading is a strictly
+    * better witness than a confirm rerun whose window the quiet
+    * probes couldn't grade. Only Confirmed is ever adjudicated, and
+    * only downward: a clean reading that still regresses confirms. */
+  private[graft] def adjudicateWithClean(o: Confirm, clean: Option[Double],
+      control: Double): Confirm = o match {
+    case Confirm.Confirmed if clean.exists(c => !regressedVs(c, control)) =>
+      Confirm.Exonerated
+    case other => other
+  }
+
   /** One candidate/flag rerun: the warm second execution (None when
     * either execution crashed), the 1-minute load at window start, the
     * stolen-cores rate over the WARM leg's execution window (the one
@@ -418,6 +432,10 @@ object Bench {
     * the round-11 clean control survived only in git history
     * (round-11 verdict item 2). Best-effort: unreadable/absent →
     * empty, the tripwire just stays off. */
+  /** Round number embedded in a control file's path, where present. */
+  private[graft] def controlRoundOf(path: String): Option[Int] =
+    "BENCH_CONTROL_r([0-9]+)\\.json".r.findFirstMatchIn(path).map(_.group(1).toInt)
+
   private[graft] def controls(dir: String): Seq[Control] =
     try {
       val rx = "BENCH_CONTROL_r([0-9]+)\\.json".r
@@ -853,7 +871,14 @@ object Bench {
     // the rerun set below; only a confirming rerun lands in
     // `regressed`.
     val maxMemMb = Runtime.getRuntime.maxMemory / (1 << 20)
+    // a CONTROL capture compares only against EARLIER rounds: the
+    // capture's own (possibly half-good) previous attempt at the same
+    // round number must not become its tripwire baseline — the r15
+    // recapture graded itself against the first r15 attempt's
+    // episode-hit values and landed a confusing in-artifact `regressed`
     val allControls = controls(System.getProperty("user.dir"))
+      .filter(c => controlRound.forall(r =>
+        controlRoundOf(c.path).forall(_ < r.toInt)))
     // rendered-to-rendered: the control side came through jackson, so
     // this run's (possibly jstr-fallback) forms are canonicalized
     // through the same renderer before comparing (round-12 ADVICE)
@@ -948,40 +973,6 @@ object Bench {
           att = pair(2)
         k -> att
       }.toMap
-    // rerun-adjudicated regressions only: a candidate whose rerun is
-    // back under the bar was contention (Exonerated — logged, visible
-    // in the detail file's rerun fields); a FAILED rerun confirms
-    // nothing (Unresolved); a confirming rerun under storm-grade
-    // hypervisor steal indicts the storm, not the code (Stormy —
-    // discarded with the evidence in rerun_steal/rerun_stormy, round-12
-    // verdict item 1: a storm-hit rerun of a true candidate must not
-    // land a FALSE `regressed` in the driver artifact)
-    val outcomes: Map[String, Confirm] = candidates.map { case (k, ctl) =>
-      k -> confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
-        reruns.get(k).flatMap(_.stealCores), stormBar,
-        reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar,
-        reruns.get(k).flatMap(_.probeInbandMs), cpiBarInband)
-    }
-    val regressed: Seq[String] =
-      outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
-    val stormDiscarded: Seq[String] =
-      outcomes.collect { case (k, Confirm.Stormy) => k }.toSeq.sorted
-    if (regressed.nonEmpty) System.err.println(
-      s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
-        regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
-          s"${r3(candidates(k))}s)").mkString(", "))
-    if (stormDiscarded.nonEmpty) System.err.println(
-      s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
-        s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, or " +
-        s"in-band probe >= ${cpiBarInband}x floor): " +
-        stormDiscarded.map(k =>
-          s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
-            s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
-            s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms/" +
-            s"inband ${reruns(k).probeInbandMs.fold("?")(v => r2(v).toString)}ms " +
-            s"vs floor ${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
-            s"control ${r3(candidates(k))}s)").mkString(", "))
-
     // CONTROL SCRUB (round-15 verdict item 2): a control baseline is
     // only as good as the window that produced it — all four r14
     // capture attempts lost windows to the CPI episode, and a
@@ -1017,50 +1008,118 @@ object Bench {
     val qCleanProbe = scala.collection.mutable.Map.empty[String, Double]
     val qScrubAttempts = scala.collection.mutable.Map.empty[String, Int]
     if (controlRound.isDefined) {
+      // EVERY query is scrubbed, not just the flagged ones: in-suite
+      // cleanliness rests on end-of-iteration quiet samples alone, and
+      // the first r15 capture proved that insufficient — q18 carried a
+      // 2x-inflated median (6.25 s vs a 3.1-3.4 s clean remeasure) with
+      // spread 1.02, steal 0.01 and a 44 ms post-iteration probe: the
+      // degraded window cleared before every sample. The scrub's
+      // bracket (pre + post quiet probes AND the ~500 ms in-band
+      // sampler DURING the leg) is strictly tighter; an already-clean
+      // query passes its first attempt, so the full-scrub overhead is
+      // ~one extra warm pair per query.
       val need = results.collect {
-        case (k, m) if !m.failed && !suiteClean(k) => k
+        case (k, m) if !m.failed => k
       }.toSeq.sorted
       if (need.nonEmpty) System.err.println(
-        s"[bench] control scrub: re-running ${need.size} not-probe-clean " +
-          s"queries (${need.mkString(", ")})")
-      need.foreach { k =>
-        var att = 0
-        var done = false
-        while (!done && att < scrubAttempts) {
-          att += 1
-          try {
-            exec(queries(k)(spark, sfDir)) // re-warm leg
-            graft.operators.Scratch.releaseAll(); syncDisk()
-            val pre = cpuProbeMs()
-            var t = -1.0
-            val (_, post, inband) = probeDuring {
-              val t0 = System.nanoTime()
-              exec(queries(k)(spark, sfDir))
-              t = (System.nanoTime() - t0) / 1e9
-            }
-            graft.operators.Scratch.releaseAll(); syncDisk()
-            if (windowClean(pre, cleanBar) && windowClean(post, cleanBar) &&
-                inband.forall(p => windowClean(Some(p), inbandCleanBar))) {
-              qCleanTime(k) = t
-              post.foreach(qCleanProbe(k) = _)
-              done = true
-            }
-          } catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] control scrub of $k failed: ${e.getMessage}")
-            att = scrubAttempts // a crashing scrub confirms nothing; stop
+        s"[bench] control scrub: bracketing ${need.size} queries " +
+          s"(${results.count { case (k, m) => !m.failed && !suiteClean(k) }} " +
+          "not probe-clean in-suite)")
+      // ROUND-ROBIN over the remaining-dirty set, not N consecutive
+      // attempts per query: the episodes run ~10 minutes, so a query
+      // scrubbed back-to-back inside one spends its whole allowance on
+      // a single storm (the first r15 capture lost exactly the three
+      // alphabetically-adjacent q03/q05/q06 that way while 49 others
+      // landed clean); cycling the set puts each query's attempts
+      // minutes apart for free.
+      def scrubOnce(k: String): Boolean = {
+        try {
+          exec(queries(k)(spark, sfDir)) // re-warm leg
+          graft.operators.Scratch.releaseAll(); syncDisk()
+          val pre = cpuProbeMs()
+          var t = -1.0
+          val (_, post, inband) = probeDuring {
+            val t0 = System.nanoTime()
+            exec(queries(k)(spark, sfDir))
+            t = (System.nanoTime() - t0) / 1e9
           }
+          graft.operators.Scratch.releaseAll(); syncDisk()
+          resetSession(spark)
+          if (windowClean(pre, cleanBar) && windowClean(post, cleanBar) &&
+              inband.forall(p => windowClean(Some(p), inbandCleanBar))) {
+            qCleanTime(k) = t
+            post.foreach(qCleanProbe(k) = _)
+            true
+          } else false
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] control scrub of $k failed: ${e.getMessage}")
+          qScrubAttempts(k) = scrubAttempts // crashing scrub confirms nothing; retire it
+          true // drop from the rotation (not marked clean — no qCleanTime entry)
         }
-        qScrubAttempts(k) = att
-        if (!done) System.err.println(
-          s"[bench] control scrub: $k never landed a clean window in $att attempts")
-        resetSession(spark)
       }
+      var remaining = need.toVector
+      var round = 0
+      while (remaining.nonEmpty && round < scrubAttempts) {
+        round += 1
+        remaining = remaining.filterNot { k =>
+          val landed = scrubOnce(k)
+          if (qScrubAttempts.getOrElse(k, 0) < scrubAttempts) qScrubAttempts(k) = round
+          landed
+        }
+        if (remaining.nonEmpty) System.err.println(
+          s"[bench] control scrub round $round: ${remaining.size} still dirty")
+      }
+      remaining.foreach(k => System.err.println(
+        s"[bench] control scrub: $k never landed a clean window in $round rounds"))
       val dirty = results.keys.filter(k =>
         !suiteClean.getOrElse(k, false) && !qCleanTime.contains(k)).toSeq.sorted
       System.err.println(
         if (dirty.isEmpty) "[bench] control scrub: every query probe-clean"
         else s"[bench] control scrub: STILL DIRTY after scrub: ${dirty.mkString(", ")}")
     }
+
+    // rerun-adjudicated regressions only: a candidate whose rerun is
+    // back under the bar was contention (Exonerated — logged, visible
+    // in the detail file's rerun fields); a FAILED rerun confirms
+    // nothing (Unresolved); a confirming rerun under storm-grade
+    // hypervisor steal indicts the storm, not the code (Stormy —
+    // discarded with the evidence in rerun_steal/rerun_stormy, round-12
+    // verdict item 1: a storm-hit rerun of a true candidate must not
+    // land a FALSE `regressed` in the driver artifact)
+    // On control runs the scrub's bracketed clean reading is the BEST
+    // witness of a candidate's true current cost: a Confirmed verdict
+    // whose verified-clean execution is back under the bar was storm
+    // inflation the rerun's own evidence missed (the r15 capture's
+    // confirm reruns read probe-clean AFTER episode-hit legs and landed
+    // false q18/q31/q91 `regressed` entries) — the clean reading
+    // exonerates. A clean reading that still regresses stays Confirmed.
+    val outcomes: Map[String, Confirm] = candidates.map { case (k, ctl) =>
+      k -> adjudicateWithClean(
+        confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
+          reruns.get(k).flatMap(_.stealCores), stormBar,
+          reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar,
+          reruns.get(k).flatMap(_.probeInbandMs), cpiBarInband),
+        qCleanTime.get(k), ctl)
+    }
+    val regressed: Seq[String] =
+      outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
+    val stormDiscarded: Seq[String] =
+      outcomes.collect { case (k, Confirm.Stormy) => k }.toSeq.sorted
+    if (regressed.nonEmpty) System.err.println(
+      s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
+        regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
+          s"${r3(candidates(k))}s)").mkString(", "))
+    if (stormDiscarded.nonEmpty) System.err.println(
+      s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
+        s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, or " +
+        s"in-band probe >= ${cpiBarInband}x floor): " +
+        stormDiscarded.map(k =>
+          s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
+            s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
+            s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms/" +
+            s"inband ${reruns(k).probeInbandMs.fold("?")(v => r2(v).toString)}ms " +
+            s"vs floor ${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
+            s"control ${r3(candidates(k))}s)").mkString(", "))
 
     val loadAvgEnd = loadAvg // sampled AFTER reruns + scrub: covers their windows too
     // container-scoped contention attribution over the whole suite

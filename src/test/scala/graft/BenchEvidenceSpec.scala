@@ -550,6 +550,23 @@ class BenchEvidenceSpec extends AnyFunSuite {
     } finally { dir.listFiles.foreach(_.delete()); dir.delete() }
   }
 
+  test("a bracketed clean reading overturns a storm-inflated Confirmed verdict") {
+    // the r15 capture shape: q18's confirm rerun read 2x+ the r14
+    // baseline with probe-clean post samples (the episode cleared
+    // before every quiet sample), landing a false `regressed` — the
+    // scrub's verified-clean 3.06 s against the 2.015 s baseline is
+    // under the 2x+1s bar and must exonerate
+    import Bench.Confirm._
+    import Bench.adjudicateWithClean
+    assert(adjudicateWithClean(Confirmed, Some(3.06), 2.015) == Exonerated)
+    // a clean reading that STILL regresses confirms (real regression)
+    assert(adjudicateWithClean(Confirmed, Some(5.5), 2.015) == Confirmed)
+    // no clean evidence: verdict stands; non-Confirmed never adjudicated
+    assert(adjudicateWithClean(Confirmed, None, 2.015) == Confirmed)
+    assert(adjudicateWithClean(Stormy, Some(0.5), 2.015) == Stormy)
+    assert(adjudicateWithClean(Exonerated, Some(9.9), 2.015) == Exonerated)
+  }
+
   test("a scrubbed clean-window reading outranks every inferred baseline form") {
     // round-15 control capture: per-query "clean" (a warm execution on
     // a verified probe-clean window) is the baseline — no exoneration
