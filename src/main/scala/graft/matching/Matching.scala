@@ -108,19 +108,26 @@ object Matching {
     * the one operator a user can point at a big corpus and melt:
     * sector/location keys have FIXED cardinality, so in-block pairs
     * grow quadratically — 245.6 s at sf1, exponent 2.08 on the last
-    * leg, vs ≤18.1 s capped). When no cap is passed, the staged sides'
-    * per-block counts (one tiny extra job over the already-staged
-    * narrow parquet) estimate the blocked candidate volume
-    * Σ n_offers(key)·n_cvs(key) over both blockings; past the budget
-    * the call fails BY NAME ([[graft.operators.ScaleGuardException]])
-    * quoting the measured volume and the dial, instead of silently
-    * starting hours of quadratic work. The default (1e8 pairs ≈ two
-    * minutes of blocked-join work on a 32-core node; sf0.1's exact
-    * gate volume is ~3.2e6, sf1's melt ~3.2e8) passes every
-    * correctness-gate scale with ~30x margin. `Some(larger)` raises
-    * it; `None` disables for callers who genuinely want the exact
-    * quadratic run (the r14 sweep's uncapped sf1 leg). A capped call
-    * never measures — the cap already bounds the volume.
+    * leg, vs ≤18.1 s capped). When no cap is passed, the guard first
+    * checks the FREE cross-product bound (round-16 verdict item 3):
+    * Σ n_offers(key)·n_cvs(key) ≤ N_offers·N_cvs per blocking, and the
+    * side row counts come straight from the staged parquet footers —
+    * when 2·N_o·N_c already clears the budget, melt is impossible and
+    * NO measurement job runs (every correctness-gate scale lands here;
+    * the pre-r16 always-on aggregate cost q50 +1.6-2.5 s at sf0.1).
+    * Only past the bound do the staged sides' per-block counts (one
+    * tiny extra job over the already-staged narrow parquet) measure
+    * the true blocked candidate volume; past the budget the call fails
+    * BY NAME ([[graft.operators.ScaleGuardException]]) quoting the
+    * measured volume, the TOP-3 offending block keys by pair volume,
+    * and the dial, instead of silently starting hours of quadratic
+    * work. The default (1e8 pairs ≈ two minutes of blocked-join work
+    * on a 32-core node; sf0.1's exact gate volume is ~3.2e6, sf1's
+    * melt ~3.2e8) passes every correctness-gate scale with ~30x
+    * margin. `Some(larger)` raises it; `None` disables for callers who
+    * genuinely want the exact quadratic run (the r14 sweep's uncapped
+    * sf1 leg). A capped call never measures — the cap already bounds
+    * the volume.
     */
   val DefaultPairBudget: Long = 100000000L
 
@@ -146,12 +153,12 @@ object Matching {
     // on the read-back: blocked joins emit O(block^2) candidates and
     // the staged files are small enough that Spark's openCost packing
     // would otherwise hand the whole join to one or two splits.
-    val oStaged = graft.operators.Scratch.stage(offers.select(
+    val (oStaged, oRows) = graft.operators.Scratch.stageCounted(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
       col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")),
       "graft-match-o")
-    val cStaged = graft.operators.Scratch.stage(cvs.select(
+    val (cStaged, cRows) = graft.operators.Scratch.stageCounted(cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
       col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years")),
@@ -160,28 +167,51 @@ object Matching {
     val c = graft.Engine.spread(cStaged)
 
     // SCALE GUARD (uncapped path only — the cap bounds the volume by
-    // construction): per-block counts of both staged sides, joined per
-    // blocking, estimate the candidate volume in ONE tiny action; past
-    // the budget, fail by name before the quadratic join starts. Reads
-    // the UN-spread staged frames: a count needs no spread exchange.
+    // construction). Cross-product short-circuit first (round-16
+    // verdict item 3): Σ_k n_offers(k)·n_cvs(k) <= N_offers·N_cvs for
+    // each blocking, so 2·N_o·N_c — from the staged parquet footers,
+    // zero Spark jobs — bounds the blocked volume from above. When even
+    // that bound clears the budget, melt is impossible and the per-block
+    // measurement job is skipped: gate-scale corpora pay NOTHING for the
+    // guard (sf0.1 cleared it at ~1.9e7 vs the 1e8 default; the old
+    // always-on aggregate cost q50 +1.6-2.5 s there). Past the bound,
+    // per-block counts of both staged sides, joined per blocking,
+    // measure the true volume in ONE tiny action; past the budget, fail
+    // by name — quoting the top offending block keys, since "which key
+    // exploded" is the first question the error must answer — before
+    // the quadratic join starts. Reads the UN-spread staged frames: a
+    // count needs no spread exchange.
     if (maxBlockSize.isEmpty) pairBudget.foreach { budget =>
-      def est(side: DataFrame, key: String, idAlias: String) = side
-        .where(col(key).isNotNull)
-        .groupBy(col(key).as("__k")).agg(count(lit(1)).as(idAlias))
-      def blocked(oKey: String, cKey: String) =
-        est(oStaged, oKey, "__no").join(est(cStaged, cKey, "__nc"), "__k")
-          .select((col("__no") * col("__nc")).as("__p"))
-      val measured = blocked("o_sect", "c_sect").unionByName(blocked("o_loc", "c_loc"))
-        .agg(coalesce(sum(col("__p")), lit(0L))).first().getLong(0)
-      if (measured > budget) throw new graft.operators.ScaleGuardException(
-        s"Matching.score: the uncapped blocked join would generate ~$measured " +
-          s"candidate pairs (pairBudget $budget). Sector/location blocking keys " +
-          "have fixed cardinality, so this volume grows QUADRATICALLY with the " +
-          "corpus (sf1 measured 245.6 s uncapped vs <=18.1 s capped, exponent " +
-          "2.08 vs <=0.57 — SCALE.md round 14). Pass maxBlockSize (the " +
-          "oracle-gated recall/cost dial, q95/q101; add hashedSubBlocks=true " +
-          "for giant blocks), raise pairBudget, or pass pairBudget=None for a " +
-          "deliberate exact quadratic run.")
+      val crossBound = BigInt(2) * BigInt(oRows) * BigInt(cRows)
+      if (crossBound > BigInt(budget)) {
+        def est(side: DataFrame, key: String, idAlias: String) = side
+          .where(col(key).isNotNull)
+          .groupBy(col(key).as("__k")).agg(count(lit(1)).as(idAlias))
+        def blocked(oKey: String, cKey: String) =
+          est(oStaged, oKey, "__no").join(est(cStaged, cKey, "__nc"), "__k")
+            .select(concat(lit(s"$oKey="), col("__k").cast("string")).as("__key"),
+              (col("__no") * col("__nc")).as("__p"))
+        val perKey = blocked("o_sect", "c_sect").unionByName(blocked("o_loc", "c_loc"))
+        val measured = perKey.agg(coalesce(sum(col("__p")), lit(0L)))
+          .first().getLong(0)
+        if (measured > budget) {
+          // only on the failure path (the exception is the product):
+          // the top-3 blocks by pair volume name the skew culprits
+          val top = perKey.orderBy(col("__p").desc, col("__key")).limit(3)
+            .collect().map(r => s"${r.getString(0)} ~${r.getLong(1)} pairs")
+            .mkString("; ")
+          throw new graft.operators.ScaleGuardException(
+            s"Matching.score: the uncapped blocked join would generate ~$measured " +
+              s"candidate pairs (pairBudget $budget). Top blocks by pair volume: " +
+              s"$top. Sector/location blocking keys " +
+              "have fixed cardinality, so this volume grows QUADRATICALLY with the " +
+              "corpus (sf1 measured 245.6 s uncapped vs <=18.1 s capped, exponent " +
+              "2.08 vs <=0.57 — SCALE.md round 14). Pass maxBlockSize (the " +
+              "oracle-gated recall/cost dial, q95/q101; add hashedSubBlocks=true " +
+              "for giant blocks), raise pairBudget, or pass pairBudget=None for a " +
+              "deliberate exact quadratic run.")
+        }
+      }
     }
 
     // one blocked equi-join, projected to bare id pairs IMMEDIATELY:

@@ -152,16 +152,25 @@ object Dedup {
     * buckets grow linearly with the corpus and in-bucket candidate
     * pairs super-linearly (q18 measured exponent 1.23, sf1 = 40 s /
     * ~1.1e9 candidates; the capped q103 form runs 6.7 s at exponent
-    * 0.52). When no `maxBucketSize` is passed, one extra count job
-    * over the band histogram ([[bandBucketSizes]]) measures
+    * 0.52). When no `maxBucketSize` is passed, the guard first bounds
+    * the volume for FREE-ish (round-16 verdict item 3): buckets
+    * partition the banded rows within each band, so the candidate
+    * volume is at most nBands·C(n,2) for n input rows — one
+    * column-pruned count() (the tokenize/minhash cascade prunes away)
+    * settles it; when that bound clears the budget the histogram
+    * measurement is skipped entirely (the pre-r16 always-on histogram
+    * re-derived the cascade and roughly doubled q18's gate cost —
+    * r15 ADVICE). Only past the bound does one count job over the band
+    * histogram ([[bandBucketSizes]]) measure the exact
     * sum(C(bucket, 2)); past the budget the call fails BY NAME
-    * ([[ScaleGuardException]]) quoting the volume and the dial. The
+    * ([[ScaleGuardException]]) quoting the volume, the top-3 offending
+    * (band, key) buckets, and the dial. The
     * default (5e9 ≈ 3 minutes of verification work on a 32-core node)
     * passes sf1 with 4.5x margin and trips around sf2+ on this
     * vocabulary; `None` disables, a capped call never measures. The
-    * guard job re-derives the cascade from `df` rather than forcing
-    * the staged plan onto un-capped callers (staging is measured
-    * neutral on short-text corpora — see [[nearDedup]]).
+    * guard's histogram re-derives the cascade from `df` rather than
+    * forcing the staged plan onto un-capped callers (staging is
+    * measured neutral on short-text corpora — see [[nearDedup]]).
     *
     * EAGERNESS: with a cap (or `stageCascade`) this call runs Spark
     * jobs at CONSTRUCTION time, not first action — the tokenize/
@@ -169,8 +178,9 @@ object Dedup {
     * plan consumes it up to six ways and ReuseExchange can't dedupe
     * the differently-pruned branches — see the inline note), and the
     * capBlocks split adds its eager phase-1 bucket count. Since round
-    * 15 the DEFAULT path is eager too: the scale guard's bucket-count
-    * job runs at construction whenever `candidateBudget` is set and no
+    * 15 the DEFAULT path is eager too: the scale guard's count job
+    * (plus, past the cross-product bound, its histogram job) runs at
+    * construction whenever `candidateBudget` is set and no
     * cap is passed. Callers timing or caching this operator must treat
     * construction as part of its cost (Bench does: the timed window
     * opens before the query function is invoked). Plan-only laziness
@@ -191,20 +201,45 @@ object Dedup {
     // positive threshold (empty-vs-empty token sets score 0.0, which a
     // t = 0.0 caller would have kept) — enforce the precondition
     require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
-    // SCALE GUARD (uncapped path only): measure the band-bucket
-    // candidate volume before building the quadratic pair join
+    // SCALE GUARD (uncapped path only). Cross-product short-circuit
+    // first (round-16 verdict item 3): within one band the buckets
+    // PARTITION the <=n banded rows, so Σ C(bucket,2) <= C(n,2) per
+    // band and nBands·C(n,2) overall — one column-pruned count() of
+    // the input (Catalyst prunes the tokenize/minhash cascade away)
+    // bounds the banded volume from above. When even that bound clears
+    // the budget, melt is impossible and the full cascade-deriving
+    // histogram job is skipped — the pre-r16 always-on measurement
+    // roughly doubled q18's gate cost (+55%, r15 ADVICE) and taxed
+    // every nearDedup caller. Past the bound, the band histogram
+    // measures the true volume; past the budget, fail by name quoting
+    // the top offending buckets.
     if (maxBucketSize.isEmpty) candidateBudget.foreach { budget =>
-      val measured = bandBucketSizes(df, idCol, textCol, k, bandsOf)
-        .agg(coalesce(sum(expr("size * (size - 1) div 2")), lit(0L)))
-        .first().getLong(0)
-      if (measured > budget) throw new ScaleGuardException(
-        s"Dedup.minhashLshPairs: uncapped banding would generate ~$measured " +
-          s"candidate pairs (candidateBudget $budget). Hot band buckets grow " +
-          "with the corpus on boilerplate vocabularies and in-bucket pairs " +
-          "quadratically (sf1 measured exponent 1.23 uncapped vs 0.52 capped " +
-          "— SCALE.md round 14). Pass maxBucketSize (the oracle-gated " +
-          "recall/cost dial, q103), raise candidateBudget, or pass " +
-          "candidateBudget=None for a deliberate exact run.")
+      val n = BigInt(df.count())
+      val crossBound = BigInt(k / bandsOf) * n * (n - 1) / 2
+      if (crossBound > BigInt(budget)) {
+        val perBucket = bandBucketSizes(df, idCol, textCol, k, bandsOf)
+          .select(col("band_idx"), col("band_key"),
+            expr("size * (size - 1) div 2").as("__pairs"))
+        val measured = perBucket.agg(coalesce(sum(col("__pairs")), lit(0L)))
+          .first().getLong(0)
+        if (measured > budget) {
+          // failure path only: name the skew culprits — the hot
+          // (band, key) buckets a melted user asks about first
+          val top = perBucket.orderBy(col("__pairs").desc, col("band_idx"), col("band_key"))
+            .limit(3).collect()
+            .map(r => s"band ${r.getInt(0)} key ${r.getString(1)} ~${r.getLong(2)} pairs")
+            .mkString("; ")
+          throw new ScaleGuardException(
+            s"Dedup.minhashLshPairs: uncapped banding would generate ~$measured " +
+              s"candidate pairs (candidateBudget $budget). Top band buckets by " +
+              s"pair volume: $top. Hot band buckets grow " +
+              "with the corpus on boilerplate vocabularies and in-bucket pairs " +
+              "quadratically (sf1 measured exponent 1.23 uncapped vs 0.52 capped " +
+              "— SCALE.md round 14). Pass maxBucketSize (the oracle-gated " +
+              "recall/cost dial, q103), raise candidateBudget, or pass " +
+              "candidateBudget=None for a deliberate exact run.")
+        }
+      }
     }
     val toksRaw = lshToks(df, idCol, textCol)
     val sigsRaw = toksRaw.select(col("id"), col("toks"),

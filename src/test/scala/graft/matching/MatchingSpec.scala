@@ -94,6 +94,9 @@ class MatchingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxBlockSize") &&
       err.getMessage.contains("pairBudget") &&
       err.getMessage.contains("1600"), err.getMessage)
+    // the error names the exploding block (round-16 verdict item 7):
+    // "which key melted" is the first question the message must answer
+    assert(err.getMessage.contains("SECT_INCONNU"), err.getMessage)
     // a capped call never measures: the cap bounds the volume
     assert(Matching.score(offersN, cvsN, None, maxBlockSize = Some(10),
       pairBudget = Some(1L)).count() == 4L * 10L * 10L)
@@ -101,6 +104,51 @@ class MatchingSpec extends AnyFunSuite {
     // gate-scale corpora untouched
     assert(Matching.score(offersN, cvsN, None, pairBudget = None).count() == 1600L)
     assert(Matching.score(offersN, cvsN, None).count() == 1600L)
+  }
+
+  test("cross-product bound short-circuits the guard's measurement job") {
+    // round-16 verdict item 3: 2*N_o*N_c from the staged parquet
+    // footers bounds the blocked volume; when it clears the budget the
+    // per-block aggregate must not run — construction is exactly the
+    // two staging writes. When the bound does NOT clear, the aggregate
+    // still runs (and a measured volume under budget proceeds).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def offersN = (1 to 80).map(i => (s"J$i", s"LOC_O$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_$i",
+        Seq("COMP_x"), 100000L, "Débutant"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    def cvsN = (1 to 80).map(i => (s"C$i", s"LOC_C$i",
+        if (i <= 40) "SECT_INCONNU" else s"SECT_CV$i",
+        Seq("COMP_x"), 100000.0, 2L))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // bound = 2*80*80 = 12800 <= default 1e8 -> skip: construction
+    // runs exactly as many jobs as a guard-disabled call (the staging
+    // writes) — the footer counts are driver-side metadata reads, so a
+    // bound-cleared guard adds ZERO jobs
+    val noneJobs = jobsDuring { Matching.score(offersN, cvsN, None, pairBudget = None) }
+    val skipJobs = jobsDuring { Matching.score(offersN, cvsN, None) }
+    assert(skipJobs == noneJobs,
+      s"bound-cleared construction ran $skipJobs jobs vs $noneJobs guard-disabled")
+    // bound 12800 > budget 5000 -> the aggregate runs (more jobs than
+    // staging alone) and the measured 1600 <= 5000 proceeds quietly
+    var scored: org.apache.spark.sql.DataFrame = null
+    val measureJobs = jobsDuring {
+      scored = Matching.score(offersN, cvsN, None, pairBudget = Some(5000L))
+    }
+    assert(measureJobs > skipJobs,
+      s"bound-exceeded construction ran $measureJobs jobs — the aggregate should have run")
+    assert(scored.count() == 1600L)
   }
 
   test("cap never invents null-block pairs the exact path excludes") {

@@ -224,6 +224,11 @@ class DedupPathsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("maxBucketSize") &&
       err.getMessage.contains("candidateBudget") &&
       err.getMessage.contains("3120"), err.getMessage)
+    // round-16 verdict item 7: the error names the hot buckets — here
+    // every band holds all 40 docs, so the top offenders read ~780
+    // (= C(40,2)) pairs each
+    assert(err.getMessage.contains("band") &&
+      err.getMessage.contains("~780 pairs"), err.getMessage)
     // a capped call never measures: the same tiny budget is ignored
     // because the cap already bounds the volume
     assert(Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
@@ -239,5 +244,49 @@ class DedupPathsSpec extends AnyFunSuite {
       Dedup.nearDedup(docs, "doc_id", "text", K, BandRows, Threshold,
         candidateBudget = Some(100L)))
     assert(err2.getMessage.contains("maxBucketSize"))
+  }
+
+  test("cross-product bound short-circuits the guard's histogram job") {
+    // round-16 verdict item 3: nBands*C(n,2) from one column-pruned
+    // count bounds the banded volume; when it clears the budget the
+    // cascade-deriving histogram must not run. 40 identical docs,
+    // nBands = 4: bound = 4*780 = 3120.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val docs = (1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // bound 3120 <= budget 3120 -> skip: construction runs only the
+    // guard's bare count, never the tokenize/minhash histogram — pin
+    // it as "exactly the jobs a plain df.count() costs"
+    val countJobs = jobsDuring { docs.count() }
+    val skipJobs = jobsDuring {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(3120L)).queryExecution.executedPlan
+    }
+    assert(skipJobs == countJobs,
+      s"bound-cleared construction ran $skipJobs jobs vs $countJobs for a bare count")
+    // two 20-doc groups: measured = 4 bands * 2 * C(20,2) = 1520, but the
+    // bound 4*C(40,2) = 3120 does NOT clear a 2000 budget -> the
+    // histogram still runs (more jobs) and the call proceeds quietly
+    val docs2 = (1 to 40).map(i => (i.toLong,
+      if (i <= 20) "alpha beta gamma delta epsilon" else "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val measureJobs = jobsDuring {
+      Dedup.minhashLshPairs(docs2, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(2000L)).queryExecution.executedPlan
+    }
+    assert(measureJobs > skipJobs,
+      s"bound-exceeded construction ran $measureJobs jobs — the histogram should have run")
+    // and the same call's output is the exact uncapped pair set
+    assert(Dedup.minhashLshPairs(docs2, "doc_id", "text", K, BandRows, Threshold,
+      candidateBudget = Some(2000L)).count() == 2L * (20L * 19 / 2))
   }
 }
