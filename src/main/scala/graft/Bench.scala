@@ -264,6 +264,109 @@ object Bench {
     (for (p <- probeMs; f <- floorMs if f > 0) yield p / f >= bar)
       .getOrElse(false)
 
+  /** Fixed-work MEMORY probe: [[MemChaseSteps]] dependent loads walked
+    * along a Sattolo single-cycle permutation over a 256 MiB int array,
+    * reported as thread-CPU milliseconds for the fixed work. Exists
+    * because the xorshift spin above is REGISTER-ONLY and provably
+    * blind to the memory dimension (round-15 "regime finding":
+    * probe-clean readings ran 1.25x aggregate — 1.5-2x on untouched
+    * q69/q91/q08 — vs the r12 clean-era control while the spin floor
+    * stayed byte-identical at ~41 ms; the host was busy in a dimension
+    * the spin cannot see). A dependent-load chase is the sensitive
+    * instrument for that dimension: every step is a ~full memory
+    * latency, and co-tenant bandwidth pressure or LLC thrash inflates
+    * observed latency directly. Memory stalls are charged to
+    * thread-CPU (the thread is running, stalled), so like the spin it
+    * cannot be contaminated by descheduling — steal stays the separate
+    * witness.
+    *
+    * Sizing: this box's L3 is 105 MiB (measured, `lscpu`), so the
+    * 64-128 MB buffer the round-15 verdict sketched would be mostly
+    * LLC-RESIDENT here — 256 MiB keeps the steady-state walk
+    * DRAM-dominated (<=41% could ever sit in L3). One probe call
+    * touches `MemChaseSteps` distinct lines (~32 MiB of traffic); the
+    * walk CONTINUES from the previous call's cursor, so back-to-back
+    * calls traverse fresh segments of the 67M-slot cycle instead of
+    * re-reading a just-warmed path (a restarted walk fits in L3 and
+    * would read warm on exactly the quiet calibration windows that set
+    * the floor). The work per call is identical regardless of cursor.
+    * 2^19 steps ≈ 93-105 ms clean on this box (~190 ns/load) — 2x the
+    * spin, all of it in untimed hygiene windows. Permutation built
+    * once, lazily, from a fixed seed (deterministic); ~7 s and 256 MiB
+    * of heap the first call pays, inside a 32 g bench JVM. Not
+    * thread-safe (the cursor); all callers run on the main thread.
+    * None when the JVM cannot meter thread CPU. */
+  private[graft] val MemChaseSteps = 1 << 19
+  private val MemChaseSlots = (256 << 20) / 4
+  private lazy val memChase: Array[Int] = {
+    val n = MemChaseSlots
+    val a = new Array[Int](n)
+    var i = 0
+    while (i < n) { a(i) = i; i += 1 }
+    // Sattolo's algorithm: swap each j with a strictly-lower random
+    // slot — yields one n-cycle, so the chase visits distinct slots
+    var x = 0x9E3779B97F4A7C15L
+    var j = n - 1
+    while (j > 0) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      val r = (((x * 0x2545F4914F6CDD1DL) >>> 33) % j).toInt
+      val t = a(j); a(j) = a(r); a(r) = t
+      j -= 1
+    }
+    a
+  }
+  private var memChaseCursor = 0
+  private[graft] def memProbeMs(): Option[Double] =
+    try {
+      val tm = java.lang.management.ManagementFactory.getThreadMXBean
+      if (!tm.isCurrentThreadCpuTimeSupported) None
+      else {
+        val a = memChase // force init OUTSIDE the timed window
+        var p = memChaseCursor
+        // UNTIMED pre-walk: re-warm the array's TLB entries before
+        // timing. With THP the 256 MiB buffer is ~128 2M pages, all
+        // TLB-resident after any walk — but a query run between two
+        // probe calls evicts them, and a TLB-cold walk reads ~1.4x the
+        // back-to-back floor on a PERFECTLY QUIET machine (measured:
+        // 131 ms after q50 vs a 93 ms floor at sf0.001). The quarter-
+        // length pre-walk touches every page (random slots over ~128
+        // pages), so the timed walk runs TLB-warm but L3-cold (it
+        // continues into FRESH cycle slots) — the reading then moves
+        // with external memory pressure, not with what this JVM ran a
+        // moment earlier.
+        var i = 0
+        while (i < MemChaseSteps / 4) { p = a(p); i += 1 }
+        val c0 = tm.getCurrentThreadCpuTime
+        i = 0
+        while (i < MemChaseSteps) { p = a(p); i += 1 }
+        val c1 = tm.getCurrentThreadCpuTime
+        memChaseCursor = p // also a data dependency: no dead-code elim
+        Some((c1 - c0) / 1e6)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The memory-probe degraded bar (SPARK_GRAFT_MEM_BAR): a quiet
+    * window whose chase reading is >= bar x the run's memory floor is
+    * graded memory-degraded. Calibrated on this box (tools/MemProbe,
+    * SCALE.md round 16): 90 quiet readings across three windows spread
+    * 1.00-1.32x their floor (DRAM latency jitters more than the
+    * register spin's 1.09 tail — refresh, TLB, ambient traffic); under
+    * 16 in-JVM streaming-write threads (full-saturation proxy for
+    * co-tenant bandwidth pressure) readings run 1.40-3.07x, under 8
+    * threads 1.24-4.73x — the MILD-pressure band OVERLAPS the quiet
+    * tail, so readings in 1.3-1.5 are ambiguous by construction.
+    * 1.5 clears the quiet tail by ~14% and witnesses moderate-to-heavy
+    * pressure reliably; mild co-tenancy below it stays sub-detectable
+    * (documented limit, SCALE.md round 16). While calibrating, the
+    * register spin sat flat at 1.0-1.35x under the same hogs — the
+    * blindness this probe closes, demonstrated. */
+  private[graft] def parseMemBar(env: Option[String]): Double =
+    env.map { s =>
+      require(s.matches("[0-9]+(\\.[0-9]+)?"),
+        s"SPARK_GRAFT_MEM_BAR must be a plain non-negative number, got '$s'")
+      s.toDouble
+    }.getOrElse(1.5)
+
   /** Runs `body` with a low-duty in-band CPI sampler: a daemon thread
     * takes a fixed-work probe reading every ~500 ms while the body
     * executes (~8% of one core — noise-level against the 2x confirm
@@ -377,13 +480,17 @@ object Bench {
       stealCores: Option[Double], stormBar: Double,
       probeMs: Option[Double] = None, probeFloorMs: Option[Double] = None,
       cpiBar: Double = 1.5, probeInbandMs: Option[Double] = None,
-      cpiBarInband: Double = 1.9): Confirm =
+      cpiBarInband: Double = 1.9, memProbeMs: Option[Double] = None,
+      memFloorMs: Option[Double] = None, memBar: Double = 1.5): Confirm =
     rerunWarm match {
       case None                                  => Confirm.Unresolved
       case Some(t) if !regressedVs(t, control)   => Confirm.Exonerated
       case _ if stormGrade(stealCores, stormBar) ||
                 cpuSlowGrade(probeMs, probeFloorMs, cpiBar) ||
-                cpuSlowGrade(probeInbandMs, probeFloorMs, cpiBarInband) => Confirm.Stormy
+                cpuSlowGrade(probeInbandMs, probeFloorMs, cpiBarInband) ||
+                // memory-degraded confirm window (round-16 item 1):
+                // same ratio construction, the chase vs ITS OWN floor
+                cpuSlowGrade(memProbeMs, memFloorMs, memBar) => Confirm.Stormy
       case _                                     => Confirm.Confirmed
     }
 
@@ -414,7 +521,8 @@ object Bench {
       stealCores: Option[Double], attempts: Int,
       iowaitCores: Option[Double] = None,
       probeMs: Option[Double] = None,
-      probeInbandMs: Option[Double] = None)
+      probeInbandMs: Option[Double] = None,
+      memProbeMs: Option[Double] = None)
 
   /** A committed clean-window control (BENCH_CONTROL_rNN.json, same
     * format as the detail file) plus the context that decides whether
@@ -422,6 +530,10 @@ object Bench {
   private[graft] case class Control(path: String, commit: Option[String],
       sf: String, cpus: String, maxMemMb: Option[Long],
       medians: Map[String, Double])
+
+  /** Round number embedded in a control file's path, where present. */
+  private[graft] def controlRoundOf(path: String): Option[Int] =
+    "BENCH_CONTROL_r([0-9]+)\\.json".r.findFirstMatchIn(path).map(_.group(1).toInt)
 
   /** Every BENCH_CONTROL_rNN.json in `dir`, parsed, NEWEST ROUND
     * FIRST — the caller takes the first COMPARABLE one, so a newer
@@ -432,10 +544,6 @@ object Bench {
     * the round-11 clean control survived only in git history
     * (round-11 verdict item 2). Best-effort: unreadable/absent →
     * empty, the tripwire just stays off. */
-  /** Round number embedded in a control file's path, where present. */
-  private[graft] def controlRoundOf(path: String): Option[Int] =
-    "BENCH_CONTROL_r([0-9]+)\\.json".r.findFirstMatchIn(path).map(_.group(1).toInt)
-
   private[graft] def controls(dir: String): Seq[Control] =
     try {
       val rx = "BENCH_CONTROL_r([0-9]+)\\.json".r
@@ -501,14 +609,16 @@ object Bench {
         case JObject(fields) => fields.flatMap { case (k, v) =>
           num(v \ "median").filter(_ > 0).map { m =>
             // a scrubbed clean-window reading (round-15 control
-            // capture) outranks every inferred baseline form — min()
-            // with the median for the same only-ever-tighten reason
-            // reruns get
+            // capture) folds into the SAME min as the inferred
+            // rerun/min/spread baseline — clean may only ever TIGHTEN
+            // the control, never loosen it (round-15 ADVICE: with
+            // rerun < clean < median, preferring clean outright gave a
+            // LOOSER baseline than the r14 semantics)
+            val inferred = controlBaseline(m,
+              num(v \ "rerun").filter(_ > 0), num(v \ "min").filter(_ > 0),
+              num(v \ "spread"))
             k -> num(v \ "clean").filter(_ > 0)
-              .map(c => math.min(m, c))
-              .getOrElse(controlBaseline(m,
-                num(v \ "rerun").filter(_ > 0), num(v \ "min").filter(_ > 0),
-                num(v \ "spread")))
+              .map(c => math.min(inferred, c)).getOrElse(inferred)
           }
         }.toMap
         case _ => Map.empty[String, Double]
@@ -716,6 +826,7 @@ object Bench {
     val stormBar = parseStormBar(sys.env.get("SPARK_GRAFT_STORM_STEAL"))
     val cpiBar = parseCpiBar(sys.env.get("SPARK_GRAFT_CPI_BAR"))
     val cpiBarInband = parseCpiBarInband(sys.env.get("SPARK_GRAFT_CPI_BAR_INBAND"))
+    val memBar = parseMemBar(sys.env.get("SPARK_GRAFT_MEM_BAR"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -768,6 +879,12 @@ object Bench {
     val probeSamples = (1 to 4).flatMap(_ => cpuProbeMs())
     val probeRef = (if (probeSamples.size > 1) probeSamples.tail
                     else probeSamples).minOption
+    // memory-chase reference (round-16 item 1): the FIRST sample pays
+    // the 256 MiB permutation init and page faults — always dropped
+    // when a later sample exists, same shape as the spin reference
+    val memSamples = (1 to 4).flatMap(_ => memProbeMs())
+    val memProbeRef = (if (memSamples.size > 1) memSamples.tail
+                       else memSamples).minOption
     val suiteWallT0 = System.nanoTime()
     val cgStart = cgroupCpuUsec
     val ownStart = processCpuUsec
@@ -790,6 +907,11 @@ object Bench {
     // best sample seen anywhere.
     val qProbe = scala.collection.mutable.Map.empty[String, Double]
     var probeMinSeen = Double.MaxValue
+    // per-query memory probe, same shape: worst (max) per-iteration
+    // chase reading is the evidence; the best seen anywhere feeds the
+    // run's memory floor
+    val qMemProbe = scala.collection.mutable.Map.empty[String, Double]
+    var memProbeMinSeen = Double.MaxValue
     val results: Map[String, Measured] = queries.map { case (name, fn) =>
       val loadAtStart = loadAvg
       val qCg = cgroupCpuUsec
@@ -819,8 +941,18 @@ object Bench {
         // the round-6 bisect measured q95 at [5.3, 8.6, 4.5] right
         // after q50 vs [4.6, 4.0, 3.3] after a light query, and a dd
         // probe showed a 2 GB write+sync at 12.7 s vs 3.8 s depending
-        // only on the preceding write volume.
-        if (i < iters) { graft.operators.Scratch.releaseAll(); syncDisk() }
+        // only on the preceding write volume. Run it on the LAST
+        // iteration too (harmless — resetSession repeats releaseAll):
+        // the memory sample below needs the writeback drained first.
+        graft.operators.Scratch.releaseAll(); syncDisk()
+        // memory sample AFTER the hygiene, unlike the spin: the chase
+        // reads our own post-query tail otherwise (pre-hygiene samples
+        // measured 1.3-1.5x floor after write-heavy queries at
+        // sf0.001, where external pressure is implausible)
+        memProbeMs().foreach { p =>
+          qMemProbe(name) = math.max(qMemProbe.getOrElse(name, 0.0), p)
+          memProbeMinSeen = math.min(memProbeMinSeen, p)
+        }
         t
       }
       // sampled BEFORE resetSession: the between-query System.gc is
@@ -912,6 +1044,10 @@ object Bench {
     val probeFloorMs =
       (probeRef.toSeq ++ (if (probeMinSeen < Double.MaxValue) Seq(probeMinSeen)
                           else Seq.empty)).minOption
+    val memProbeFloorMs =
+      (memProbeRef.toSeq ++ (if (memProbeMinSeen < Double.MaxValue)
+                               Seq(memProbeMinSeen)
+                             else Seq.empty)).minOption
     val reruns: Map[String, Rerun] =
       (rerunTargets(ordered, contended) ++ candidates.keys.toSeq.sorted).distinct.map { k =>
         def pair(attempts: Int): Rerun = {
@@ -928,7 +1064,7 @@ object Bench {
           // steal slows only the window it hits, so a storm there
           // cannot have inflated the warm time.
           def leg(): (Double, Option[Double], Option[Double], Option[Double],
-              Option[Double]) = {
+              Option[Double], Option[Double]) = {
             val s0 = procStatStealUsec
             val i0 = procStatIowaitUsec
             val t0 = System.nanoTime()
@@ -953,13 +1089,19 @@ object Bench {
               yield math.max(0.0, (b - a) / 1e6) / wall
             graft.operators.Scratch.releaseAll()
             syncDisk()
-            (t, st, io, probePost, probeInband)
+            // memory-chase sample for the leg's window — AFTER the
+            // hygiene, like the iteration samples: pre-sync readings
+            // carry our own writeback tail (1.3-1.5x floor on quiet
+            // windows). No in-band form: the query's own 32-thread
+            // traffic saturates bandwidth on perfectly clean windows.
+            val memPost = memProbeMs()
+            (t, st, io, probePost, probeInband, memPost)
           }
           leg() // re-warm: the suite evicted this query's page-cache/JIT state
-          val (warm, steal, iowait, probePost, probeInband) = leg()
+          val (warm, steal, iowait, probePost, probeInband, memPost) = leg()
           resetSession(spark)
           Rerun(if (rerunFailed) None else Some(warm), loadAtRerun, steal, attempts,
-            iowait, probePost, probeInband)
+            iowait, probePost, probeInband, memPost)
         }
         var att = pair(1)
         // a storm-hit CONFIRMING rerun of a tripwire candidate earns one
@@ -969,7 +1111,8 @@ object Bench {
         if (candidates.get(k).exists(ctl =>
             confirmOutcome(att.warm, ctl, att.stealCores, stormBar,
               att.probeMs, probeFloorMs, cpiBar, att.probeInbandMs,
-              cpiBarInband) == Confirm.Stormy))
+              cpiBarInband, att.memProbeMs, memProbeFloorMs,
+              memBar) == Confirm.Stormy))
           att = pair(2)
         k -> att
       }.toMap
@@ -994,18 +1137,34 @@ object Bench {
     // probe_clean from their own evidence, no extra work.
     val cleanBar = 1.1
     val inbandCleanBar = 1.35
+    // memory-clean bar (round-16 item 1): post-sync in-suite clean
+    // readings band at 1.06-1.15x floor (the back-to-back tools/
+    // MemProbe tail reaches 1.32x, but every in-suite sample runs
+    // after the hygiene sync, which drains the self-writeback that
+    // widened it), while 16-thread saturation reads >=1.62x. 1.4
+    // clears the operating clean tail by ~20% without admitting the
+    // saturated band; pressure inside 1.15-1.4 stays sub-detectable
+    // (documented limit — a bar inside the jitter band would starve
+    // the scrub of windows).
+    val memCleanBar = 1.4
     val scrubAttempts = sys.env.get("SPARK_GRAFT_SCRUB_ATTEMPTS")
       .map(_.toInt).getOrElse(8)
     def windowClean(p: Option[Double], bar: Double): Boolean =
       (for (p0 <- p; f <- probeFloorMs if f > 0) yield p0 / f <= bar)
         .getOrElse(false)
+    def memWindowClean(p: Option[Double]): Boolean =
+      (for (p0 <- p; f <- memProbeFloorMs if f > 0) yield p0 / f <= memCleanBar)
+        .getOrElse(false)
     val suiteClean: Map[String, Boolean] =
       if (controlRound.isEmpty) Map.empty
       else results.map { case (k, m) =>
-        k -> (!m.failed && m.spreadRatio <= 1.5 && windowClean(qProbe.get(k), cleanBar))
+        k -> (!m.failed && m.spreadRatio <= 1.5 &&
+          windowClean(qProbe.get(k), cleanBar) &&
+          memWindowClean(qMemProbe.get(k)))
       }
     val qCleanTime = scala.collection.mutable.Map.empty[String, Double]
     val qCleanProbe = scala.collection.mutable.Map.empty[String, Double]
+    val qCleanMemProbe = scala.collection.mutable.Map.empty[String, Double]
     val qScrubAttempts = scala.collection.mutable.Map.empty[String, Int]
     if (controlRound.isDefined) {
       // EVERY query is scrubbed, not just the flagged ones: in-suite
@@ -1037,6 +1196,7 @@ object Bench {
           exec(queries(k)(spark, sfDir)) // re-warm leg
           graft.operators.Scratch.releaseAll(); syncDisk()
           val pre = cpuProbeMs()
+          val memPre = memProbeMs()
           var t = -1.0
           val (_, post, inband) = probeDuring {
             val t0 = System.nanoTime()
@@ -1044,11 +1204,18 @@ object Bench {
             t = (System.nanoTime() - t0) / 1e9
           }
           graft.operators.Scratch.releaseAll(); syncDisk()
+          // the memory bracket is quiet-window only (pre + post, both
+          // sampled AFTER a sync so our own writeback tail never fails
+          // the bracket): an in-band chase contends with the query's
+          // own traffic and reads degraded on clean windows
+          val memPost = memProbeMs()
           resetSession(spark)
           if (windowClean(pre, cleanBar) && windowClean(post, cleanBar) &&
-              inband.forall(p => windowClean(Some(p), inbandCleanBar))) {
+              inband.forall(p => windowClean(Some(p), inbandCleanBar)) &&
+              memWindowClean(memPre) && memWindowClean(memPost)) {
             qCleanTime(k) = t
             post.foreach(qCleanProbe(k) = _)
+            memPost.foreach(qCleanMemProbe(k) = _)
             true
           } else false
         } catch { case scala.util.control.NonFatal(e) =>
@@ -1098,7 +1265,8 @@ object Bench {
         confirmOutcome(reruns.get(k).flatMap(_.warm), ctl,
           reruns.get(k).flatMap(_.stealCores), stormBar,
           reruns.get(k).flatMap(_.probeMs), probeFloorMs, cpiBar,
-          reruns.get(k).flatMap(_.probeInbandMs), cpiBarInband),
+          reruns.get(k).flatMap(_.probeInbandMs), cpiBarInband,
+          reruns.get(k).flatMap(_.memProbeMs), memProbeFloorMs, memBar),
         qCleanTime.get(k), ctl)
     }
     val regressed: Seq[String] =
@@ -1111,14 +1279,17 @@ object Bench {
           s"${r3(candidates(k))}s)").mkString(", "))
     if (stormDiscarded.nonEmpty) System.err.println(
       s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
-        s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, or " +
-        s"in-band probe >= ${cpiBarInband}x floor): " +
+        s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, " +
+        s"in-band probe >= ${cpiBarInband}x floor, or mem chase >= " +
+        s"${memBar}x mem floor): " +
         stormDiscarded.map(k =>
           s"$k (rerun ${reruns(k).warm.fold("?")(t => r3(t).toString)}s, " +
             s"steal ${reruns(k).stealCores.fold("?")(v => r2(v).toString)} cores, " +
             s"probe ${reruns(k).probeMs.fold("?")(v => r2(v).toString)}ms/" +
             s"inband ${reruns(k).probeInbandMs.fold("?")(v => r2(v).toString)}ms " +
             s"vs floor ${probeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
+            s"mem ${reruns(k).memProbeMs.fold("?")(v => r2(v).toString)}ms " +
+            s"vs mem floor ${memProbeFloorMs.fold("?")(v => r2(v).toString)}ms, " +
             s"control ${r3(candidates(k))}s)").mkString(", "))
 
     val loadAvgEnd = loadAvg // sampled AFTER reruns + scrub: covers their windows too
@@ -1139,6 +1310,10 @@ object Bench {
       f <- probeFloorMs if f > 0
       m <- qProbe.values.maxOption
     } yield m / f
+    val maxMemProbeRatio = for {
+      f <- memProbeFloorMs if f > 0
+      m <- qMemProbe.values.maxOption
+    } yield m / f
     val source = contentionSource(
       loadHigh = loadHigh,
       spreadFlag = spreadFlag,
@@ -1146,7 +1321,9 @@ object Bench {
       maxQuerySteal = qSteal.values.maxOption,
       stormBar = stormBar,
       maxProbeRatio = maxProbeRatio,
-      cpiBar = cpiBar)
+      cpiBar = cpiBar,
+      maxMemProbeRatio = maxMemProbeRatio,
+      memBar = memBar)
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -1183,6 +1360,9 @@ object Bench {
     detail ++= probeRef.map(p => s""""probe_ref_ms":${r2(p)},""").getOrElse("")
     detail ++= probeFloorMs.map(p => s""""probe_floor_ms":${r2(p)},""").getOrElse("")
     detail ++= maxProbeRatio.map(p => s""""max_probe_ratio":${r2(p)},""").getOrElse("")
+    detail ++= memProbeRef.map(p => s""""mem_probe_ref_ms":${r2(p)},""").getOrElse("")
+    detail ++= memProbeFloorMs.map(p => s""""mem_probe_floor_ms":${r2(p)},""").getOrElse("")
+    detail ++= maxMemProbeRatio.map(p => s""""max_mem_probe_ratio":${r2(p)},""").getOrElse("")
     control.foreach(c => detail ++= s""""control":${jstr(c.path)},""")
     if (regressed.nonEmpty)
       detail ++= regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
@@ -1197,6 +1377,7 @@ object Bench {
           r.iowaitCores.map(v => s""","rerun_iowait":${r2(v)}""").getOrElse("") +
           r.probeMs.map(v => s""","rerun_probe_ms":${r2(v)}""").getOrElse("") +
           r.probeInbandMs.map(v => s""","rerun_probe_inband_ms":${r2(v)}""").getOrElse("") +
+          r.memProbeMs.map(v => s""","rerun_memprobe_ms":${r2(v)}""").getOrElse("") +
           (if (r.attempts > 1) s""","rerun_attempts":${r.attempts}""" else "") +
           (if (stormDiscarded.contains(k)) s""","rerun_stormy":true""" else "")
         r.warm match {
@@ -1209,7 +1390,8 @@ object Bench {
       }.getOrElse("")
       val st = qSteal.get(k).map(v => s""","steal":${r2(v)}""").getOrElse("") +
         qIowait.get(k).map(v => s""","iowait":${r2(v)}""").getOrElse("") +
-        qProbe.get(k).map(v => s""","probe_ms":${r2(v)}""").getOrElse("")
+        qProbe.get(k).map(v => s""","probe_ms":${r2(v)}""").getOrElse("") +
+        qMemProbe.get(k).map(v => s""","memprobe_ms":${r2(v)}""").getOrElse("")
       val ctl = candidates.get(k).map(c => s""","control_median":${r3(c)}""").getOrElse("")
       // control-capture evidence: whether THIS query's value rests on a
       // verified-clean window, plus the scrubbed clean reading when the
@@ -1218,6 +1400,7 @@ object Bench {
         s""","probe_clean":${suiteClean.getOrElse(k, false) || qCleanTime.contains(k)}""" +
           qCleanTime.get(k).map(v => s""","clean":${r3(v)}""").getOrElse("") +
           qCleanProbe.get(k).map(v => s""","clean_probe_ms":${r2(v)}""").getOrElse("") +
+          qCleanMemProbe.get(k).map(v => s""","clean_memprobe_ms":${r2(v)}""").getOrElse("") +
           qScrubAttempts.get(k).map(v => s""","scrub_attempts":$v""").getOrElse("")
       }
       s""""$k":{"iters":$ts,"min":${r3(m.min)},"median":${r3(m.median)},""" +
@@ -1329,6 +1512,13 @@ object Bench {
     *     steal — SMT/cache co-tenancy at the hypervisor level; the
     *     round-14 episode. Sharper than the load inference below, so
     *     it outranks "host");
+    *   - some query's fixed-work MEMORY chase read >= memBar x the
+    *     run's memory floor while the register spin stayed quiet →
+    *     "mem_slow" (bandwidth/LLC co-tenancy — the dimension the
+    *     round-15 regime finding proved the spin blind to; round-16
+    *     item 1). Ranked after "cpu_slow": a degraded-CPU window
+    *     usually inflates the chase too, and the sharper instrument
+    *     should name the episode;
     *   - otherwise, a high host load average with a quiet container →
     *     "host" (external to the VM, shape unmeasured);
     *   - spread-flag only, container quiet, no steal, no CPI
@@ -1339,13 +1529,16 @@ object Bench {
   private[graft] def contentionSource(loadHigh: Boolean, spreadFlag: Boolean,
       otherBusyCores: Option[Double], maxQuerySteal: Option[Double] = None,
       stormBar: Double = 2.0, maxProbeRatio: Option[Double] = None,
-      cpiBar: Double = 1.5): String =
+      cpiBar: Double = 1.5, maxMemProbeRatio: Option[Double] = None,
+      memBar: Double = 1.5): String =
     otherBusyCores match {
       case Some(b) if b >= 0.5 && (loadHigh || spreadFlag) => "container"
       case _ if (loadHigh || spreadFlag) && stormGrade(maxQuerySteal, stormBar) =>
         "hypervisor"
       case _ if (loadHigh || spreadFlag) && maxProbeRatio.exists(_ >= cpiBar) =>
         "cpu_slow"
+      case _ if (loadHigh || spreadFlag) && maxMemProbeRatio.exists(_ >= memBar) =>
+        "mem_slow"
       case _ if loadHigh => "host"
       case _ if spreadFlag => "unknown"
       case _ => "none"

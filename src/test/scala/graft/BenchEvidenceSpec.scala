@@ -238,6 +238,71 @@ class BenchEvidenceSpec extends AnyFunSuite {
       "2.5x in-band episode reading must discard")
   }
 
+  test("the memory chase witnesses the dimension the register spin is blind to") {
+    // round-16 verdict item 1: the r15 regime finding — probe-clean
+    // readings at 1.25x aggregate vs the r12 control on a
+    // byte-identical ~41 ms spin floor — proved the xorshift spin
+    // register-only. The chase (dependent loads over a 256 MiB
+    // Sattolo cycle, > this box's 105 MiB L3) must meter positive
+    // thread-CPU for fixed work, like the spin
+    val p = Bench.memProbeMs()
+    assume(p.nonEmpty, "thread CPU time unmeterable on this JVM — documented degradation")
+    assert(p.get > 0.0 && p.get < 60000.0, s"implausible chase reading: $p")
+    // a second call walks a FRESH cycle segment (the cursor advances),
+    // so back-to-back quiet readings stay in one band instead of the
+    // second reading warm out of L3
+    val p2 = Bench.memProbeMs()
+    assert(p2.exists(_ > 0.0))
+    // bar env parse fails fast like the others; default 1.5 from the
+    // tools/MemProbe calibration (quiet tail 1.32x, 16-thread
+    // saturation 1.40-3.07x)
+    assert(Bench.parseMemBar(None) == 1.5)
+    assert(Bench.parseMemBar(Some("1.8")) == 1.8)
+    intercept[IllegalArgumentException](Bench.parseMemBar(Some("1,5")))
+    intercept[IllegalArgumentException](Bench.parseMemBar(Some("-1")))
+  }
+
+  test("memory-degraded windows name mem_slow and discard confirming reruns") {
+    // contention_source: a flagged run whose worst chase reading is
+    // past the mem bar — with quiet steal, quiet spin, quiet
+    // container — names "mem_slow" (the r15 regime shape, previously
+    // forced to "unknown")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxQuerySteal = Some(0.1), maxProbeRatio = Some(1.1),
+      maxMemProbeRatio = Some(2.1)) == "mem_slow")
+    // the sharper instruments still outrank it: cpu_slow (a degraded
+    // CPU inflates the chase too), hypervisor, container
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxProbeRatio = Some(2.0),
+      maxMemProbeRatio = Some(2.1)) == "cpu_slow")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxQuerySteal = Some(3.0),
+      maxMemProbeRatio = Some(2.1)) == "hypervisor")
+    assert(Bench.contentionSource(loadHigh = true, spreadFlag = true,
+      Some(2.3), maxMemProbeRatio = Some(2.1)) == "container")
+    // sub-bar chase readings change nothing (the 1.00-1.32x quiet
+    // band must not rebrand "unknown"), nor does a reading on a run
+    // nothing flagged
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = true,
+      Some(0.05), maxMemProbeRatio = Some(1.3)) == "unknown")
+    assert(Bench.contentionSource(loadHigh = false, spreadFlag = false,
+      Some(0.0), maxMemProbeRatio = Some(9.0)) == "none")
+    // confirmOutcome: a confirming rerun whose post-leg chase reads
+    // past the mem bar indicts the window (Stormy — retried then
+    // discarded), with every other witness quiet
+    import Bench.Confirm._
+    def o(memProbe: Option[Double], memFloor: Option[Double]) =
+      Bench.confirmOutcome(Some(3.7), 0.577, Some(0.01), stormBar = 2.0,
+        probeMs = Some(29.0), probeFloorMs = Some(28.0), cpiBar = 2.0,
+        memProbeMs = memProbe, memFloorMs = memFloor, memBar = 1.5)
+    assert(o(Some(210.0), Some(100.0)) == Stormy)
+    // quiet chase: the regression confirms; absent evidence degrades
+    // to the pre-r16 semantics exactly
+    assert(o(Some(115.0), Some(100.0)) == Confirmed)
+    assert(o(None, Some(100.0)) == Confirmed)
+    assert(o(Some(210.0), None) == Confirmed)
+  }
+
   test("container CPU counters are readable where a cgroup hierarchy exists") {
     // the attribution degrades gracefully when absent, and so does
     // this test (round-10 ADVICE: a hard assert coupled suite
@@ -583,13 +648,20 @@ class BenchEvidenceSpec extends AnyFunSuite {
           |"q_clean_insuite":{"iters":[2.0,2.0,2.0],"min":2.0,"median":2.0,
           |"spread":1.0,"failed":false,"probe_clean":true},
           |"q_clean_loosens":{"iters":[1.0,1.0,1.0],"min":1.0,"median":1.0,
-          |"spread":1.0,"failed":false,"clean":5.0}}}""".stripMargin.getBytes("UTF-8"))
+          |"spread":1.0,"failed":false,"clean":5.0},
+          |"q_rerun_tightens":{"iters":[8.0,8.0,8.0],"min":8.0,"median":8.0,
+          |"spread":1.0,"failed":false,"rerun":2.0,"clean":3.0}}}""".stripMargin.getBytes("UTF-8"))
       val c = Bench.parseControl(f)
       // clean beats median AND rerun; a clean slower than the median
       // (the scrub window was still degraded in a way the probe
-      // missed) may only tighten, never loosen
+      // missed) may only tighten, never loosen — and an exonerating
+      // rerun FASTER than the clean reading keeps tightening too:
+      // clean folds into the same min as the inferred baseline, it
+      // never bypasses it (round-15 ADVICE: rerun < clean < median
+      // must resolve to the rerun, not the clean)
       assert(c.exists(_.medians == Map(
-        "q_scrubbed" -> 3.2, "q_clean_insuite" -> 2.0, "q_clean_loosens" -> 1.0)))
+        "q_scrubbed" -> 3.2, "q_clean_insuite" -> 2.0, "q_clean_loosens" -> 1.0,
+        "q_rerun_tightens" -> 2.0)))
     } finally { dir.listFiles.foreach(_.delete()); dir.delete() }
   }
 
