@@ -164,10 +164,18 @@ object Dedup {
     * histogram ([[bandBucketSizes]]) measure the exact
     * sum(C(bucket, 2)); past the budget the call fails BY NAME
     * ([[ScaleGuardException]]) quoting the volume, the top-3 offending
-    * (band, key) buckets, and the dial. The
-    * default (5e9 ≈ 3 minutes of verification work on a 32-core node)
-    * passes sf1 with 4.5x margin and trips around sf2+ on this
-    * vocabulary; `None` disables, a capped call never measures. The
+    * (band, key) buckets, and the dial. The default (5e9) passes sf1
+    * with 4.5x margin and trips at sf3 on this vocabulary (measured
+    * 1.15e10 — r16 sweep). What 5e9 admits in WALL terms depends on
+    * the verification path: the bitmap tier runs ~27 ns/candidate
+    * (sf1's 1.1e9 → 40 s total), but merge-walk shapes measured ~8 µs
+    * of CPU per candidate END TO END (q62's sf3-half leg: 2.9e9
+    * candidates → 23.5k CPU-seconds ≈ 17 min wall on 32 cores — the
+    * r16 sweep's bend finding), so a budget-clearing merge-walk run
+    * can still be tens of minutes. Lower the budget per-call when
+    * that's too much latitude; the default is sized to the bitmap
+    * path the driver corpus exercises. `None` disables, a capped call
+    * never measures. The
     * guard's histogram re-derives the cascade from `df` rather than
     * forcing the staged plan onto un-capped callers (staging is
     * measured neutral on short-text corpora — see [[nearDedup]]).

@@ -80,9 +80,13 @@ object Sf3Sweep {
         }
         Bench.resetSession(spark)
       }
-      leg(timed = false) // warm
-      leg(timed = true)
-      leg(timed = true)
+      // leg plan: SWEEP_WARM=0 skips the warm pass (for the 300-1000 s
+      // uncapped sf3 legs, first-run JIT skew is a few percent and a
+      // warm pass doubles the sweep's wall); SWEEP_LEGS sets the timed
+      // count (default 2)
+      if (sys.env.getOrElse("SWEEP_WARM", "1") != "0") leg(timed = false)
+      val legs = sys.env.get("SWEEP_LEGS").map(_.toInt).getOrElse(2)
+      (1 to legs).foreach(_ => leg(timed = true))
     }
     spark.stop()
   }
