@@ -200,4 +200,19 @@ class OperatorsSpec extends AnyFunSuite {
     val got = df.select(TextAnalysis.langId($"text")).as[String].collect()
     assert(got.toSeq == Seq("en", "fr", "de", "und"))
   }
+
+  test("stageCounted's footer count is exact, including multi-file and empty stages") {
+    // the scale guards' cross-product short-circuit input (round-16):
+    // the count comes from the written parquet footers driver-side,
+    // so it must equal the staged row count exactly — across multiple
+    // part files, and 0 on an empty stage (zero-row inputs must flow)
+    val df = spark.range(1000).repartition(4).toDF("id")
+    val (staged, n) = Scratch.stageCounted(df, "graft-test-sc")
+    assert(n == 1000L)
+    assert(staged.count() == 1000L)
+    val (stagedEmpty, n0) = Scratch.stageCounted(
+      df.where($"id" < 0), "graft-test-sc0")
+    assert(n0 == 0L)
+    assert(stagedEmpty.count() == 0L)
+  }
 }
