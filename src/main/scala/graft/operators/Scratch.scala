@@ -62,15 +62,34 @@ object Scratch {
     val spark = df.sparkSession
     val (fs, dir) = newDir(spark, prefix)
     df.write.option("compression", Codec).mode("overwrite").parquet(dir.toString)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val n = fs.listStatus(dir).iterator
+    val n = footerCount(fs, dir, spark.sparkContext.hadoopConfiguration)
+    (spark.read.parquet(dir.toString), n)
+  }
+
+  /** Exact row count of a FLAT staged parquet dir from its footers.
+    * The count feeds the scale guards' melt short-circuit as an upper
+    * bound, so an undercount weakens the guard: if the dir ever grows
+    * subdirectories (someone adds partitionBy to a stage write), fail
+    * LOUDLY instead of silently skipping the nested leaf files
+    * (round-16 ADVICE). */
+  private[operators] def footerCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val entries = fs.listStatus(dir)
+    val nested = entries.filter(_.isDirectory)
+    require(nested.isEmpty,
+      s"Scratch.footerCount: staged dir $dir contains subdirectories " +
+        s"(${nested.take(3).map(_.getPath.getName).mkString(", ")}) — the " +
+        "non-recursive footer count would UNDERCOUNT a partitioned layout " +
+        "and feed a too-small bound into the scale guards' cross-product " +
+        "short-circuit. Stage flat, or teach this count to recurse first.")
+    entries.iterator
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
         try r.getRecordCount finally r.close()
       }.sum
-    (spark.read.parquet(dir.toString), n)
   }
 
   /** Codec for scratch writes (A/B via SPARK_GRAFT_SCRATCH_CODEC). */

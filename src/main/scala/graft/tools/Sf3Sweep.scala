@@ -32,6 +32,14 @@ object Sf3Sweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/scale/sfg3")
     val only = args.lift(1).map(_.split(",").toSet)
+    // validated before the (multi-hundred-second) legs start, same
+    // fail-fast contract as Bench's env knobs (round-16 ADVICE)
+    val sweepWarm = sys.env.getOrElse("SPARK_GRAFT_SWEEP_WARM", "1") != "0"
+    val sweepLegs = sys.env.get("SPARK_GRAFT_SWEEP_LEGS").map { s =>
+      require(s.matches("[0-9]+"),
+        s"SPARK_GRAFT_SWEEP_LEGS must be a plain non-negative integer, got '$s'")
+      s.toInt
+    }.getOrElse(2)
     val spark = Engine.session("sf3-sweep", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     def docs = table(spark, sfDir, "documents")
@@ -80,13 +88,15 @@ object Sf3Sweep {
         }
         Bench.resetSession(spark)
       }
-      // leg plan: SWEEP_WARM=0 skips the warm pass (for the 300-1000 s
-      // uncapped sf3 legs, first-run JIT skew is a few percent and a
-      // warm pass doubles the sweep's wall); SWEEP_LEGS sets the timed
-      // count (default 2)
-      if (sys.env.getOrElse("SWEEP_WARM", "1") != "0") leg(timed = false)
-      val legs = sys.env.get("SWEEP_LEGS").map(_.toInt).getOrElse(2)
-      (1 to legs).foreach(_ => leg(timed = true))
+      // leg plan: SPARK_GRAFT_SWEEP_WARM=0 skips the warm pass (for the
+      // 300-1000 s uncapped sf3 legs, first-run JIT skew is a few
+      // percent and a warm pass doubles the sweep's wall);
+      // SPARK_GRAFT_SWEEP_LEGS sets the timed count (default 2).
+      // Knobs SPARK_GRAFT_-prefixed and validated up front like every
+      // other bench env knob (round-16 ADVICE — the bare toInt died
+      // with an opaque NumberFormatException)
+      if (sweepWarm) leg(timed = false)
+      (1 to sweepLegs).foreach(_ => leg(timed = true))
     }
     spark.stop()
   }

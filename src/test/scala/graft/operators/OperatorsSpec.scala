@@ -215,4 +215,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n0 == 0L)
     assert(stagedEmpty.count() == 0L)
   }
+
+  test("footerCount fails loudly on a nested (partitioned) staged layout") {
+    // round-16 ADVICE: a future partitionBy'd stage would make the
+    // non-recursive footer listing UNDERCOUNT and silently weaken the
+    // scale guards' cross-product short-circuit — it must throw by name
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-test-nested-${java.util.UUID.randomUUID()}")
+    try {
+      spark.range(100).toDF("id").withColumn("p", $"id" % 2)
+        .write.partitionBy("p").parquet(dir.toString)
+      val p = new org.apache.hadoop.fs.Path(dir.toString)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val e = intercept[IllegalArgumentException] {
+        Scratch.footerCount(fs, fs.makeQualified(p),
+          spark.sparkContext.hadoopConfiguration)
+      }
+      assert(e.getMessage.contains("subdirectories"))
+      assert(e.getMessage.contains("UNDERCOUNT"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
