@@ -47,7 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     STEAL over the rerun window, not loadavg (see
   *     [[procStatStealUsec]] / [[confirmOutcome]]): a tripwire
   *     candidate whose confirming rerun ran storm-grade is retried
-  *     once and then discarded, never `regressed`;
+  *     once and then discarded, never `regressed`; and (round 17) a
+  *     Confirmed candidate whose own in-suite windows were
+  *     storm-peak-degraded under a suite-attributed external regime
+  *     lands in `regressed_unverifiable_regime` instead of
+  *     `regressed` — the episode-spans-suite-and-rerun case the
+  *     per-window grading cannot see (see [[unverifiableRegime]]);
   *   - the consumer keeps only the LAST ~2000 chars of stdout, so the
   *     queries map is ordered by ascending median — the expensive
   *     (interesting) queries and the contention evidence land in the
@@ -264,6 +269,21 @@ object Bench {
     (for (p <- probeMs; f <- floorMs if f > 0) yield p / f >= bar)
       .getOrElse(false)
 
+  /** Control-scrub window grading: sample <= bar x floor. Two absence
+    * semantics, deliberately asymmetric (round-16 ADVICE): a missing
+    * SAMPLE with a live floor is an ungraded window → dirty (keep
+    * scrubbing); a missing FLOOR means the dimension never metered on
+    * this JVM at all — grading every window dirty would doom all
+    * SPARK_GRAFT_SCRUB_ATTEMPTS x N_queries attempts before the control
+    * completes, so the dimension passes VACUOUSLY and the run records
+    * the degradation (`scrub_unmetered` in the detail file). */
+  private[graft] def scrubWindowClean(sampleMs: Option[Double],
+      floorMs: Option[Double], bar: Double): Boolean =
+    floorMs match {
+      case Some(f) if f > 0 => sampleMs.exists(_ / f <= bar)
+      case _                => true
+    }
+
   /** Fixed-work MEMORY probe: [[MemChaseSteps]] dependent loads walked
     * along a Sattolo single-cycle permutation over a 256 MiB int array,
     * reported as thread-CPU milliseconds for the fixed work. Exists
@@ -366,6 +386,47 @@ object Bench {
         s"SPARK_GRAFT_MEM_BAR must be a plain non-negative number, got '$s'")
       s.toDouble
     }.getOrElse(1.5)
+
+  /** SPARK_GRAFT_REGIME_BAR (default 5.0): how degraded a candidate's
+    * own IN-SUITE windows must have been (worst probe or mem chase vs
+    * floor) before a Confirmed verdict under a suite-wide external
+    * regime is graded unverifiable — see [[unverifiableRegime]]. 5x is
+    * far past every calibrated degradation band (CPI episodes read
+    * 1.55-6.4x, mem saturation 1.62-8.7x at the storm peaks) so only
+    * storm-peak windows qualify; same fail-fast parse contract as the
+    * other bars. */
+  private[graft] def parseRegimeBar(env: Option[String]): Double =
+    env.map { s =>
+      require(s.matches("[0-9]+(\\.[0-9]+)?"),
+        s"SPARK_GRAFT_REGIME_BAR must be a plain non-negative number, got '$s'")
+      s.toDouble
+    }.getOrElse(5.0)
+
+  /** Round-16 verdict item 5: the confirm rerun guards its OWN window
+    * (storm-grade steal / degraded probes there → Stormy), but an
+    * episode that spans the suite AND the rerun defeats it — r16's q97
+    * ran its in-suite windows at probe 5-6x floor under a
+    * suite-attributed hypervisor episode, then its rerun window read
+    * probe-CLEAN with sub-storm steal at 7.77 s (the documented
+    * instrument limit: the regime inflates wall beyond what either
+    * probe fully witnesses) and a false `regressed` landed in the
+    * driver artifact. When the suite-level attribution names an
+    * external regime (hypervisor / cpu_slow / mem_slow) AND the
+    * candidate's own in-suite windows were probe-degraded past
+    * `regimeBar` x floor, a Confirmed verdict is UNVERIFIABLE on this
+    * run: bucketed `regressed_unverifiable_regime` in the artifact —
+    * honest about the candidate without landing the tripwire. Both
+    * conditions are load-bearing: suite attribution alone would mute
+    * the tripwire for every query of a flagged run (dulling it), and
+    * per-query degradation alone is already handled by the rerun's own
+    * window grading. */
+  private[graft] def unverifiableRegime(source: String,
+      qProbeMs: Option[Double], probeFloorMs: Option[Double],
+      qMemProbeMs: Option[Double], memFloorMs: Option[Double],
+      regimeBar: Double): Boolean =
+    Set("hypervisor", "cpu_slow", "mem_slow").contains(source) &&
+      (cpuSlowGrade(qProbeMs, probeFloorMs, regimeBar) ||
+        cpuSlowGrade(qMemProbeMs, memFloorMs, regimeBar))
 
   /** Runs `body` with a low-duty in-band CPI sampler: a daemon thread
     * takes a fixed-work probe reading every ~500 ms while the body
@@ -796,12 +857,16 @@ object Bench {
       commit: Option[String], qs: String, sf: String, iters: Int,
       spreads: String, rerunJson: String, loadAvgStart: Double,
       loadAvgEnd: Double, maxMemMb: Long, cpus: String,
-      detailPath: String, regressed: Seq[String] = Nil): String = {
+      detailPath: String, regressed: Seq[String] = Nil,
+      regressedUnverifiable: Seq[String] = Nil): String = {
     val busy = otherBusyCores.map(b => s""""other_busy_cores":${r2(b)},""").getOrElse("")
     val cm = commit.map(c => s""""commit":"$c",""").getOrElse("")
     val rg =
-      if (regressed.isEmpty) ""
-      else regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
+      (if (regressed.isEmpty) ""
+       else regressed.map(jstr).mkString(""""regressed":[""", ",", "],")) +
+        (if (regressedUnverifiable.isEmpty) ""
+         else regressedUnverifiable.map(jstr)
+           .mkString(""""regressed_unverifiable_regime":[""", ",", "],"))
     val head = s""""value":$total,"min_total":$minTotal,"contended":$contended,""" +
       s""""contention_source":"$source",""" + busy + rg + cm
     val summary = s""""summary":{${head.stripSuffix(",")}""" +
@@ -827,6 +892,7 @@ object Bench {
     val cpiBar = parseCpiBar(sys.env.get("SPARK_GRAFT_CPI_BAR"))
     val cpiBarInband = parseCpiBarInband(sys.env.get("SPARK_GRAFT_CPI_BAR_INBAND"))
     val memBar = parseMemBar(sys.env.get("SPARK_GRAFT_MEM_BAR"))
+    val regimeBar = parseRegimeBar(sys.env.get("SPARK_GRAFT_REGIME_BAR"))
     // optional comma-separated query subset — measurement experiments
     // (isolated-vs-in-suite bisects) without a code edit
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -1150,11 +1216,21 @@ object Bench {
     val scrubAttempts = sys.env.get("SPARK_GRAFT_SCRUB_ATTEMPTS")
       .map(_.toInt).getOrElse(8)
     def windowClean(p: Option[Double], bar: Double): Boolean =
-      (for (p0 <- p; f <- probeFloorMs if f > 0) yield p0 / f <= bar)
-        .getOrElse(false)
+      scrubWindowClean(p, probeFloorMs, bar)
     def memWindowClean(p: Option[Double]): Boolean =
-      (for (p0 <- p; f <- memProbeFloorMs if f > 0) yield p0 / f <= memCleanBar)
-        .getOrElse(false)
+      scrubWindowClean(p, memProbeFloorMs, memCleanBar)
+    // round-16 ADVICE: on a JVM where a probe dimension never metered
+    // (floor None) the old all-windows-dirty grading doomed every scrub
+    // attempt — scrubWindowClean vacuously passes the unmetered
+    // dimension instead, and the degradation ships in the detail file
+    val scrubUnmetered: Seq[String] =
+      (if (probeFloorMs.exists(_ > 0)) Nil else Seq("cpu")) ++
+        (if (memProbeFloorMs.exists(_ > 0)) Nil else Seq("mem"))
+    if (controlRound.isDefined && scrubUnmetered.nonEmpty)
+      System.err.println(
+        s"[bench] control scrub: ${scrubUnmetered.mkString("+")} probe floor " +
+          "unavailable on this JVM — that bracket dimension passes " +
+          "VACUOUSLY (scrub_unmetered in the detail file)")
     val suiteClean: Map[String, Boolean] =
       if (controlRound.isEmpty) Map.empty
       else results.map { case (k, m) =>
@@ -1269,14 +1345,8 @@ object Bench {
           reruns.get(k).flatMap(_.memProbeMs), memProbeFloorMs, memBar),
         qCleanTime.get(k), ctl)
     }
-    val regressed: Seq[String] =
-      outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
     val stormDiscarded: Seq[String] =
       outcomes.collect { case (k, Confirm.Stormy) => k }.toSeq.sorted
-    if (regressed.nonEmpty) System.err.println(
-      s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
-        regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
-          s"${r3(candidates(k))}s)").mkString(", "))
     if (stormDiscarded.nonEmpty) System.err.println(
       s"[bench] candidate confirms DISCARDED — storm-grade rerun window " +
         s"(steal >= $stormBar cores, post probe >= ${cpiBar}x floor, " +
@@ -1324,6 +1394,30 @@ object Bench {
       cpiBar = cpiBar,
       maxMemProbeRatio = maxMemProbeRatio,
       memBar = memBar)
+    // the regressed buckets need `source` (computed above from the
+    // whole suite's evidence): a Confirmed candidate whose own in-suite
+    // windows were storm-peak-degraded under a suite-wide external
+    // regime is UNVERIFIABLE this run, not regressed — see
+    // unverifiableRegime (round-16 verdict item 5)
+    val (regressedUnverifiable, regressed) =
+      outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
+        .partition(k => unverifiableRegime(source, qProbe.get(k), probeFloorMs,
+          qMemProbe.get(k), memProbeFloorMs, regimeBar))
+    if (regressed.nonEmpty) System.err.println(
+      s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
+        regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
+          s"${r3(candidates(k))}s)").mkString(", "))
+    if (regressedUnverifiable.nonEmpty) System.err.println(
+      s"[bench] candidate confirms UNVERIFIABLE — suite-level regime " +
+        s"($source) with the candidate's own in-suite probes >= " +
+        s"${regimeBar}x floor: " +
+        regressedUnverifiable.map(k =>
+          s"$k (median ${r3(results(k).median)}s, probe " +
+            s"${qProbe.get(k).fold("?")(v => r2(v).toString)}ms/mem " +
+            s"${qMemProbe.get(k).fold("?")(v => r2(v).toString)}ms vs floors " +
+            s"${probeFloorMs.fold("?")(v => r2(v).toString)}/" +
+            s"${memProbeFloorMs.fold("?")(v => r2(v).toString)}ms, control " +
+            s"${r3(candidates(k))}s) — re-bench on a clean window").mkString(", "))
     val qs = ordered.map { case (k, m) => "\"" + k + "\":" + r3(m.median) }
       .mkString("{", ",", "}")
     // total excludes failed (-1) queries so a crash can't "speed up" the sum
@@ -1363,9 +1457,15 @@ object Bench {
     detail ++= memProbeRef.map(p => s""""mem_probe_ref_ms":${r2(p)},""").getOrElse("")
     detail ++= memProbeFloorMs.map(p => s""""mem_probe_floor_ms":${r2(p)},""").getOrElse("")
     detail ++= maxMemProbeRatio.map(p => s""""max_mem_probe_ratio":${r2(p)},""").getOrElse("")
+    if (controlRound.isDefined && scrubUnmetered.nonEmpty)
+      detail ++= scrubUnmetered.map(jstr)
+        .mkString(""""scrub_unmetered":[""", ",", "],")
     control.foreach(c => detail ++= s""""control":${jstr(c.path)},""")
     if (regressed.nonEmpty)
       detail ++= regressed.map(jstr).mkString(""""regressed":[""", ",", "],")
+    if (regressedUnverifiable.nonEmpty)
+      detail ++= regressedUnverifiable.map(jstr)
+        .mkString(""""regressed_unverifiable_regime":[""", ",", "],")
     if (stormDiscarded.nonEmpty)
       detail ++= stormDiscarded.map(jstr)
         .mkString(""""regressed_discarded_storm":[""", ",", "],")
@@ -1444,7 +1544,7 @@ object Bench {
     }.mkString("{", ",", "}")
     println(renderLine(total, minTotal, contended, source, otherBusyCores,
       commit, qs, sf, iters, spreads, rerunJson, loadAvgStart, loadAvgEnd,
-      maxMemMb, cpus, detailPath, regressed))
+      maxMemMb, cpus, detailPath, regressed, regressedUnverifiable))
     spark.stop()
   }
 

@@ -21,7 +21,21 @@ import graft.functions.TextFunctions._
 /** Physical token-set encoding for [[Dedup.minhashLshPairs]]'
   * candidate-verification stage. The choice is purely physical — all
   * encodings produce identical pairs. */
-sealed trait LshEncoding
+sealed trait LshEncoding {
+
+  /** Measured end-to-end WALL nanoseconds per verified candidate pair
+    * on the 32-core reference box — the translation the scale guard
+    * uses to convert a candidate COUNT into estimated wall (round-16
+    * verdict item 2: a pure pair-count budget admitted ~300x wall
+    * variance across encoding tiers). Amortized over the whole
+    * operator (banding shuffle included), so small runs underfill it;
+    * at guard-relevant volumes (1e9+) the verification term dominates
+    * and the rate is stable: the bitmap tier measured ~36 ns/candidate
+    * (sf1: 1.1e9 candidates → 40 s), the merge-walk tier ~350 ns wall
+    * (~8 µs CPU — q62's sfg3 half-corpus leg: 2.9e9 → 1010 s wall /
+    * 23,467 CPU-s; SCALE.md round 16). */
+  def nanosPerCandidate: Long
+}
 object LshEncoding {
 
   /** Sorted-token-array merge-walk verification: no corpus statistics
@@ -29,7 +43,9 @@ object LshEncoding {
     * explain callers pay nothing). The right default at scale — a
     * 100 TB corpus is never small-vocabulary, and probing it to learn
     * that would cost a full stats pass. */
-  case object MergeWalk extends LshEncoding
+  case object MergeWalk extends LshEncoding {
+    val nanosPerCandidate: Long = 350L
+  }
 
   /** Probe corpus statistics at plan-construction time (one
     * approx_count_distinct partial-agg pass, plus an exact distinct
@@ -38,14 +54,22 @@ object LshEncoding {
     * 1-2 eager Spark jobs when the plan is BUILT: right for small and
     * medium corpora driven straight into an action, wrong for
     * plan-only callers and for corpora known to be open-vocabulary. */
-  case object Auto extends LshEncoding
+  case object Auto extends LshEncoding {
+    /** Conservative: the scale guard runs BEFORE the stats probe
+      * resolves Auto, so it must assume the slow tier — a guard that
+      * assumed the bitmap rate would wave through a merge-walk
+      * resolution ~10x over its wall budget. */
+    val nanosPerCandidate: Long = MergeWalk.nanosPerCandidate
+  }
 
   /** Dictionary-encode token sets against a known vocabulary of
     * mod-P token hashes (sorted ascending). Contract: `vocab` must
     * cover every token in the corpus — unknown tokens would silently
     * drop out of the bitmaps. Primarily what [[Auto]] resolves to;
     * public for callers that maintain their own vocabulary. */
-  final case class Bitmap(vocab: Array[Long]) extends LshEncoding
+  final case class Bitmap(vocab: Array[Long]) extends LshEncoding {
+    val nanosPerCandidate: Long = 36L
+  }
 }
 
 object Dedup {
@@ -163,18 +187,29 @@ object Dedup {
     * r15 ADVICE). Only past the bound does one count job over the band
     * histogram ([[bandBucketSizes]]) measure the exact
     * sum(C(bucket, 2)); past the budget the call fails BY NAME
-    * ([[ScaleGuardException]]) quoting the volume, the top-3 offending
-    * (band, key) buckets, and the dial. The default (5e9) passes sf1
-    * with 4.5x margin and trips at sf3 on this vocabulary (measured
-    * 1.15e10 — r16 sweep). What 5e9 admits in WALL terms depends on
-    * the verification path: the bitmap tier runs ~27 ns/candidate
-    * (sf1's 1.1e9 → 40 s total), but merge-walk shapes measured ~8 µs
-    * of CPU per candidate END TO END (q62's sf3-half leg: 2.9e9
-    * candidates → 23.5k CPU-seconds ≈ 17 min wall on 32 cores — the
-    * r16 sweep's bend finding), so a budget-clearing merge-walk run
-    * can still be tens of minutes. Lower the budget per-call when
-    * that's too much latitude; the default is sized to the bitmap
-    * path the driver corpus exercises. `None` disables, a capped call
+    * ([[ScaleGuardException]]) quoting the volume, the ESTIMATED WALL
+    * it implies at this encoding tier's measured per-candidate rate,
+    * the top-3 offending (band, key) buckets, and the dial. The
+    * default (5e9) passes sf1 with 4.5x margin and trips at sf3 on
+    * this vocabulary (measured 1.15e10 — r16 sweep).
+    *
+    * `wallBudgetSeconds` closes the count budget's 300x per-encoding
+    * wall latitude (round-16 verdict item 2): what a pair count admits
+    * in WALL terms depends on the verification tier — ~36 ns/candidate
+    * bitmap (sf1's 1.1e9 → 40 s) vs ~350 ns wall (~8 µs CPU) merge-walk
+    * (q62's sfg3 half-corpus leg ran 1010 s LEGITIMATELY under the 5e9
+    * count default — [[LshEncoding.nanosPerCandidate]]). The effective
+    * guard bound is the tighter of the two budgets, each translated to
+    * pairs via the encoding's rate ([[effectivePairBudget]]): the
+    * default 600 s caps merge-walk shapes at ~1.7e9 pairs (sf1's 1.1e9
+    * ≈ 385 s still clears) while leaving the bitmap tier count-bound
+    * (600 s ≈ 1.7e10 > 5e9). [[LshEncoding.Auto]] is budgeted at the
+    * merge-walk rate — the guard runs before the stats probe resolves
+    * it, and assuming the fast tier would wave a merge-walk resolution
+    * ~10x over its wall budget. `Some(moreSeconds)` raises it, `None`
+    * removes the wall dimension; `candidateBudget = None` disables the
+    * guard ENTIRELY (both dimensions — the deliberate exact-run
+    * opt-out, e.g. tools/Sf3Sweep). A capped call
     * never measures. The
     * guard's histogram re-derives the cascade from `df` rather than
     * forcing the staged plan onto un-capped callers (staging is
@@ -197,13 +232,43 @@ object Dedup {
     */
   val DefaultCandidateBudget: Long = 5000000000L
 
+  /** Default wall budget for the scale guard (see `wallBudgetSeconds`
+    * on [[minhashLshPairs]]): 10 minutes of estimated single-box wall
+    * at the encoding's measured rate. Generous for an interactive
+    * caller, far under the 20-30 min runs the bare count budget
+    * admitted on merge-walk shapes (r16 sweep). */
+  val DefaultWallBudgetSeconds: Double = 600.0
+
+  /** The guard's effective pair bound: the tighter of the count budget
+    * and the wall budget translated to pairs at the encoding's
+    * measured per-candidate rate. `candidateBudget = None` disables
+    * the guard entirely (exact-run opt-out); a wall-only `None` leaves
+    * the count dimension. */
+  private[operators] def effectivePairBudget(candidateBudget: Option[Long],
+      wallBudgetSeconds: Option[Double], nanosPerCandidate: Long): Option[Long] =
+    candidateBudget.map { b =>
+      wallBudgetSeconds.fold(b) { w =>
+        math.min(b, math.max(1L, (w * 1e9 / nanosPerCandidate).toLong))
+      }
+    }
+
+  /** Human-readable wall estimate for `pairs` candidates at `nanos`
+    * ns/candidate — quoted by the guard's failure message so the
+    * count's operational meaning is visible without rate arithmetic.
+    * private[graft]: Matching.score's guard quotes the same form. */
+  private[graft] def estimatedWall(pairs: Long, nanos: Long): String = {
+    val sec = pairs.toDouble * nanos / 1e9
+    if (sec >= 120) f"~${sec / 60}%.0f min" else f"~$sec%.0f s"
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bandsOf: Int, threshold: Double,
       encoding: LshEncoding = LshEncoding.MergeWalk,
       maxBucketSize: Option[Int] = None,
       stageCascade: Boolean = false,
       capMostBlocksOver: Option[Boolean] = None,
-      candidateBudget: Option[Long] = Some(DefaultCandidateBudget)): DataFrame = {
+      candidateBudget: Option[Long] = Some(DefaultCandidateBudget),
+      wallBudgetSeconds: Option[Double] = Some(DefaultWallBudgetSeconds)): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // the degenerate-doc prune in lshToks is output-neutral only for a
     // positive threshold (empty-vs-empty token sets score 0.0, which a
@@ -221,13 +286,20 @@ object Dedup {
     // every nearDedup caller. Past the bound, the band histogram
     // measures the true volume; past the budget, fail by name quoting
     // the top offending buckets.
-    if (maxBucketSize.isEmpty) candidateBudget.foreach { budget =>
+    if (maxBucketSize.isEmpty) effectivePairBudget(candidateBudget,
+        wallBudgetSeconds, encoding.nanosPerCandidate).foreach { budget =>
       val n = BigInt(df.count())
       val crossBound = BigInt(k / bandsOf) * n * (n - 1) / 2
       if (crossBound > BigInt(budget)) {
-        val perBucket = bandBucketSizes(df, idCol, textCol, k, bandsOf)
-          .select(col("band_idx"), col("band_key"),
-            expr("size * (size - 1) div 2").as("__pairs"))
+        // staged so the cascade-deriving histogram executes ONCE: the
+        // sum (every measured call) and the failure path's top-3
+        // offenders both read the narrow staged rows instead of
+        // re-deriving the tokenize/minhash cascade (round-16 ADVICE)
+        val perBucket = Scratch.stage(
+          bandBucketSizes(df, idCol, textCol, k, bandsOf)
+            .select(col("band_idx"), col("band_key"),
+              expr("size * (size - 1) div 2").as("__pairs")),
+          "graft-lsh-guard")
         val measured = perBucket.agg(coalesce(sum(col("__pairs")), lit(0L)))
           .first().getLong(0)
         if (measured > budget) {
@@ -239,13 +311,19 @@ object Dedup {
             .mkString("; ")
           throw new ScaleGuardException(
             s"Dedup.minhashLshPairs: uncapped banding would generate ~$measured " +
-              s"candidate pairs (candidateBudget $budget). Top band buckets by " +
+              s"candidate pairs, estimated " +
+              s"${estimatedWall(measured, encoding.nanosPerCandidate)} wall at " +
+              s"this encoding tier's measured ~${encoding.nanosPerCandidate} " +
+              s"ns/candidate (effective budget $budget pairs = min of " +
+              s"candidateBudget ${candidateBudget.mkString} and wallBudgetSeconds " +
+              s"${wallBudgetSeconds.fold("none")(_.toString)} at that rate). " +
+              s"Top band buckets by " +
               s"pair volume: $top. Hot band buckets grow " +
               "with the corpus on boilerplate vocabularies and in-bucket pairs " +
               "quadratically (sf1 measured exponent 1.23 uncapped vs 0.52 capped " +
               "— SCALE.md round 14). Pass maxBucketSize (the oracle-gated " +
-              "recall/cost dial, q103), raise candidateBudget, or pass " +
-              "candidateBudget=None for a deliberate exact run.")
+              "recall/cost dial, q103), raise candidateBudget/wallBudgetSeconds, " +
+              "or pass candidateBudget=None for a deliberate exact run.")
         }
       }
     }
@@ -779,7 +857,8 @@ object Dedup {
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bandsOf: Int = 4, threshold: Double = 0.8,
       encoding: LshEncoding = LshEncoding.Auto,
-      candidateBudget: Option[Long] = Some(DefaultCandidateBudget)): DataFrame = {
+      candidateBudget: Option[Long] = Some(DefaultCandidateBudget),
+      wallBudgetSeconds: Option[Double] = Some(DefaultWallBudgetSeconds)): DataFrame = {
     // encoding defaults to Auto here (unlike minhashLshPairs): the CC
     // step below runs eager jobs at call time anyway, so plan-only
     // callers don't exist and the adaptive probe costs nothing extra.
@@ -791,7 +870,8 @@ object Dedup {
     // composed pipeline exactly like the bare pair operator.
     val clusters = connectedComponents(
       minhashLshPairs(df, idCol, textCol, k, bandsOf, threshold, encoding,
-        candidateBudget = candidateBudget))
+        candidateBudget = candidateBudget,
+        wallBudgetSeconds = wallBudgetSeconds))
     val losers = clusters.where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -412,6 +412,69 @@ class BenchEvidenceSpec extends AnyFunSuite {
     assert(!clean.contains("regressed"))
   }
 
+  test("suite-spanning regime grades a Confirmed candidate unverifiable, not regressed (r16 item 5)") {
+    import Bench.unverifiableRegime
+    // q97's exact r16 shape: suite attributed to the hypervisor
+    // episode, the candidate's own in-suite windows at probe 5-6x
+    // floor — yet its confirm rerun read probe-clean/sub-storm-steal
+    // and Confirmed 7.77 s into the driver artifact. Both conditions
+    // must hold:
+    // (suite regime + degraded own windows) -> unverifiable
+    assert(unverifiableRegime("hypervisor", Some(220.0), Some(41.0),
+      Some(563.0), Some(100.0), regimeBar = 5.0))
+    // either probe dimension past the bar suffices (mem-only here)
+    assert(unverifiableRegime("mem_slow", Some(44.0), Some(41.0),
+      Some(563.0), Some(100.0), regimeBar = 5.0))
+    assert(unverifiableRegime("cpu_slow", Some(220.0), Some(41.0),
+      None, None, regimeBar = 5.0))
+    // suite regime alone must NOT mute the tripwire: a candidate whose
+    // own windows were probe-clean stays regressed even on a flagged run
+    assert(!unverifiableRegime("hypervisor", Some(44.0), Some(41.0),
+      Some(110.0), Some(100.0), regimeBar = 5.0))
+    // degraded windows without a suite-level regime attribution stay
+    // regressed too (per-window grading already owns that case)
+    for (s <- Seq("none", "unknown", "host", "container"))
+      assert(!unverifiableRegime(s, Some(220.0), Some(41.0),
+        Some(563.0), Some(100.0), regimeBar = 5.0), s)
+    // absent evidence degrades to regressed (evidence, not a gate)
+    assert(!unverifiableRegime("hypervisor", None, Some(41.0),
+      None, Some(100.0), regimeBar = 5.0))
+    // bar parse: fail-fast like the other bars, default 5.0
+    assert(Bench.parseRegimeBar(None) == 5.0)
+    assert(Bench.parseRegimeBar(Some("6.5")) == 6.5)
+    intercept[IllegalArgumentException](Bench.parseRegimeBar(Some("5,0")))
+    // the bucket ships in the line's headline AND tail summary,
+    // separate from `regressed`
+    val line = Bench.renderLine(50.0, 48.0, contended = true,
+      source = "hypervisor", otherBusyCores = None, commit = Some("abc123"),
+      qs = """{"q97":7.7}""", sf = "0.1", iters = 3, spreads = "{}",
+      rerunJson = "{}", loadAvgStart = 0.5, loadAvgEnd = 0.5,
+      maxMemMb = 1024, cpus = "32", detailPath = "/tmp/d.json",
+      regressed = Nil, regressedUnverifiable = Seq("q97"))
+    org.json4s.jackson.JsonMethods.parse(line)
+    assert(line.contains("\"regressed_unverifiable_regime\":[\"q97\"]"))
+    assert(!line.contains("\"regressed\":["),
+      "an unverifiable candidate must not also land in regressed")
+    val tail = """"summary":(\{.*\})""".r.findFirstMatchIn(line.takeRight(300))
+    assert(tail.exists(_.group(1).contains("regressed_unverifiable_regime")),
+      s"tail summary lacks the bucket: ${line.takeRight(300)}")
+  }
+
+  test("scrub window grading: missing sample is dirty, unmetered floor passes vacuously (r16 ADVICE)") {
+    import Bench.scrubWindowClean
+    // metered floor: the normal ratio grading
+    assert(scrubWindowClean(Some(44.0), Some(41.0), bar = 1.1))
+    assert(!scrubWindowClean(Some(60.0), Some(41.0), bar = 1.1))
+    // metered floor + missing sample: ungraded window -> dirty
+    assert(!scrubWindowClean(None, Some(41.0), bar = 1.1))
+    // unmetered floor (JVM without the probe's metering): grading every
+    // window dirty would doom all scrub attempts — vacuous pass, with
+    // the degradation recorded as scrub_unmetered in the detail file
+    assert(scrubWindowClean(Some(60.0), None, bar = 1.1))
+    assert(scrubWindowClean(None, None, bar = 1.1))
+    assert(scrubWindowClean(None, Some(0.0), bar = 1.1))
+  }
+
   test("the committed-control tripwire: filename, parsing, and confirm semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ctl").toFile
     try {

@@ -246,6 +246,63 @@ class DedupPathsSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("maxBucketSize"))
   }
 
+  test("wall budget closes the count budget's per-encoding latitude (r16 item 2)") {
+    // per-encoding per-candidate wall rates: bitmap is the fast tier;
+    // Auto budgets at the merge-walk rate because the guard runs BEFORE
+    // the stats probe resolves it (assuming the fast tier would wave a
+    // merge-walk resolution ~10x over its wall budget)
+    assert(LshEncoding.Bitmap(Array(1L)).nanosPerCandidate <
+      LshEncoding.MergeWalk.nanosPerCandidate)
+    assert(LshEncoding.Auto.nanosPerCandidate ==
+      LshEncoding.MergeWalk.nanosPerCandidate)
+    // effective bound = min(count budget, wall budget / rate). With the
+    // defaults: the bitmap tier stays COUNT-bound (600 s at 36 ns is
+    // ~1.7e10 > 5e9) while merge-walk becomes WALL-bound at ~1.7e9 —
+    // sf1's measured 1.1e9 (≈385 s) still clears, q62's sfg3 2.9e9
+    // (the 1010 s run the count budget waved through — r16 verdict
+    // item 2) now trips
+    val bitmapBound = Dedup.effectivePairBudget(
+      Some(Dedup.DefaultCandidateBudget), Some(Dedup.DefaultWallBudgetSeconds),
+      LshEncoding.Bitmap(Array(1L)).nanosPerCandidate).get
+    assert(bitmapBound == Dedup.DefaultCandidateBudget)
+    val mwBound = Dedup.effectivePairBudget(
+      Some(Dedup.DefaultCandidateBudget), Some(Dedup.DefaultWallBudgetSeconds),
+      LshEncoding.MergeWalk.nanosPerCandidate).get
+    assert(mwBound < Dedup.DefaultCandidateBudget)
+    assert(mwBound > 1100000000L, s"sf1's 1.1e9 must still clear: $mwBound")
+    assert(mwBound < 2900000000L, s"q62's sfg3 2.9e9 must now trip: $mwBound")
+    // candidateBudget=None disables BOTH dimensions (the exact-run
+    // opt-out, e.g. tools/Sf3Sweep); wallBudget=None keeps the count one
+    assert(Dedup.effectivePairBudget(None, Some(600.0), 350L).isEmpty)
+    assert(Dedup.effectivePairBudget(Some(5L), None, 350L).contains(5L))
+    // the guard's failure message quotes the estimated wall alongside
+    // the count, plus the rate it used
+    val docs = (1 to 40).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val err = intercept[ScaleGuardException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(100L)))
+    assert(err.getMessage.contains("estimated") &&
+      err.getMessage.contains("wall") &&
+      err.getMessage.contains("ns/candidate"), err.getMessage)
+    // a wall-only trip: count budget generous, wall budget tiny
+    val err2 = intercept[ScaleGuardException](
+      Dedup.minhashLshPairs(docs, "doc_id", "text", K, BandRows, Threshold,
+        candidateBudget = Some(Long.MaxValue), wallBudgetSeconds = Some(1e-7)))
+    assert(err2.getMessage.contains("wallBudgetSeconds"), err2.getMessage)
+    // Matching's guard quotes the same wall form at its own scorer rate
+    val offers = Seq((1L, 1L, 1L, Seq(1L), 50000.0, "senior"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    val cvs = (1 to 40).map(i => (i.toLong, 1L, 1L, Seq(1L), 40000.0, 5))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    val err3 = intercept[ScaleGuardException](
+      graft.matching.Matching.score(offers, cvs, pairBudget = Some(10L)))
+    assert(err3.getMessage.contains("estimated") &&
+      err3.getMessage.contains("ns/pair"), err3.getMessage)
+  }
+
   test("cross-product bound short-circuits the guard's histogram job") {
     // round-16 verdict item 3: nBands*C(n,2) from one column-pruned
     // count bounds the banded volume; when it clears the budget the
