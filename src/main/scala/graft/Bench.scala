@@ -1399,10 +1399,15 @@ object Bench {
     // windows were storm-peak-degraded under a suite-wide external
     // regime is UNVERIFIABLE this run, not regressed — see
     // unverifiableRegime (round-16 verdict item 5)
+    // ...unless a bracket-verified clean reading (control scrub)
+    // itself confirmed the regression: that witness was taken on a
+    // pre+post+in-band-graded window, so the suite's regime cannot
+    // have produced it — such a Confirmed stays `regressed`
     val (regressedUnverifiable, regressed) =
       outcomes.collect { case (k, Confirm.Confirmed) => k }.toSeq.sorted
-        .partition(k => unverifiableRegime(source, qProbe.get(k), probeFloorMs,
-          qMemProbe.get(k), memProbeFloorMs, regimeBar))
+        .partition(k => !qCleanTime.contains(k) &&
+          unverifiableRegime(source, qProbe.get(k), probeFloorMs,
+            qMemProbe.get(k), memProbeFloorMs, regimeBar))
     if (regressed.nonEmpty) System.err.println(
       s"[bench] REGRESSED vs control ${control.map(_.path).getOrElse("?")}: " +
         regressed.map(k => s"$k (${r3(results(k).median)}s vs control " +
