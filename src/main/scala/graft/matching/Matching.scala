@@ -164,14 +164,31 @@ object Matching {
     // on the read-back: blocked joins emit O(block^2) candidates and
     // the staged files are small enough that Spark's openCost packing
     // would otherwise hand the whole join to one or two splits.
+    // Per-SIDE expression hoisting (r17 optimization, guide §2.3 —
+    // compute constant-per-row work on the small staged side, not per
+    // pair): the experience band's two 4-way CASE chains depend only
+    // on the offer, and the skill set's array_distinct hash build only
+    // on the CV, yet the pair scorer used to re-evaluate them per
+    // candidate pair (~3.2e6 at sf0.1, several times each inside the
+    // CASE branches — plans/r17/q50_matching_scores_before.txt shows
+    // array_distinct(c_comp) six times in the scoring projection).
+    // Staged once per offer/CV row instead; scoring results identical
+    // (array_intersect dedups its output regardless of operand
+    // duplicates, and array_distinct preserves null).
+    val expBandCols = {
+      val (lo, hi) = expBand(col("o_level"))
+      Seq(lo.as("o_lo"), hi.as("o_hi"))
+    }
     val (oStaged, oRows) = graft.operators.Scratch.stageCounted(offers.select(
       col("offre_id").as("job_id"), col("localisation_id").as("o_loc"),
       col("secteur_id").as("o_sect"), col("competences_ids").as("o_comp"),
-      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level")),
+      col("salaire_max").as("o_sal_max"), col("niveau_experience").as("o_level"))
+      .select(Seq(col("*")) ++ expBandCols: _*),
       "graft-match-o")
     val (cStaged, cRows) = graft.operators.Scratch.stageCounted(cvs.select(
       col("cv_id").as("candidate_id"), col("localisation_souhaitee_id").as("c_loc"),
-      col("secteur_souhaite_id").as("c_sect"), col("competences_ids").as("c_comp"),
+      col("secteur_souhaite_id").as("c_sect"),
+      array_distinct(col("competences_ids")).as("c_comp"),
       col("salaire_souhaite").as("c_sal"), col("annees_experience").as("c_years")),
       "graft-match-c")
     val o = graft.Engine.spread(oStaged)
@@ -280,22 +297,52 @@ object Matching {
       .join(o, "job_id")
       .join(c, "candidate_id")
 
-    val skillPct = skillMatchPct(col("o_comp"), col("c_comp"))
+    // c_comp is staged ALREADY distinct (above), so the per-pair form
+    // of skillMatchPct — minus its array_distinct — applies verbatim;
+    // the experience band reads the staged o_lo/o_hi ints instead of
+    // re-deriving them from o_level per pair. Same formulas, same
+    // clause order, identical values (MatchingSpec + the q50/q95/q101
+    // oracles pin them).
+    val skillPct = {
+      val cvSet = col("c_comp")
+      when(cvSet.isNull || size(cvSet) === 0, 0.0)
+        .otherwise(
+          size(array_intersect(coalesce(col("o_comp"), array().cast("array<string>")), cvSet))
+            .cast("double") / size(cvSet).cast("double"))
+    }
     val locPct = locationMatchPct(col("o_loc"), col("c_loc"))
     val salPct = salaryMatchPct(col("o_sal_max"), col("c_sal"))
-    val expPct = experienceMatchPct(col("o_level"), col("c_years"))
+    val expPct = {
+      val years = col("c_years")
+      val dist = when(years < col("o_lo"), col("o_lo") - years)
+        .when(years > col("o_hi"), years - col("o_hi")).otherwise(0)
+      when(col("o_level") === "Non spécifié" || col("o_level").isNull, 1.0)
+        .when(years.isNull, 0.0)
+        .otherwise(greatest(lit(0.0), lit(1.0) - dist.cast("double") / 5.0))
+    }
 
+    // Components bound as REAL columns in a prior projection so each
+    // evaluates once per pair: match_score and the rounded component
+    // columns share them, and CollapseProject keeps a non-cheap
+    // expression referenced twice from being re-inlined (r17
+    // optimization — the single-projection form evaluated the skill
+    // intersection twice and the CASE chains up to three times).
     // roundSafe (+1e-9 before rounding): the repo-wide oracle-parity
     // convention — see graft.queries package doc
     candidates.select(
       col("job_id"), col("candidate_id"),
-      graft.queries.roundSafe(
-        skillPct * 0.4 + locPct * 0.2 + salPct * 0.2 + expPct * 0.2, 6)
-        .as("match_score"),
-      graft.queries.roundSafe(skillPct, 6).as("skill_match_pct"),
-      graft.queries.roundSafe(salPct, 6).as("salary_match_pct"),
-      graft.queries.roundSafe(locPct, 6).as("location_match_pct"),
-      graft.stages.Stages.processedAt(clock).as("calculated_at"))
+      skillPct.as("__skill"), locPct.as("__loc"),
+      salPct.as("__sal"), expPct.as("__exp"))
+      .select(
+        col("job_id"), col("candidate_id"),
+        graft.queries.roundSafe(
+          col("__skill") * 0.4 + col("__loc") * 0.2 +
+            col("__sal") * 0.2 + col("__exp") * 0.2, 6)
+          .as("match_score"),
+        graft.queries.roundSafe(col("__skill"), 6).as("skill_match_pct"),
+        graft.queries.roundSafe(col("__sal"), 6).as("salary_match_pct"),
+        graft.queries.roundSafe(col("__loc"), 6).as("location_match_pct"),
+        graft.stages.Stages.processedAt(clock).as("calculated_at"))
   }
 
   /** Top-k offers per candidate (dashboard "Top 20 offres-CVs").

@@ -66,19 +66,37 @@ object MatchOps {
     import s.implicits._
     // CV skill profile = distinct competence ids over everything the
     // customer ordered; one shuffle (the groupBy), joins are plain FK
-    // equi-joins Catalyst plans with AQE. Engine.spread between the
-    // join and the explode: AQE coalesces the small join output toward
-    // one partition, which would run the explode + competence-id
-    // kernel + partial collect_set single-core (the per-row kernel
-    // invariant, SCALE.md) — spreading 600k narrow rows is far cheaper
-    // than serializing the 5x-exploded kernel work.
+    // equi-joins Catalyst plans with AQE. Two r17-optimization moves
+    // (guide §2.3 — compute on the small side, shuffle/explode narrow
+    // results), both output-identical:
+    //  - the split + F24 competence-id kernel runs ONCE PER PART
+    //    (20k rows at sf0.1) on the dimension side and the id array
+    //    rides the broadcast join, instead of once per exploded
+    //    lineitem word (~3M kernel evaluations); collect_set
+    //    re-distincts across parts, so the per-customer set is the
+    //    same either way;
+    //  - the job-seeker filter (c_custkey % 4 below) is pushed to the
+    //    TOP of the profile build: the left join can never resurrect
+    //    the other three quarters of customers, and Catalyst does not
+    //    propagate the left side's key filter through a left join —
+    //    without it the explode/agg built 4x the profiles the query
+    //    keeps.
+    // Engine.spread between the join and the explode: AQE coalesces
+    // the small join output toward one partition, which would run the
+    // explode + partial collect_set single-core (the per-row kernel
+    // invariant, SCALE.md) — spreading the narrow rows is far cheaper
+    // than serializing the exploded aggregation.
+    val partComp = table(s, dir, "part").select($"p_partkey",
+      array_distinct(transform(split($"p_name", " "), w => Ids.competenceId(w)))
+        .as("pcomp"))
     val cvSkills = graft.Engine.spread(table(s, dir, "orders")
+      .where($"o_custkey" % 4 === 0)
       .join(table(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
-      .join(table(s, dir, "part"), $"l_partkey" === $"p_partkey")
-      .select($"o_custkey", $"p_name"))
-      .select($"o_custkey", explode(split($"p_name", " ")).as("w"))
+      .join(partComp, $"l_partkey" === $"p_partkey")
+      .select($"o_custkey", $"pcomp"))
+      .select($"o_custkey", explode($"pcomp").as("cid"))
       .groupBy($"o_custkey")
-      .agg(collect_set(Ids.competenceId($"w")).as("competences_ids"))
+      .agg(collect_set($"cid").as("competences_ids"))
     table(s, dir, "customer")
       .where($"c_custkey" % 4 === 0) // quarter of customers seek jobs
       .join(cvSkills, $"c_custkey" === $"o_custkey", "left")

@@ -395,10 +395,26 @@ object Relational {
     // the oracle asserts the approx landed within 10% of exact (5x the
     // 2% rsd — deterministic for a given dataset; EntrySpec pins the
     // tighter 5% margin at sf0.01).
+    //
+    // NOT countDistinct + approx in one agg: that shape forces
+    // RewriteDistinctAggregates to evaluate the HLL++ sketch per
+    // DISTINCT (flag, partkey) group, and the first exchange then
+    // carries a 410-word (~3.3 KB) partial-sketch buffer on every
+    // group — ~200 MB shuffled at sf0.1 for a 60k-pair dedup
+    // (plans/r17/q38_approx_distinct_before.txt, r17 optimization).
+    // HLL insertion is duplicate-insensitive (same hash → same
+    // register; merging per-group sketches == inserting all values),
+    // so dedup the narrow pairs first and sketch the survivors:
+    // identical estimate, exact = count of non-null deduped keys
+    // (count(col) skips the at-most-one (flag, NULL) survivor exactly
+    // as countDistinct did), and both exchanges carry two narrow
+    // columns (guide §2.3 — shuffle fewer bytes).
     table(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_partkey")
+      .dropDuplicates("l_returnflag", "l_partkey")
       .groupBy($"l_returnflag")
       .agg(
-        countDistinct($"l_partkey").as("exact_parts"),
+        count($"l_partkey").as("exact_parts"),
         approx_count_distinct($"l_partkey", 0.02).as("approx"))
       .select($"l_returnflag", $"exact_parts",
         (abs($"approx" - $"exact_parts") <= $"exact_parts" * 0.1)
