@@ -48,11 +48,20 @@ object HtmlExtract {
   private def classTextAll(html: String, cls: String): Seq[String] =
     classPat(cls).findAllMatchIn(html).map(m => stripTags(m.group(2))).toSeq
 
+  // stripTags runs per selector hit per row in the hottest UDFs;
+  // String.replaceAll re-compiles its pattern on EVERY call, so the
+  // four passes are precompiled once (r17 optimization — semantics
+  // identical, replaceAllIn == replaceAll for a literal replacement)
+  private val scriptPat = """(?is)<script.*?</script>""".r
+  private val stylePat = """(?is)<style.*?</style>""".r
+  private val anyTagPat = """(?s)<[^>]+>""".r
+  private val wsPat = """\s+""".r
+
   def stripTags(html: String): String =
-    html.replaceAll("(?is)<script.*?</script>", " ")
-      .replaceAll("(?is)<style.*?</style>", " ")
-      .replaceAll("(?s)<[^>]+>", " ")
-      .replaceAll("\\s+", " ").trim
+    wsPat.replaceAllIn(
+      anyTagPat.replaceAllIn(
+        stylePat.replaceAllIn(
+          scriptPat.replaceAllIn(html, " "), " "), " "), " ").trim
 
   private def nonEmpty(o: Option[String], minLen: Int): Option[String] =
     o.map(_.trim).filter(_.length > minLen)
@@ -91,14 +100,16 @@ object HtmlExtract {
       .collectFirst { case Some(t) => t }
     bySel.getOrElse {
       val text = stripTags(html)
-      val pats = Seq(
-        """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
-        """(?i)([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
-      pats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim))
+      companyTextPats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim))
         .collectFirst { case c if c.length > 2 => c }
         .getOrElse("Entreprise confidentielle")
     }
   }
+
+  // text-pattern fallbacks compiled once, not per row (r17 optimization)
+  private val companyTextPats: Seq[Regex] = Seq(
+    """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
+    """(?i)([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
 
   /** F3: description cascade; fallback = page text sans chrome tags,
     * truncated to 2000 chars (parse_jobs.py:124-144). */
@@ -109,12 +120,14 @@ object HtmlExtract {
     val bySel = selectors.view.map(c => nonEmpty(classText(html, c), 50))
       .collectFirst { case Some(t) => t }
     bySel.getOrElse {
-      val cleaned = html
-        .replaceAll("(?is)<(script|style|nav|header|footer|aside)\\b.*?</\\1>", " ")
+      val cleaned = chromePat.replaceAllIn(html, " ")
       val text = stripTags(cleaned)
       if (text.length > 100) text.take(2000) else null
     }
   }
+
+  private val chromePat =
+    """(?is)<(script|style|nav|header|footer|aside)\b.*?</\1>""".r
 
   /** F4: requirements selectors joined; fallback bullet-list items,
     * max 10 (parse_jobs.py:161-186). */
@@ -130,8 +143,7 @@ object HtmlExtract {
       // reference returns None when neither exists (parse_jobs.py:180-186)
       classText(html, "description").orElse(classText(html, "content")) match {
         case Some(text) =>
-          val items = """[•\-\*]\s*([^\n•\-\*]+)""".r
-            .findAllMatchIn(text).map(_.group(1).trim).toSeq
+          val items = bulletPat.findAllMatchIn(text).map(_.group(1).trim).toSeq
           if (items.nonEmpty) items.take(10).mkString(" ") else null
         case None => null
       }
@@ -165,13 +177,16 @@ object HtmlExtract {
       .collectFirst { case Some(t) => t }
     bySel.getOrElse {
       val text = stripTags(html)
-      val pats: Seq[Regex] = Seq(
-        """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:FCFA|CFA|XOF|francs?|€|\$)""".r,
-        """(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,]*)""".r,
-        """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:par|/)\s*(?:mois|month|an|year)""".r)
-      pats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim)).headOption.orNull
+      salaryTextPats.view.flatMap(_.findFirstMatchIn(text).map(_.group(1).trim))
+        .headOption.orNull
     }
   }
+
+  private val bulletPat = """[•\-\*]\s*([^\n•\-\*]+)""".r
+  private val salaryTextPats: Seq[Regex] = Seq(
+    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:FCFA|CFA|XOF|francs?|€|\$)""".r,
+    """(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,]*)""".r,
+    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:par|/)\s*(?:mois|month|an|year)""".r)
 
   /** F7: contract-type keyword table; default "Non spécifié"
     * (parse_jobs.py:282-299). */
