@@ -42,14 +42,26 @@ object Parse {
       .withColumn("source",
         regexp_extract(col("metadata_json"), "\"source\"\\s*:\\s*\"([^\"]+)\"", 1))
 
-    val parsed = withMeta
-      .withColumn("parsed_title", HtmlExtract.titleUdf(col("html_content")))
-      .withColumn("parsed_company", HtmlExtract.companyUdf(col("html_content")))
-      .withColumn("parsed_description", HtmlExtract.descriptionUdf(col("html_content")))
-      .withColumn("parsed_requirements", HtmlExtract.requirementsUdf(col("html_content")))
-      .withColumn("parsed_location", HtmlExtract.locationUdf(col("html_content")))
-      .withColumn("parsed_salary_text", HtmlExtract.salaryTextUdf(col("html_content")))
-      .withColumn("parsed_contract_type", HtmlExtract.contractTypeUdf(col("html_content")))
+    // ONE pageUdf invocation per row instead of seven per-field UDFs —
+    // the per-field form decoded the html blob from UTF8String (and
+    // paid UDF invocation overhead) seven times per row; pageUdf
+    // composes the identical kernel functions (HtmlExtract scaladoc;
+    // q60 has run this shape since the kernel gate landed — r17
+    // optimization brings the pipeline stage in line). The struct
+    // stays in its own projection so CollapseProject cannot duplicate
+    // the non-cheap UDF across the seven field extractions.
+    val paged = withMeta.select(col("*"),
+      HtmlExtract.pageUdf(col("html_content")).as("__page"))
+    val parsed = paged
+      .select(col("*"),
+        col("__page.title").as("parsed_title"),
+        col("__page.company").as("parsed_company"),
+        col("__page.description").as("parsed_description"),
+        col("__page.requirements").as("parsed_requirements"),
+        col("__page.location").as("parsed_location"),
+        col("__page.salary_text").as("parsed_salary_text"),
+        col("__page.contract_type").as("parsed_contract_type"))
+      .drop("__page")
       .withColumn("extracted_skills", Skills.extractSkills(
         coalesce(col("parsed_description"), col("parsed_requirements"))))
 
