@@ -332,6 +332,15 @@ object TextAnalysis {
     * against the counts (unhinted — AQE broadcasts it while the vocab
     * is small, shuffle-joins when it is not), one per-doc agg. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOT staged (r17 optimization attempt, measured and declined):
+    // the token stream feeds three consumers (count aggregate, total
+    // subquery, per-doc join) and each re-derives the tokenize
+    // cascade — but staging the exploded stream to scratch read
+    // WORSE on the bench corpus (q67 warm ~0.94 s lazy vs ~1.7 s
+    // staged: the 3.4M-row write costs more than two extra passes of
+    // the codegen'd tokenizer over short docs, the round-8 "staging
+    // neutral on short text" result, amplified). Heavy-text corpora
+    // would flip the trade; revisit with a dial if one lands.
     val toks = df.select(col(idCol).as("id"),
         explode_outer(tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
@@ -360,12 +369,22 @@ object TextAnalysis {
     * Documents with fewer than 2 tokens report 0 bigrams / 0 bits. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    // The w1 marginal derives from the bigram counts by aggregation —
+    // sum of c(w1w2) over bigrams sharing w1 IS the count of w1-first
+    // occurrences — instead of a third derivation of the corpus
+    // tokenize+shingle cascade (r17 optimization; the before-plan ran
+    // the cascade three times, plans/r17/q90_bigram_surprisal_*.txt).
+    // The remaining two derivations (per-doc stream + bigram counts)
+    // stay lazy: staging the exploded stream was tried and read WORSE
+    // on short docs (see unigramSurprisal's note).
     val bi = toks
       .select(col("id"), explode_outer(shingles(col("__toks"), 2)).as("bg"))
       .where(col("bg").isNotNull)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
-    val w1Counts = bi.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val w1Counts = biCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("__c2")).as("__c1"))
     val per = bi.join(biCounts, Seq("bg"))
       .join(w1Counts, Seq("w1"))
       .select(col("id"),

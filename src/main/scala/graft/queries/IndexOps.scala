@@ -61,9 +61,19 @@ object IndexOps {
     * count broadcast back; the df_ab floor cuts the residual tail. */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Engine.spread(table(s, dir, "documents"))
-    val dtAll = docs
+    // Staged once (r17 optimization): the distinct-token stream feeds
+    // the df counts, BOTH pair-join sides, and the marginal join — and
+    // the two semi-join consumers each re-derived the tokenize cascade
+    // plus the whole vocab subtree under it, so the before-plan
+    // scanned the corpus 8 times (plans/r17/q79_token_pmi_before.txt).
+    // Every consumer now reads one narrow stat-bearing parquet leaf
+    // (the minhashLshPairs staging rationale, SCALE.md round-8); the
+    // vocab TakeOrdered cut stays a plan subtree (PlanContractSpec
+    // pins it), re-run per consumer over the staged rows — three cheap
+    // aggregations instead of three cascade re-derivations.
+    val dtAll = graft.operators.Scratch.stage(docs
       .select(col("doc_id"), explode_outer(TextFunctions.tokenSet(col("text"))).as("term"))
-      .where(col("term").isNotNull)
+      .where(col("term").isNotNull), "graft-pmi-toks")
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val dfsAll = dtAll.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val vocab = dfsAll.orderBy(col("c").desc, col("term")).limit(PmiVocabCap)
