@@ -71,6 +71,26 @@ class TrainingOpsSpec extends AnyFunSuite {
       out(2).getAs[Double]("avg_bits") == 0.0)
   }
 
+  test("bigramSurprisal: w1 marginal derived from bigram counts (hand-computed)") {
+    // pins the r17 marginal-from-finer-aggregate derivation: one w1
+    // ('a') spans two distinct bigrams with different counts, so a
+    // wrong marginal (e.g. distinct-bigram count instead of occurrence
+    // count) would shift every bit value
+    val df = Seq(
+      (1L, "a b a c"), // bigrams: a_b, b_a, a_c
+      (2L, "a b"),     // bigram:  a_b
+      (3L, ""))        // no bigrams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .orderBy("id").collect()
+    // counts: c2(a b)=2, c2(b a)=1, c2(a c)=1; c1(a)=3, c1(b)=1
+    // doc1: (-log2(2/3) - log2(1/1) - log2(1/3)) / 3 = (0.58496+0+1.58496)/3
+    assert(math.abs(out(0).getAs[Double]("avg_bits") - 0.7233) < 1e-4)
+    assert(math.abs(out(1).getAs[Double]("avg_bits") - 0.585) < 1e-3)
+    assert(out(2).getAs[Long]("n_bigrams") == 0L &&
+      out(2).getAs[Double]("avg_bits") == 0.0)
+  }
+
   test("deterministicShuffle: stable across reruns, contiguous positions per shard") {
     val df = (0L until 200L).toDF("doc_id")
     def run() = TextAnalysis.deterministicShuffle(df, "doc_id", 4)

@@ -40,6 +40,36 @@ class MatchingSpec extends AnyFunSuite {
     assert(!byJob.contains("JOB_NO_OVERLAP"))
   }
 
+  test("r17 scorer hoist edges: duplicate skills, null skills, null years") {
+    // pins the staged-side hoisting (array_distinct per CV, o_lo/o_hi
+    // per offer): duplicates must not deflate/inflate the ratio, null
+    // CV skills score 0, 'Non spécifié' matches null years at 1.0
+    // while a real level docks them to 0 — the exact clause order the
+    // per-pair form had
+    val o = Seq(
+      ("O1", "L1", "S1", Seq("X", "X", "Y"), 100000L, "Non spécifié"),
+      ("O2", "L2", "S1", Seq("X"), 100000L, "Senior"))
+      .toDF("offre_id", "localisation_id", "secteur_id", "competences_ids",
+        "salaire_max", "niveau_experience")
+    val c = Seq(
+      ("C1", "L1", "S1", Option(Seq("X", "X")), 100000.0, Option.empty[Long]),
+      ("C2", "L9", "S1", Option.empty[Seq[String]], 100000.0, Option.empty[Long]))
+      .toDF("cv_id", "localisation_souhaitee_id", "secteur_souhaite_id",
+        "competences_ids", "salaire_souhaite", "annees_experience")
+    val byPair = Matching.score(o, c, None).collect()
+      .map(r => (r.getAs[String]("job_id"), r.getAs[String]("candidate_id")) ->
+        r.getAs[Double]("match_score")).toMap
+    // O1xC1: skill |{X,Y}∩{X}|/|{X}|=1 -> .4; loc 1 -> .2; sal 1 -> .2;
+    // exp 'Non spécifié' beats null years -> .2 => 1.0
+    assert(byPair(("O1", "C1")) == 1.0)
+    // O2xC1: skill 1 -> .4; loc 0; sal 1 -> .2; exp Senior + null years -> 0
+    assert(math.abs(byPair(("O2", "C1")) - 0.6) < 1e-9)
+    // O1xC2: null CV skills -> 0; loc 0; sal 1 -> .2; exp 1.0 -> .2
+    assert(math.abs(byPair(("O1", "C2")) - 0.4) < 1e-9)
+    // O2xC2: null skills 0; loc 0; sal .2; exp 0
+    assert(math.abs(byPair(("O2", "C2")) - 0.2) < 1e-9)
+  }
+
   test("top-k per candidate ranks by score") {
     val scores = Matching.score(offers, cvs, None)
     val top = Matching.topKPerCandidate(scores, 1).collect()
