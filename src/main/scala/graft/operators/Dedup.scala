@@ -100,21 +100,39 @@ object Dedup {
     * semantics — matching the oracle's list_distinct). Kept sorted for
     * the codegen'd merge-walk Jaccard. */
   private def lshToks(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      sort_array(array_distinct(
-        transform(tokenSet(col(textCol)), t => tokenHashMod(t)))).as("toks"))
-      // No-token docs (null/empty/whitespace text) can never clear a
-      // POSITIVE jaccard threshold (null text -> NULL jaccard, and
-      // empty-vs-empty scores 0.0, so both fail `>= t` for t > 0 —
-      // which is why the pair generators require threshold > 0), but
-      // their all-null minhash sig bands to concat_ws("") — so EVERY
-      // degenerate doc in the corpus lands in ONE bucket and the
-      // candidate join goes O(D^2) on them before the verify filter
-      // drops each pair. At crawl scale null/boilerplate-stripped-empty
-      // docs are a few percent of the corpus: prune them BEFORE banding
-      // (outputs unchanged given t > 0 — they only ever produced doomed
-      // candidates). size(NULL) is NULL -> dropped.
-      .where(size(col("toks")) > 0)
+    graft.Engine.spread(
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        // No-token docs (null/empty/whitespace text) can never clear a
+        // POSITIVE jaccard threshold (null text -> NULL jaccard, and
+        // empty-vs-empty scores 0.0, so both fail `>= t` for t > 0 —
+        // which is why the pair generators require threshold > 0), but
+        // their all-null minhash sig bands to concat_ws("") — so EVERY
+        // degenerate doc in the corpus lands in ONE bucket and the
+        // candidate join goes O(D^2) on them before the verify filter
+        // drops each pair. At crawl scale null/boilerplate-stripped-empty
+        // docs are a few percent of the corpus: prune them BEFORE banding
+        // (outputs unchanged given t > 0 — they only ever produced doomed
+        // candidates). The predicate is the cheap equivalent of
+        // size(toks) > 0: tokens = length>0 pieces of split(lower(text),
+        // "[^a-z]+"), so the token set is nonempty iff lower(text)
+        // contains an [a-z] char (hash/distinct/sort preserve
+        // nonemptiness; rlike NULL -> NULL -> dropped). The size(toks)
+        // form re-inlined the WHOLE tokenize+hash cascade into the scan
+        // filter via predicate pushdown — one extra cascade evaluation
+        // per row per consumer (r18 plan capture).
+        .where(lower(col("__text")).rlike("[a-z]")))
+      // Spread the RAW rows BEFORE the cascade projection, not after:
+      // repartition of the projected stream executes the projection
+      // below the exchange, i.e. at the SCAN's parallelism — on a
+      // single-file corpus the whole tokenize+minhash cascade ran in
+      // ONE task per consumer (r18 stage capture: 4 sequential ~0.5 s
+      // single-task stages at sf0.1 = most of q18's cost). Spreading
+      // (id, text) first puts every consumer's cascade in the
+      // post-exchange stage at full parallelism; the exchange carries
+      // the raw text once per consumer, the same size class the old
+      // post-cascade spread shuffled anyway.
+      .select(col("id"), sort_array(array_distinct(
+        transform(tokenSet(col("__text")), t => tokenHashMod(t)))).as("toks"))
 
   /** The nBands band-key strings of a k-long `sig` column. */
   private def bandKeys(sig: Column, nBands: Int, bandsOf: Int): Column =
@@ -354,10 +372,15 @@ object Dedup {
     // which deletes the quadratic-size distinct shuffle the naive plan
     // needs. On dense corpora (boilerplate/template-heavy) candidates
     // approach all-pairs and that distinct dominated the whole operator.
-    // Engine.spread: the pair join's work is quadratic in bucket sizes
-    // while its probe-side parallelism is whatever the scan produced.
+    // Probe-side parallelism (the pair join's work is quadratic in
+    // bucket sizes while a scan's parallelism is whatever the file
+    // split produced): the UNSTAGED path is spread inside lshToks —
+    // BEFORE the cascade projection, so the tokenize/minhash work runs
+    // post-exchange at full width — and the STAGED path is spread right
+    // after the scratch read above. A second spread here would
+    // re-shuffle the much wider cascade output for nothing.
     def bandsFrom(pre: DataFrame, extra: Seq[String]): DataFrame = {
-      val banded = graft.Engine.spread(pre)
+      val banded = pre
         .select(
         (Seq(col("id"), col("sig")) ++ extra.map(col) :+
           posexplode(bandKeys(col("sig"), nBands, bandsOf))
@@ -367,9 +390,9 @@ object Dedup {
       // so the join machinery below is untouched; band_idx rides along
       // for the first-band-wins condition as before
       // capBlocks' three consumers of its input (size count, under
-      // branch, over branch) all reuse the Engine.spread exchange
-      // above, so the tokenize/minhash cascade runs once per action
-      // either way
+      // branch, over branch) all reuse the upstream spread exchange
+      // (lshToks' or the staged read's), so the tokenize/minhash
+      // cascade runs once per action either way
       maxBucketSize match {
         case Some(m) =>
           Skew.capBlocks(banded,
@@ -456,12 +479,11 @@ object Dedup {
     * (BucketCapProbe, SCALE.md round-7). */
   private[graft] def bandBucketSizes(df: DataFrame, idCol: String,
       textCol: String, k: Int, bandsOf: Int): DataFrame = {
-    val sigs = lshToks(df, idCol, textCol)
+    // parallelism comes from lshToks' internal spread (the CLAUDE.md
+    // single-split rule; ADVICE round-7) — the cascade, explode and
+    // partial agg all run in the post-exchange stage
+    lshToks(df, idCol, textCol)
       .select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
-    // Engine.spread as the production path does: on a single-file
-    // corpus the explode/partial-agg map side otherwise runs on one
-    // core (CLAUDE.md single-split rule; ADVICE round-7)
-    graft.Engine.spread(sigs)
       .select(posexplode(bandKeys(col("sig"), k / bandsOf, bandsOf))
         .as(Seq("band_idx", "band_key")))
       .groupBy("band_idx", "band_key").agg(count(lit(1)).as("size"))
@@ -585,16 +607,31 @@ object Dedup {
         }.sum
     }
     // The upstream pair generation (LSH) must run exactly ONCE: the
-    // symmetrized edge list is a 2-way union over `pairs` consumed by
-    // both round-0 hook and round-0 contract, so leaving `pairs` lazy
-    // executes the pair join once per union branch per consumer (4x),
-    // and persisting the UNION still computes the pair join once per
-    // branch (2x) just to fill the cache. Materializing the directed
-    // pairs to scratch parquet runs the join once; the union then
-    // reads the (tiny, stats-bearing) parquet twice — no cache to
-    // size, spill, or remember to release.
+    // edge list is consumed by round-0 hook (twice, once per vertex
+    // role) and round-0 contract, so leaving `pairs` lazy executes the
+    // pair join once per consumer, and persisting still computes it to
+    // fill the cache. Materializing the pairs to scratch parquet runs
+    // the join once; every consumer then reads the (tiny,
+    // stats-bearing) parquet — no cache to size, spill, or release.
+    //
+    // CANONICAL orientation (src <= dst) at the staging write, r18: the
+    // old shape symmetrized (unioned both orientations of) the edge
+    // list and ran hook + contract over 2|E| rows. Hooking each vertex
+    // to min(self, min neighbor) only ever lowers a label via a SMALLER
+    // neighbor, and canonical edges present every smaller neighbor on
+    // the src side of exactly one row — so hook over (dst, src) plus a
+    // null-padded (src, NULL) branch reads the same 2|E| rows the union
+    // did, while contract and every later round run over |E| canonical
+    // rows, half the old stream (guide §2.3 shuffle fewer bytes). The
+    // when/otherwise form (not least/greatest, which SKIP nulls)
+    // preserves null ids in place so out-of-contract null edges surface
+    // exactly as before (collectPackedEdges fails by name).
+    val cA = col("id_a").cast("long")
+    val cB = col("id_b").cast("long")
+    val flip = cB < cA
     val pairs0 = materialize(
-      pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+      pairs.select(when(flip, cB).otherwise(cA).as("src"),
+        when(flip, cA).otherwise(cB).as("dst")),
       "pairs0")
 
     // Small-graph fast path: the driver union-find finish exists for
@@ -612,38 +649,57 @@ object Dedup {
       return uf.labelFrame(spark)
     }
 
-    val edges0 = pairs0.unionByName(
-      pairs0.select(col("dst").as("src"), col("src").as("dst")))
-
+    // hook over CANONICAL edges: label(v) = min(v, min neighbor). All
+    // out-neighbors of v are >= v (src <= dst), so only in-neighbors
+    // (the src side of rows with dst = v) can lower the label —
+    // min({v} ∪ in ∪ out) = min({v} ∪ in). The null-padded src branch
+    // keeps every vertex in the output (vertices with no smaller
+    // neighbor label themselves; min/least skip nulls), so the same
+    // 2|E| rows the old symmetrized union aggregated flow through ONE
+    // aggregation — but the expensive consumers below (contract, the
+    // loop, the residual collect) see |E| canonical rows, not 2|E|.
     def hook(e: DataFrame): DataFrame = e
-      .groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("cluster_id"))
+      .select(col("dst").as("id"), col("src").as("m"))
+      .unionByName(e.select(col("src").as("id"), lit(null).cast("long").as("m")))
+      .groupBy(col("id"))
+      .agg(least(min(col("m")), col("id")).as("cluster_id"))
     // pointer jump: labels are vertex ids, so label-of-label composes
     // within the same table; chains halve per application
     def jump(lbl: DataFrame): DataFrame = lbl
       .join(lbl.select(col("id").as("cluster_id"), col("cluster_id").as("g")),
         Seq("cluster_id"), "left")
       .select(col("id"), coalesce(col("g"), col("cluster_id")).as("cluster_id"))
+    // contract re-canonicalizes (least/greatest are safe here: labels
+    // of joined vertices are never null), so every round's rep carries
+    // each quotient edge exactly once
     def contract(e: DataFrame, lbl: DataFrame): DataFrame = e
       .join(lbl.select(col("id").as("src"), col("cluster_id").as("ls")), "src")
       .join(lbl.select(col("id").as("dst"), col("cluster_id").as("ld")), "dst")
-      .select(col("ls").as("src"), col("ld").as("dst"))
+      .select(least(col("ls"), col("ld")).as("src"),
+        greatest(col("ls"), col("ld")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
 
-    // round 0 stays cached while the loop consumes it (shallow plans —
-    // the explosion only starts with ROUND-OVER-ROUND composition, so
-    // parquet materialization is reserved for loop rounds); both
-    // round-0 caches are released below once the final mapping is
-    // parquet-backed and the residual is collected
-    val map0 = jump(hook(edges0)).cache() // vertex -> label
-    val rep0 = contract(edges0, map0).cache()
+    // Round 0 is parquet-materialized like the loop rounds (r18; the
+    // old round-0 cache() pair planned its joins against UNFILLED
+    // InMemoryRelations whose size estimates inherit the 2|E|-row
+    // child, so the label-map joins planned as SortMergeJoin and AQE's
+    // runtime downgrade still wrote a full shuffle of the edge stream
+    // before reading it "locally"). Parquet leaves carry REAL stats:
+    // a vertex-sized label table statically broadcast-joins (no edge
+    // exchange at all), and a label table too big to broadcast at
+    // cluster scale correctly plans as a shuffle join. Staging hook's
+    // output also runs the 2|E|-row aggregation ONCE — the old
+    // jump(hook(...)) self-join re-derived it per join side.
+    val h0 = materialize(hook(pairs0), "h0")
+    val map0 = materialize(jump(h0), "map0") // vertex -> label
     var mapping = map0
-    var rep = rep0
-    var repSize = rep.count()
+    var rep = materialize(contract(pairs0, map0), "rep0")
+    var repSize = stagedCount("rep0") // footers, not a count() job
     var iter = 0
     while (repSize > driverFinishMaxEdges && iter < maxIter) {
-      val b = materialize(jump(hook(rep)), s"b$iter")
+      val h = materialize(hook(rep), s"h${iter + 1}")
+      val b = materialize(jump(h), s"b${iter + 1}")
       mapping = materialize(mapping
         .join(b.select(col("id").as("cluster_id"), col("cluster_id").as("nl")),
           Seq("cluster_id"), "left")
@@ -653,20 +709,12 @@ object Dedup {
       repSize = stagedCount(s"rep${iter + 1}") // footers, not a count() job
       iter += 1
     }
-    // close the residual graph exactly on the driver. rep is
-    // SYMMETRIZED (contract preserves both orientations of edges0), and
-    // union-find needs each logical edge once — collecting src < dst
-    // halves the driver transfer and the union work at identical
-    // components. (The loop's cap still counts directed rows: the cap
-    // bounds the collect SIZE CLASS, and keeping its units tied to the
-    // frame the loop measures beats a subtle 2x re-interpretation.)
-    val residual = collectPackedEdges(rep.where(col("src") < col("dst")))
-    // the returned plan must not lean on caches this call leaks: when
-    // the loop never ran, mapping is still the cached round-0 frame —
-    // materialize it, then release both round-0 caches
-    if (iter == 0) mapping = materialize(mapping, "map_final")
-    map0.unpersist()
-    rep0.unpersist()
+    // close the residual graph exactly on the driver. rep is CANONICAL
+    // (each logical edge once), so the collect ships exactly the edges
+    // union-find needs — the loop's cap counts logical edges, the same
+    // 16-bytes-per-edge size class the input fast path above bounds
+    // (2M edges = 32 MB packed).
+    val residual = collectPackedEdges(rep)
     // only vertices whose label CHANGES go into the relabel map —
     // identity labels fall through the binary-search miss. The relabel
     // is a broadcast-VARIABLE lookup inside a projection, not a
@@ -898,9 +946,11 @@ object Dedup {
     // output-neutral only when empty-set pairs (jaccard 0.0) cannot pass
     require(threshold > 0, "threshold must be > 0 (no-token docs are pruned before banding)")
     val nBands = k / bandsOf
+    // parallelism comes from lshToks' internal spread: the cascade,
+    // signature build and banding explode all run post-exchange
     def bandsOfSide(toks: DataFrame, side: String): DataFrame =
-      graft.Engine.spread(toks
-        .select(col("id"), minhashFromHashes(col("toks"), k).as("sig")))
+      toks
+        .select(col("id"), minhashFromHashes(col("toks"), k).as("sig"))
         .select(
           col("id").as(s"id_$side"), col("sig").as(s"sig_$side"),
           posexplode(bandKeys(col("sig"), nBands, bandsOf))

@@ -47,12 +47,21 @@ class NullTextProbeSpec extends AnyFunSuite {
 
   test("the degenerate-doc prune sits below the banding in the plan") {
     // the guard that prevents the one-bucket quadratic candidate blowup:
-    // a size(toks)>0 filter must survive optimization into the physical
+    // the has-a-token prune (lower(text) RLIKE [a-z] — the cheap
+    // equivalent of size(toks) > 0 that does not re-inline the cascade
+    // into the scan filter) must survive optimization into the physical
     // plan of the pair generation (if a refactor drops it, outputs stay
-    // identical and only a scale test at crawl size would notice)
-    val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 4, 0.4)
+    // identical and only a scale test at crawl size would notice).
+    // Parquet-backed input: over a LocalRelation the optimizer folds
+    // the prune at plan time (ConvertToLocalRelation), which hides it
+    // from the plan text without weakening it — the scan path is what
+    // production runs.
+    val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val stored = spark.read.parquet(s"$dir/docs.parquet")
+    val p = Dedup.minhashLshPairs(stored, "doc_id", "text", 16, 4, 0.4)
       .queryExecution.executedPlan.toString
-    assert("size\\(".r.findFirstIn(p).isDefined,
-      s"expected the size(toks)>0 degenerate-doc prune in the plan:\n$p")
+    assert("RLIKE".r.findFirstIn(p).isDefined,
+      s"expected the has-a-token degenerate-doc prune in the plan:\n$p")
   }
 }
