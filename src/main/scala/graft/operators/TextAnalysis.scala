@@ -369,22 +369,24 @@ object TextAnalysis {
     * Documents with fewer than 2 tokens report 0 bigrams / 0 bits. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
-    // The w1 marginal derives from the bigram counts by aggregation —
-    // sum of c(w1w2) over bigrams sharing w1 IS the count of w1-first
-    // occurrences — instead of a third derivation of the corpus
-    // tokenize+shingle cascade (r17 optimization; the before-plan ran
-    // the cascade three times, plans/r17/q90_bigram_surprisal_*.txt).
-    // The remaining two derivations (per-doc stream + bigram counts)
-    // stay lazy: staging the exploded stream was tried and read WORSE
-    // on short docs (see unigramSurprisal's note).
+    // The w1 marginal is a THIRD derivation of the tokenize+shingle
+    // cascade, deliberately (r17 tried deriving it from biCounts by
+    // aggregation — sum of c(w1w2) over bigrams sharing w1, exact
+    // integer arithmetic, one corpus pass fewer — and the r18
+    // adjudication ABAB measured it WORSE on this corpus: fromBi
+    // 1.24-1.55 s vs cascade 1.17-1.20 s at sf0.1, clean probes all
+    // rounds, tools/Q90Ab. Same physics as q67: the extra
+    // shuffle+aggregation over the bigram table costs more than one
+    // more pass of the codegen'd cascade over short docs. A heavy-text
+    // corpus, where a corpus pass >> a vocab^2 aggregation, would flip
+    // the trade back.) Staging the exploded stream also loses here —
+    // see unigramSurprisal's note.
     val bi = toks
       .select(col("id"), explode_outer(shingles(col("__toks"), 2)).as("bg"))
       .where(col("bg").isNotNull)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("__c2"))
-    val w1Counts = biCounts
-      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
-      .agg(sum(col("__c2")).as("__c1"))
+    val w1Counts = bi.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val per = bi.join(biCounts, Seq("bg"))
       .join(w1Counts, Seq("w1"))
       .select(col("id"),

@@ -110,9 +110,145 @@ object Skills {
     "\\b(express\\.js|expressjs)\\b", "\\b(jquery)\\b", "\\b(bootstrap)\\b",
     "\\b(tailwind)\\b", "\\b(sass|scss)\\b", "\\b(webpack)\\b", "\\b(gulp|grunt)\\b")
 
+  /** Aho-Corasick automaton over every catalog variant, built once at
+    * object init — the r18 single-pass replacement for the ~150
+    * per-variant `contains()` scans the expression form ran per
+    * document (each Contains is its own full pass over the cleaned
+    * text). One left-to-right scan reports EVERY variant occurrence —
+    * including nested ones ("rust" also fires the "r" variant), which
+    * a consuming regex alternation would miss — as a bitmask of
+    * catalog-category indices. Variants whose glyphs the cleaning
+    * strips ("c#", ".net", "ci/cd") stay in the automaton and simply
+    * never match, same as their `contains` never fired. */
+  private object NlpAutomaton {
+    private val children = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    private val masks = scala.collection.mutable.ArrayBuffer(0L)
+    nlpCatalog.zipWithIndex.foreach { case ((_, variants), ci) =>
+      variants.foreach { v =>
+        var node = 0
+        v.foreach { ch =>
+          node = if (children(node).containsKey(ch)) children(node).get(ch)
+          else {
+            children += new java.util.HashMap[Char, Int]()
+            masks += 0L
+            val id = children.size - 1
+            children(node).put(ch, id)
+            id
+          }
+        }
+        masks(node) |= 1L << ci
+      }
+    }
+    private val fail = Array.fill(children.size)(0)
+    locally { // BFS: fail links + merge suffix-reachable masks
+      val queue = new java.util.ArrayDeque[Int]()
+      children(0).forEach((_, c) => queue.add(c))
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        masks(u) |= masks(fail(u))
+        children(u).forEach { (ch, c) =>
+          var f = fail(u)
+          while (f != 0 && !children(f).containsKey(ch)) f = fail(f)
+          fail(c) = if (children(f).containsKey(ch) && children(f).get(ch) != c)
+            children(f).get(ch) else 0
+          queue.add(c)
+        }
+      }
+    }
+    private val goto0 = children(0)
+    val allMask: Long = (1L << nlpCatalog.size) - 1
+    /** Bitmask of catalog categories with >= 1 variant occurrence. */
+    def scan(clean: String): Long = {
+      var acc = 0L
+      var state = 0
+      var i = 0
+      val n = clean.length
+      while (i < n && acc != allMask) {
+        val ch = clean.charAt(i)
+        while (state != 0 && !children(state).containsKey(ch)) state = fail(state)
+        state = if (children(state).containsKey(ch)) children(state).get(ch)
+        else if (goto0.containsKey(ch)) goto0.get(ch) else 0
+        acc |= masks(state)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  private val nlpCategoryNames: Array[String] =
+    nlpCatalog.map { case (cat, _) => pythonTitle(cat.replace('_', ' ')) }.toArray
+  private val nlpCleanPat1 = java.util.regex.Pattern.compile("(?U)[^\\w\\s]")
+  private val nlpCleanPat2 = java.util.regex.Pattern.compile("\\s+")
+  private val nlpPatternsCompiled: Array[java.util.regex.Pattern] =
+    nlpPatterns.map(java.util.regex.Pattern.compile).toArray
+
+  /** Spark `initcap` semantics (first letter of each space-delimited
+    * word uppercased, everything else lowercased) for the pattern-hit
+    * names — kept exactly aligned with the expression form the oracle
+    * replays. */
+  private def initcapLike(s: String): String = {
+    val lo = s.toLowerCase(java.util.Locale.ROOT)
+    val sb = new StringBuilder(lo.length)
+    var prevSpace = true
+    lo.foreach { ch =>
+      sb.append(if (prevSpace) Character.toUpperCase(ch) else ch)
+      prevSpace = ch == ' '
+    }
+    sb.toString
+  }
+
+  /** The single-pass kernel behind [[extractSkillsNlp]]: clean (same
+    * two regexes, precompiled), one automaton scan for all catalog
+    * variants, ten precompiled pattern probes — vs one `Contains` pass
+    * per variant (~150 passes/doc) plus per-call regex work in the
+    * expression form. Output order replicates the expression exactly:
+    * catalog hits in catalog order, then pattern hits in pattern
+    * order, first-occurrence distinct (array_distinct semantics). */
+  private[textkit] def extractSkillsNlpKernel(lowered: String): Seq[String] = {
+    val clean = nlpCleanPat2.matcher(
+      nlpCleanPat1.matcher(lowered).replaceAll(" ")).replaceAll(" ")
+    val out = new java.util.LinkedHashSet[String]()
+    val mask = NlpAutomaton.scan(clean)
+    var i = 0
+    while (i < nlpCategoryNames.length) {
+      if ((mask & (1L << i)) != 0) out.add(nlpCategoryNames(i))
+      i += 1
+    }
+    nlpPatternsCompiled.foreach { p =>
+      val m = p.matcher(clean)
+      if (m.find()) {
+        val g = m.group(1)
+        if (g != null && g.nonEmpty) {
+          // '.' removal is a no-op post-cleaning but kept for fidelity
+          out.add(initcapLike(g.replace(".", "")))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    out.iterator().asScala.toSeq
+  }
+
+  private lazy val extractSkillsNlpUdf =
+    org.apache.spark.sql.functions.udf(extractSkillsNlpKernel _)
+
   /** F15 (deterministic subset): catalog + regex detection over text
-    * cleaned the reference's way (unicode non-word -> space, collapse). */
+    * cleaned the reference's way (unicode non-word -> space, collapse).
+    * Single UDF invocation per document (one decode, one automaton
+    * scan); the guard and the lowering stay Catalyst expressions so
+    * null/short-text handling and case mapping are byte-identical to
+    * the expression form ([[extractSkillsNlpExpr]], parity-pinned in
+    * SkillsSpec). */
   def extractSkillsNlp(text: Column): Column = {
+    val guardEmpty = text.isNull || length(trim(text)) < 10
+    when(guardEmpty, array().cast("array<string>"))
+      .otherwise(extractSkillsNlpUdf(lower(coalesce(text, lit("")))))
+  }
+
+  /** The pre-r18 expression form, kept as the parity reference for
+    * [[extractSkillsNlp]] (SkillsSpec asserts equality on fixtures that
+    * exercise nested matches, multi-word variants and pattern hits). */
+  private[textkit] def extractSkillsNlpExpr(text: Column): Column = {
     val guardEmpty = text.isNull || length(trim(text)) < 10
     val clean = regexp_replace(
       regexp_replace(lower(coalesce(text, lit(""))), "(?U)[^\\w\\s]", " "),

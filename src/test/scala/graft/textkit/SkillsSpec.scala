@@ -63,4 +63,32 @@ class SkillsSpec extends AnyFunSuite {
       .select(Skills.extractSkillsNlp(col("t"))).as[Seq[String]].collect()
     assert(got.forall(_.isEmpty))
   }
+
+  test("automaton nlp extraction equals the expression form (order included)") {
+    // the r18 single-pass kernel must be value- AND order-identical to
+    // the expression form the oracle replays; fixtures exercise nested
+    // variant matches (rust fires 'r' too), multi-word variants,
+    // glyph-stripped variants that can never match (c#, ci/cd), regex
+    // pattern hits, accents/unicode cleaning, the short-text guard,
+    // and the 'r'/single-letter quirks
+    val texts = Seq(
+      "We build with rust and python pandas, ci/cd on kubernetes.",
+      "machine learning engineer: tensorflow, scikit-learn, statistics",
+      "réseaux et infrastructure as code — terraform, ansible, gcp google cloud",
+      "frontend: html css tailwind sass webpack reactjs nodejs",
+      "c# and .net developer wanted",              // stripped glyphs never match
+      "cpp systems programmer, gulp pipelines",    // pattern-only hits
+      "power bi dashboards, qlikview, excel vba macros everywhere",
+      "x y z",                                     // short -> guard
+      "entity framework with blob storage and azure functions ok",
+      "UPPERCASE PYTHON AND JAVA TEXT WITH SPARK KAFKA",
+      null.asInstanceOf[String],
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa no skills here at all maybe api")
+    val df = texts.toDF("t")
+    val got = df.select(Skills.extractSkillsNlp($"t").as("x")).as[Seq[String]].collect()
+    val want = df.select(Skills.extractSkillsNlpExpr($"t").as("x")).as[Seq[String]].collect()
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g == w, s"automaton != expression for: $t\n  got  $g\n  want $w")
+    }
+  }
 }
