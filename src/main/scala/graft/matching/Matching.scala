@@ -41,15 +41,21 @@ object Matching {
     when(level === "Débutant", 2).when(level === "Intermédiaire", 5)
       .when(level === "Senior", 100).otherwise(100))
 
-  def skillMatchPct(offerSkills: Column, cvSkills: Column): Column = {
-    // SET semantics per the spec: duplicate skill entries must not
-    // deflate (or inflate) the ratio
-    val cvSet = array_distinct(cvSkills)
-    when(cvSkills.isNull || size(cvSet) === 0, 0.0)
+  /** [[skillMatchPct]] over an ALREADY-distinct cv skill set — the one
+    * core expression both the public form and [[score]] (which stages
+    * the distinct once per CV, r17) compose, so the two call sites
+    * cannot drift (r17 ADVICE). `cvSet.isNull` iff the raw skills were
+    * null (array_distinct preserves null), so the guard is identical. */
+  private[matching] def skillMatchPctPrepped(offerSkills: Column, cvSet: Column): Column =
+    when(cvSet.isNull || size(cvSet) === 0, 0.0)
       .otherwise(
         size(array_intersect(coalesce(offerSkills, array().cast("array<string>")), cvSet))
           .cast("double") / size(cvSet).cast("double"))
-  }
+
+  def skillMatchPct(offerSkills: Column, cvSkills: Column): Column =
+    // SET semantics per the spec: duplicate skill entries must not
+    // deflate (or inflate) the ratio
+    skillMatchPctPrepped(offerSkills, array_distinct(cvSkills))
 
   def locationMatchPct(offerLoc: Column, cvLoc: Column): Column =
     when(offerLoc.isNotNull && offerLoc === cvLoc, 1.0).otherwise(0.0)
@@ -63,8 +69,12 @@ object Matching {
       // weighted match_score negative (oracle replays the clamp)
       .otherwise(greatest(lit(0.0), offerMax.cast("double") / desired.cast("double")))
 
-  def experienceMatchPct(level: Column, years: Column): Column = {
-    val (lo, hi) = expBand(level)
+  /** [[experienceMatchPct]] over a pre-derived (lo, hi) band — the one
+    * core expression both the public form and [[score]] (which stages
+    * the band once per offer, r17) compose, so the two call sites
+    * cannot drift (r17 ADVICE). */
+  private[matching] def experienceMatchPctPrepped(level: Column, years: Column,
+      lo: Column, hi: Column): Column = {
     val dist = when(years < lo, lo - years).when(years > hi, years - hi).otherwise(0)
     // "Non spécifié" matches everyone FIRST — including CVs whose
     // years never parsed (CvIngest emits null there); an offer that
@@ -73,6 +83,11 @@ object Matching {
     when(level === "Non spécifié" || level.isNull, 1.0)
       .when(years.isNull, 0.0)
       .otherwise(greatest(lit(0.0), lit(1.0) - dist.cast("double") / 5.0))
+  }
+
+  def experienceMatchPct(level: Column, years: Column): Column = {
+    val (lo, hi) = expBand(level)
+    experienceMatchPctPrepped(level, years, lo, hi)
   }
 
   /** Score all blocked offer x CV pairs -> agg_matching_scores rows.
@@ -297,29 +312,16 @@ object Matching {
       .join(o, "job_id")
       .join(c, "candidate_id")
 
-    // c_comp is staged ALREADY distinct (above), so the per-pair form
-    // of skillMatchPct — minus its array_distinct — applies verbatim;
-    // the experience band reads the staged o_lo/o_hi ints instead of
-    // re-deriving them from o_level per pair. Same formulas, same
-    // clause order, identical values (MatchingSpec + the q50/q95/q101
-    // oracles pin them).
-    val skillPct = {
-      val cvSet = col("c_comp")
-      when(cvSet.isNull || size(cvSet) === 0, 0.0)
-        .otherwise(
-          size(array_intersect(coalesce(col("o_comp"), array().cast("array<string>")), cvSet))
-            .cast("double") / size(cvSet).cast("double"))
-    }
+    // c_comp is staged ALREADY distinct (above) and the experience
+    // band is staged per offer (o_lo/o_hi), so the scoring projection
+    // composes the SAME core expressions the public helpers do — via
+    // the Prepped forms, one definition for both call sites (r17
+    // ADVICE: the hand-inlined copies here could silently drift).
+    val skillPct = skillMatchPctPrepped(col("o_comp"), col("c_comp"))
     val locPct = locationMatchPct(col("o_loc"), col("c_loc"))
     val salPct = salaryMatchPct(col("o_sal_max"), col("c_sal"))
-    val expPct = {
-      val years = col("c_years")
-      val dist = when(years < col("o_lo"), col("o_lo") - years)
-        .when(years > col("o_hi"), years - col("o_hi")).otherwise(0)
-      when(col("o_level") === "Non spécifié" || col("o_level").isNull, 1.0)
-        .when(years.isNull, 0.0)
-        .otherwise(greatest(lit(0.0), lit(1.0) - dist.cast("double") / 5.0))
-    }
+    val expPct = experienceMatchPctPrepped(
+      col("o_level"), col("c_years"), col("o_lo"), col("o_hi"))
 
     // Components bound as REAL columns in a prior projection so each
     // evaluates once per pair: match_score and the rounded component

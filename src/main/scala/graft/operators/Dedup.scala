@@ -940,7 +940,8 @@ object Dedup {
     */
   def incrementalLshPairs(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String,
-      k: Int, bandsOf: Int, threshold: Double): DataFrame = {
+      k: Int, bandsOf: Int, threshold: Double,
+      stageToks: Boolean = false): DataFrame = {
     require(k % bandsOf == 0, "k must divide into bands evenly")
     // same precondition as minhashLshPairs: the degenerate-doc prune is
     // output-neutral only when empty-set pairs (jaccard 0.0) cannot pass
@@ -956,8 +957,20 @@ object Dedup {
           posexplode(bandKeys(col("sig"), nBands, bandsOf))
             .as(Seq("band_idx", "band_key")))
 
-    val newToks = lshToks(newDf, idCol, textCol)
-    val corpusToks = lshToks(corpusDf, idCol, textCol)
+    // each side's tokenize cascade feeds its band side AND its verify
+    // join-back (2 lazy derivations per side). `stageToks` materializes
+    // the UNEXPLODED (id, toks) cascade to scratch once per side — the
+    // staging form that wins on heavy text (the exploded-stream form
+    // loses, q67) — and is OFF by default: on the short-doc bench
+    // corpus the r18 A/B read it slightly WORSE (tools/StagingAb), the
+    // same answer at sfg1 (10x docs). EAGER when set (two write jobs at
+    // construction).
+    def side(df: DataFrame): DataFrame = {
+      val t = lshToks(df, idCol, textCol)
+      if (stageToks) graft.Engine.spread(Scratch.stage(t, "graft-inc-toks")) else t
+    }
+    val newToks = side(newDf)
+    val corpusToks = side(corpusDf)
     bandsOfSide(newToks, "a")
       .join(bandsOfSide(corpusToks, "b"), Seq("band_idx", "band_key"))
       .where(col("id_a") =!= col("id_b") && !sharedEarlierBand(nBands, bandsOf))

@@ -299,11 +299,25 @@ object TextAnalysis {
     *
     * Scale shape: token counts are one map-side-combined shuffle; the
     * top-V cut is TakeOrderedAndProject (never a global sort); the tiny
-    * vocab broadcasts back over the token stream. */
+    * vocab broadcasts back over the token stream.
+    *
+    * `stageToks` materializes the UNEXPLODED (id, toks) arrays to
+    * scratch once so the two consumers (vocab count + per-doc
+    * coverage) explode from parquet instead of re-running the
+    * tokenizer. Scale-dependent dial, measured both ways (r18
+    * tools/StagingAb, clean probes): at sf0.1 (5k short docs) staging
+    * LOSES (0.63-0.76 s lazy vs 0.79-1.04 staged — the write costs
+    * more than one extra codegen tokenizer pass); at sfg1 (50k docs)
+    * it WINS ~15-20% (2.7-3.2 vs 3.2-4.1). Default stays lazy — the
+    * crossover sits above the bench corpus; heavy-text callers opt
+    * in. EAGER when set (one write job at construction). */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
-      topV: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-        explode_outer(tokens(col(textCol))).as("tok"))
+      topV: Int, stageToks: Boolean = false): DataFrame = {
+    val arrays = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val arr =
+      if (stageToks) graft.Engine.spread(Scratch.stage(arrays, "graft-vocab-toks"))
+      else arrays
+    val toks = arr.select(col("id"), explode_outer(col("__toks")).as("tok"))
       .where(col("tok").isNotNull)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("tok")).limit(topV)

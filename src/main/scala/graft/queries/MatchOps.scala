@@ -94,6 +94,14 @@ object MatchOps {
       .join(table(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .join(partComp, $"l_partkey" === $"p_partkey")
       .select($"o_custkey", $"pcomp"))
+      // plain explode, EXEMPT from the repo's explode_outer+null-filter
+      // invariant for expensive computed arrays: the filter
+      // InferFiltersFromGenerate derives (size(pcomp) > 0 etc.) can
+      // only push down to the 20k-row part DIMENSION side where the
+      // kernel runs once per part — never below the join onto the
+      // per-lineitem stream — so the hazard the invariant guards
+      // against (re-evaluating the array expression per joined row)
+      // cannot arise here (r17 ADVICE: document the exemption)
       .select($"o_custkey", explode($"pcomp").as("cid"))
       .groupBy($"o_custkey")
       .agg(collect_set($"cid").as("competences_ids"))

@@ -57,6 +57,23 @@ object HtmlExtract {
   private val anyTagPat = """(?s)<[^>]+>""".r
   private val wsPat = """\s+""".r
 
+  // ALL precompiled patterns live here at the top of the object, above
+  // every def that uses them (r17 ADVICE): the project has a pinned
+  // object-init-order hazard (the q97 "+ 0" bug) — a val initializer
+  // below that called one of the extract* defs during init would read
+  // null patterns if these sat further down.
+  // text-pattern fallbacks compiled once, not per row (r17 optimization)
+  private val companyTextPats: Seq[Regex] = Seq(
+    """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
+    """(?i)([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
+  private val chromePat =
+    """(?is)<(script|style|nav|header|footer|aside)\b.*?</\1>""".r
+  private val bulletPat = """[•\-\*]\s*([^\n•\-\*]+)""".r
+  private val salaryTextPats: Seq[Regex] = Seq(
+    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:FCFA|CFA|XOF|francs?|€|\$)""".r,
+    """(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,]*)""".r,
+    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:par|/)\s*(?:mois|month|an|year)""".r)
+
   def stripTags(html: String): String =
     wsPat.replaceAllIn(
       anyTagPat.replaceAllIn(
@@ -106,11 +123,6 @@ object HtmlExtract {
     }
   }
 
-  // text-pattern fallbacks compiled once, not per row (r17 optimization)
-  private val companyTextPats: Seq[Regex] = Seq(
-    """(?i)(?:chez|pour|company|entreprise)\s*:?\s*([A-Z][A-Za-z\s&\-\.]+)""".r,
-    """(?i)([A-Z][A-Za-z\s&\-\.]+(?:SA|SARL|Groupe|Group|Corp|Corporation|Inc|Ltd))""".r)
-
   /** F3: description cascade; fallback = page text sans chrome tags,
     * truncated to 2000 chars (parse_jobs.py:124-144). */
   def extractDescription(html: String): String = {
@@ -125,9 +137,6 @@ object HtmlExtract {
       if (text.length > 100) text.take(2000) else null
     }
   }
-
-  private val chromePat =
-    """(?is)<(script|style|nav|header|footer|aside)\b.*?</\1>""".r
 
   /** F4: requirements selectors joined; fallback bullet-list items,
     * max 10 (parse_jobs.py:161-186). */
@@ -181,12 +190,6 @@ object HtmlExtract {
         .headOption.orNull
     }
   }
-
-  private val bulletPat = """[•\-\*]\s*([^\n•\-\*]+)""".r
-  private val salaryTextPats: Seq[Regex] = Seq(
-    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:FCFA|CFA|XOF|francs?|€|\$)""".r,
-    """(?i)(?:salaire|rémunération|paye)\s*:?\s*(\d+(?:[\s\.,]\d+)*[^\n,]*)""".r,
-    """(?i)(\d+(?:[\s\.,]\d+)*)\s*(?:par|/)\s*(?:mois|month|an|year)""".r)
 
   /** F7: contract-type keyword table; default "Non spécifié"
     * (parse_jobs.py:282-299). */

@@ -369,6 +369,40 @@ class BenchEvidenceSpec extends AnyFunSuite {
       bare.contains("\"summary\":{\"value\":1.0"))
   }
 
+  test("a 110-query line's tail summary survives the driver's 2000-char window") {
+    // r16's BENCH line was truncated past recovery in the driver's
+    // ~2000-char stdout capture (parsed:null — the round lost its
+    // ground-truth perf comparison); r17's parsed, but nothing pinned
+    // the LENGTH budget at a full-suite query count. Render a line
+    // with MORE queries than the suite ships (110 > 105), realistic
+    // name lengths and storm-grade spread/rerun/regressed payloads,
+    // and assert the machine-readable summary extracts from EXACTLY
+    // the last 2000 chars.
+    val qs = (1 to 110).map(i =>
+        f""""q${i}%02d_some_longer_query_name_$i":${i * 0.137}%.3f""")
+      .mkString("{", ",", "}")
+    val spreads = (1 to 8).map(i => s""""q${i}_some_longer_query_name_$i":${i}.${i}""")
+      .mkString("{", ",", "}")
+    val reruns = (1 to 8).map(i => s""""q${i}_some_longer_query_name_$i":${i}.0${i}""")
+      .mkString("{", ",", "}")
+    val line = Bench.renderLine(total = 123.456, minTotal = 99.9,
+      contended = true, source = "hypervisor", otherBusyCores = Some(2.5),
+      commit = Some("0123456789ab"), qs = qs, sf = "0.1", iters = 3,
+      spreads = spreads, rerunJson = reruns,
+      loadAvgStart = 5.25, loadAvgEnd = 7.5, maxMemMb = 32768,
+      cpus = "32", detailPath = "/root/repo/BENCH_DETAIL.json")
+    assert(line.length > 2000, s"fixture too small to exercise truncation: ${line.length}")
+    val window = line.takeRight(2000) // the driver's exact capture budget
+    val m = """"summary":(\{[^{}]*\})""".r.findFirstMatchIn(window)
+    assert(m.nonEmpty, s"no extractable summary in the 2000-char tail:\n$window")
+    val parsed = org.json4s.jackson.JsonMethods.parse(m.get.group(1))
+    import org.json4s._
+    assert((parsed \ "value") == JDouble(123.456), m.get.group(1))
+    assert((parsed \ "min_total") == JDouble(99.9))
+    assert((parsed \ "contention_source") == JString("hypervisor"))
+    assert((parsed \ "commit") == JString("0123456789ab"))
+  }
+
   test("unvalidated string fields cannot invalidate the JSON line") {
     // detailPath comes straight from SPARK_GRAFT_DETAIL and cpus from
     // SPARK_GRAFT_CPUS: a quote/backslash path or a non-numeric cpus
